@@ -1,0 +1,332 @@
+"""Level-independent pointwise operators.
+
+Reference: FieldCalculations.cc — cvtemp (1608), abshum (1676), cvhum
+(1738), vectorabs (1819), windCooling (2181), underCooledRain (2231),
+pressure2FlightLevel (2311), values2classes (2462), min/max (2501-2529),
+unary math fields (2531-2563), replaceUndefined/replaceDefined (2565-2608),
+fieldOPERfield / fieldOPERconstant / constantOPERfield (2611-2669),
+snow_in_cm (3063).
+
+All of these are single fused mask-elementwise kernels on TPU; the
+reference's per-point ``is_defined`` branch plus OpenMP reduction collapses
+into vector-lane selects.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import (
+    t0, clamp_rh, ewt_defined, ewt_index, ewt_inverse, ewt_value,
+    P_LEVEL_TABLE, F_LEVEL_TABLE,
+)
+from ..field import Field, UNDEF, ValuesDefined, full_undef
+from . import thermo
+from ._harness import and_masks, out_field, require
+
+__all__ = [
+    "cvtemp", "cvhum", "abshum", "vectorabs", "wind_cooling",
+    "under_cooled_rain", "pressure2flightlevel", "values2classes",
+    "minvalue_fields", "maxvalue_fields", "minvalue_field_const",
+    "maxvalue_field_const", "absvalue_field", "log10_field", "pow10_field",
+    "log_field", "exp_field", "power_field", "replace_undefined",
+    "replace_defined", "field_oper_field", "field_oper_constant",
+    "constant_oper_field", "snow_in_cm",
+]
+
+_f32 = jnp.float32
+
+
+def cvtemp(t: Field, compute: int) -> Field:
+    """Kelvin <-> Celsius conversion (FieldCalculations.cc:1608-1674).
+
+    compute: 1 K->C, 2 C->K, 3 K->C only if the defined-value mean looks
+    like Kelvin, 4 C->K only if it looks like Celsius.  Modes 3/4 branch on
+    a global masked mean; here that is a deterministic tree reduction
+    followed by a lane select (a single ``psum`` when sharded), whereas the
+    reference uses an order-dependent OpenMP float reduction — values agree
+    except exactly at the t0/2 threshold.
+    """
+    require(compute in (1, 2, 3, 4), f"cvtemp: bad compute {compute}")
+    tconvert = -t0 if compute in (1, 3) else t0
+    converted = t.values + tconvert
+    if compute in (1, 2):
+        return Field(converted, t.mask)
+    # auto-detect: mean over defined points
+    navg = jnp.sum(t.mask)
+    tavg = jnp.sum(jnp.where(t.mask, t.values, _f32(0)))
+    tavg = jnp.where(navg > 0, tavg / navg.astype(_f32), _f32(0))
+    skip = (tavg < t0 / 2) if compute == 3 else (tavg > t0 / 2)
+    out = jnp.where(skip, t.values, converted)
+    return Field(out, t.mask)
+
+
+def cvhum(t: Field, hum: Field, compute: int, unit: str = "") -> Field:
+    """Dewpoint/RH conversions without pressure
+    (FieldCalculations.cc:1738-1817).
+
+    compute: 1 (T[K],RH%)->Td[K], 2 (T[K],RH%)->Td[C], 3 (T[C],RH%)->Td[C],
+    4 (T[K],Td[K])->RH, 5 (T[C],Td[C])->RH.  ``unit == "1"`` returns RH as a
+    fraction for modes 4/5; ``unit == "celsius"`` remaps 1 -> 2.
+    """
+    unit_scale = _f32(100)
+    if compute == 1 and unit == "celsius":
+        compute = 2
+    if compute in (4, 5) and unit == "1":
+        unit_scale = _f32(1)
+    require(compute in (1, 2, 3, 4, 5), f"cvhum: bad compute {compute}")
+    tconv = t0 if compute in (1, 2, 4) else _f32(0)
+    tdconv = t0 if compute == 1 else _f32(0)
+    mask = and_masks(t, hum)
+
+    if compute in (1, 2, 3):
+        x, l = ewt_index(t.values - tconv)
+        ok = ewt_defined(l)
+        et = ewt_value(x, l)
+        rh = clamp_rh(_f32(0.01) * hum.values)
+        etd = rh * et
+        out = ewt_inverse(etd, l) + tdconv
+        return out_field(out, mask & ok)
+
+    # compute 4/5: T, Td -> RH
+    x1, l1 = ewt_index(t.values - tconv)
+    x2, l2 = ewt_index(hum.values - tconv)
+    ok = ewt_defined(l1) & ewt_defined(l2)
+    et = ewt_value(x1, l1)
+    etd = ewt_value(x2, l2)
+    return out_field(etd / et * unit_scale, mask & ok)
+
+
+def abshum(t: Field, rhum: Field) -> Field:
+    """Absolute humidity from the Vaisala/Wexler 6-coefficient saturation
+    formula (FieldCalculations.cc:1676-1736).  ``t`` in Kelvin, ``rhum`` as
+    a fraction (the binding passes RH in [0,1])."""
+    C = _f32(2.16679)
+    C1, C2, C3 = _f32(-7.85951783), _f32(1.84408259), _f32(-11.7866497)
+    C4, C5, C6 = _f32(22.6807411), _f32(-15.9618719), _f32(1.80122502)
+    Tc, Pc = _f32(647.096), _f32(220640.0)
+    # sanitize so sqrt/exp at masked points cannot produce NaN-lane slowdowns
+    tv = jnp.where(t.mask, t.values, t0)
+    v = 1 - tv / Tc
+    tii = 1 / tv
+    v2 = v * v
+    v3 = v * v2
+    v4 = v2 * v2
+    v1_5 = v * jnp.sqrt(v)
+    v3_5 = v2 * v1_5
+    v7_5 = v4 * v3_5
+    Pws = Pc * jnp.exp(Tc * tii * (C1 * v + C2 * v1_5 + C3 * v3
+                                   + C4 * v3_5 + C5 * v4 + C6 * v7_5))
+    Pw = Pws * rhum.values
+    return out_field(C * Pw * 100 * tii, and_masks(t, rhum))
+
+
+def vectorabs(u: Field, v: Field) -> Field:
+    """Vector magnitude sqrt(u^2+v^2) (FieldCalculations.cc:1819-1841)."""
+    out = jnp.sqrt(u.values * u.values + v.values * v.values)
+    return out_field(out, and_masks(u, v))
+
+
+def wind_cooling(t: Field, u: Field, v: Field, compute: int) -> Field:
+    """Wind-chill temperature difference, 2001 NWS formula, clamped <= 0
+    (FieldCalculations.cc:2181-2229).  compute: 1 T in Kelvin, 2 Celsius.
+
+    The reference never refreshes ``fDefined`` here (cc:2217-2220); this
+    implementation propagates the mask (recorded divergence).
+    """
+    require(compute in (1, 2), f"windCooling: bad compute {compute}")
+    tconv = t0 if compute == 1 else _f32(0)
+    tc = t.values - tconv
+    ff = jnp.sqrt(u.values**2 + v.values**2) * _f32(3.6)  # m/s -> km/h
+    ffpow = jnp.power(ff, _f32(0.16))
+    dt = _f32(13.12) + _f32(0.6215) * tc - _f32(11.37) * ffpow \
+        + _f32(0.3965) * tc * ffpow
+    return out_field(jnp.minimum(dt, _f32(0)), and_masks(t, u, v))
+
+
+def under_cooled_rain(precip: Field, snow: Field, tk: Field,
+                      precip_min: float, snow_rate_max: float,
+                      tc_max: float) -> Field:
+    """Freezing-rain indicator 0/1 (FieldCalculations.cc:2231-2264)."""
+    tk_max = _f32(tc_max) + t0
+    cond = ((precip.values >= _f32(precip_min))
+            & (tk.values <= tk_max)
+            & (snow.values <= precip.values * _f32(snow_rate_max)))
+    out = jnp.where(cond, _f32(1), _f32(0))
+    return out_field(out, and_masks(precip, snow, tk))
+
+
+def pressure2flightlevel(pressure: Field) -> Field:
+    """Pressure -> flight level via the standard-level table
+    (FieldCalculations.cc:2311-2349): clamp to the table range then
+    piecewise-linear interpolation; vectorized as a fused comparison sum
+    over the 16-entry table instead of the reference's linear scan."""
+    ptab = P_LEVEL_TABLE  # descending
+    ftab = F_LEVEL_TABLE
+    n_tab = len(ptab) - 1
+    p = jnp.clip(pressure.values, _f32(ptab[n_tab]), _f32(ptab[0]))
+    # k = smallest index in [1, n_tab] with ptab[k] <= p
+    k = jnp.ones(p.shape, jnp.int32)
+    for j in range(1, n_tab):
+        k = k + (p < _f32(ptab[j])).astype(jnp.int32)
+    pk0 = jnp.asarray(ptab)[k - 1]
+    pk1 = jnp.asarray(ptab)[k]
+    fk0 = jnp.asarray(ftab)[k - 1]
+    fk1 = jnp.asarray(ftab)[k]
+    ratio = (p - pk0) / (pk1 - pk0)
+    return out_field(fk0 + (fk1 - fk0) * ratio, pressure.mask)
+
+
+def values2classes(f: Field, values: Sequence[float]) -> Field:
+    """Bucketize by ascending thresholds (FieldCalculations.cc:2462-2499).
+    ``values[0]`` is the global min, ``values[-1]`` the (exclusive) max;
+    classes are 0..len(values)-2.  Out-of-range points become undefined."""
+    require(len(values) >= 2, "values2classes: needs >= 2 values")
+    nvalues = len(values) - 2
+    fmin, fmax = _f32(values[0]), _f32(values[nvalues + 1])
+    v = f.values
+    in_range = (v >= fmin) & (v < fmax)
+    j = jnp.ones(v.shape, jnp.int32)
+    for k in range(1, nvalues):
+        j = j + (_f32(values[k]) < v).astype(jnp.int32)
+    out = (j - 1).astype(_f32)
+    return out_field(out, f.mask & in_range)
+
+
+# --- pointwise min/max/arithmetic (FieldCalculations.cc:2501-2669) ----------
+
+def minvalue_fields(f1: Field, f2: Field) -> Field:
+    return out_field(jnp.minimum(f1.values, f2.values), and_masks(f1, f2))
+
+
+def maxvalue_fields(f1: Field, f2: Field) -> Field:
+    return out_field(jnp.maximum(f1.values, f2.values), and_masks(f1, f2))
+
+
+def minvalue_field_const(f: Field, value: float, undef: float = UNDEF) -> Field:
+    if value == undef:
+        return full_undef(f.shape, f.dtype)
+    return Field(jnp.minimum(f.values, _f32(value)), f.mask)
+
+
+def maxvalue_field_const(f: Field, value: float, undef: float = UNDEF) -> Field:
+    if value == undef:
+        return full_undef(f.shape, f.dtype)
+    return Field(jnp.maximum(f.values, _f32(value)), f.mask)
+
+
+def absvalue_field(f: Field) -> Field:
+    return Field(jnp.abs(f.values), f.mask)
+
+
+def log10_field(f: Field) -> Field:
+    return Field(jnp.log10(f.sanitized(1.0)), f.mask)
+
+
+def pow10_field(f: Field) -> Field:
+    return Field(jnp.power(_f32(10), f.sanitized(0.0)), f.mask)
+
+
+def log_field(f: Field) -> Field:
+    return Field(jnp.log(f.sanitized(1.0)), f.mask)
+
+
+def exp_field(f: Field) -> Field:
+    return Field(jnp.exp(f.sanitized(0.0)), f.mask)
+
+
+def power_field(f: Field, value: float, undef: float = UNDEF) -> Field:
+    if value == undef:
+        return full_undef(f.shape, f.dtype)
+    return Field(jnp.power(f.sanitized(1.0), _f32(value)), f.mask)
+
+
+def replace_undefined(f: Field, value: float, undef: float = UNDEF) -> Field:
+    """Substitute a constant at undefined points
+    (FieldCalculations.cc:2565-2585).  ``value == undef`` is a no-op."""
+    if value == undef:
+        return f
+    out = jnp.where(f.mask, f.values, _f32(value))
+    return Field(out, jnp.ones(f.shape, bool))
+
+
+def replace_defined(f: Field, value: float, undef: float = UNDEF) -> Field:
+    """Substitute a constant at defined points
+    (FieldCalculations.cc:2587-2608).  ``value == undef`` undefines all.
+
+    Reference quirk reproduced: for a partially defined input the output is
+    force-flagged ALL_DEFINED while undefined points keep the *sentinel
+    value* (cc:2600-2607); an all-undefined input stays NONE_DEFINED."""
+    if value == undef:
+        return full_undef(f.shape, f.dtype)
+    out = jnp.where(f.mask, _f32(value), jnp.asarray(undef, f.dtype))
+    any_def = jnp.any(f.mask)
+    return Field(out, jnp.broadcast_to(any_def, f.shape))
+
+
+def field_oper_field(compute: int, f1: Field, f2: Field) -> Field:
+    """field1 <+-*/> field2 (FieldCalculations.cc:2611-2625); division by
+    zero yields undefined."""
+    require(compute in (1, 2, 3, 4), f"fieldOPERfield: bad compute {compute}")
+    mask = and_masks(f1, f2)
+    a, b = f1.values, f2.values
+    if compute == 1:
+        return out_field(a + b, mask)
+    if compute == 2:
+        return out_field(a - b, mask)
+    if compute == 3:
+        return out_field(a * b, mask)
+    nonzero = b != 0
+    out = a / jnp.where(nonzero, b, _f32(1))
+    return out_field(out, mask & nonzero)
+
+
+def field_oper_constant(compute: int, f: Field, value: float,
+                        undef: float = UNDEF) -> Field:
+    """field <+-*/> constant (FieldCalculations.cc:2627-2645)."""
+    require(compute in (1, 2, 3, 4), f"fieldOPERconstant: bad compute {compute}")
+    if value == undef or (compute == 4 and value == 0):
+        return full_undef(f.shape, f.dtype)
+    c = _f32(value)
+    v = f.values
+    out = {1: v + c, 2: v - c, 3: v * c, 4: v / c}[compute]
+    return Field(out, f.mask)
+
+
+def constant_oper_field(compute: int, value: float, f: Field,
+                        undef: float = UNDEF) -> Field:
+    """constant <+-*/> field (FieldCalculations.cc:2647-2669)."""
+    require(compute in (1, 2, 3, 4), f"constantOPERfield: bad compute {compute}")
+    if value == undef:
+        return full_undef(f.shape, f.dtype)
+    c = _f32(value)
+    v = f.values
+    if compute == 1:
+        return Field(c + v, f.mask)
+    if compute == 2:
+        return Field(c - v, f.mask)
+    if compute == 3:
+        return Field(c * v, f.mask)
+    nonzero = v != 0
+    out = c / jnp.where(nonzero, v, _f32(1))
+    return Field(out, f.mask & nonzero)
+
+
+def snow_in_cm(snow_water: Field, tk2m: Field, td2m: Field) -> Field:
+    """Snow-water (kg/m^2) -> snow depth (cm), SMHI MESAN logistic factor
+    clamped >= 1 (FieldCalculations.cc:3063-3118)."""
+    mask = and_masks(snow_water, tk2m, td2m)
+    t = (tk2m.values + td2m.values) / 2
+    t = jnp.where(mask, t, t0)  # keep exp well-behaved at masked points
+    e = jnp.exp((t - _f32(274.3)) * _f32(3.5))
+    logit_t = (1 - e) / (1 + e)
+    dt = (t - _f32(252.0)) / _f32(20.0)
+    mm2cm_t = _f32(0.13) / (_f32(0.02) + _f32(0.1) * dt * dt)
+    fac = logit_t * mm2cm_t
+    out = jnp.where(snow_water.values <= 0, _f32(0),
+                    jnp.where(fac <= 1, snow_water.values,
+                              snow_water.values * fac))
+    return out_field(out, mask)

@@ -1,0 +1,425 @@
+"""Vessel-icing operators: Overland, Mertins, Modified Stallabrass, MINCOG.
+
+Reference: FieldCalculationsVesselIcing.cc — vesselIcingOverland (77),
+vesselIcingMertins (114), vesselIcingModStall (182), FreezeFracZero (339),
+bisection (381), runge_kutta (450), vesselIcingMincog (465, 677).
+
+These are the reference's per-point *iterative numerical solvers*.  The
+TPU-native formulation replaces data-dependent scalar loops with:
+
+* whole-array ``lax.while_loop`` fixed points with per-lane convergence
+  masks (trip count = slowest unconverged lane, bounded by the reference's
+  own iteration caps, with the reference's diverged => 0 semantics),
+* fixed-trip-count Runge-Kutta (50 steps) unchanged,
+* the bisection root find as a *fixed* 17-step unrolled bracket update —
+  the reference computes its iteration count from the static bracket
+  ``log2(1.8/1e-5)`` (VI:391), so the trip count is data-independent.
+
+Precision: MINCOG's scalar template is instantiated at ``float`` by the
+reference wrapper (VI:697), so float32 here is faithful; Overland /
+Mertins / ModStall use double intermediates in the reference — float32
+here, with conformance tolerances documented in the test suite (TPU f64 is
+emulated and ~100x slower; the formulas are condition-number benign).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import t0
+from ..field import Field
+from ._harness import and_masks, out_field, require
+
+__all__ = [
+    "vessel_icing_overland", "vessel_icing_mertins",
+    "vessel_icing_modstall", "vessel_icing_mincog",
+]
+
+_f32 = jnp.float32
+
+
+def _icing_f1(t):
+    """Magnus-type saturation vapor pressure (VI:53-57)."""
+    return _f32(0.6112) * jnp.exp(_f32(17.67) * t / (t + _f32(243.5)))
+
+
+def _kt4(t_celsius):
+    """Stefan-Boltzmann T^4 (VI:65-70)."""
+    tk = t_celsius + t0
+    t2 = tk * tk
+    return _f32(5.67e-8) * t2 * t2
+
+
+def _stallabrass_tf(sal):
+    """Freezing point of sea water, Stallabrass (1980) (VI:95)."""
+    return (_f32(-0.002) - _f32(0.0524) * sal) - _f32(6.0e-5) * sal * sal
+
+
+def vessel_icing_overland(airtemp: Field, seatemp: Field, u: Field, v: Field,
+                          sal: Field, aice: Field) -> Field:
+    """Overland (1990) icing rate; cubic in the icing predictor
+    (VI:77-112).  Undefined where ice cover >= 0.4 or SST below the brine
+    freezing point."""
+    mask = and_masks(airtemp, seatemp, u, v, sal, aice)
+    gate = mask & (aice.values < _f32(0.4))
+    tf = _stallabrass_tf(sal.values)
+    gate = gate & ~(seatemp.values < tf)
+    ff = jnp.sqrt(u.values**2 + v.values**2)
+    ppr = ff * (tf - airtemp.values) \
+        / (1 + _f32(0.3) * (seatemp.values - tf))
+    out = _f32(2.73e-2) * ppr + _f32(2.91e-4) * (ppr * ppr) \
+        + _f32(1.84e-6) * ppr * ppr * ppr
+    return out_field(out, gate)
+
+
+def vessel_icing_mertins(airtemp: Field, seatemp: Field, u: Field, v: Field,
+                         sal: Field, aice: Field) -> Field:
+    """Mertins (1968) discrete icing-rate lookup: 4 wind bands x SST-scaled
+    temperature thresholds (VI:114-180)."""
+    mask = and_masks(airtemp, seatemp, u, v, sal, aice)
+    gate = mask & (aice.values < _f32(0.4))
+    tf = _stallabrass_tf(sal.values)
+    gate = gate & ~(seatemp.values < tf)
+
+    ff = jnp.sqrt(u.values**2 + v.values**2)
+    tt = airtemp.values
+    sst = seatemp.values
+
+    # wind bands (VI:136-154): thresholds temp1/temp2/temp3 per band
+    b0 = (_f32(-1.15) * sst - _f32(4.3), _f32(-1.5) * sst - _f32(10),
+          jnp.full_like(sst, _f32(-10000.0)))
+    b1 = (_f32(-0.6) * sst - _f32(3.2), _f32(-1.05) * sst - _f32(5.6),
+          _f32(-1.75) * sst - _f32(12.5))
+    b2 = (_f32(-0.3) * sst - _f32(2.6), _f32(-0.66) * sst - _f32(3.32),
+          _f32(-1.325) * sst - _f32(7.651))
+    b3 = (_f32(-0.14) * sst - _f32(2.28), _f32(-0.3) * sst - _f32(2.6),
+          _f32(-1.16) * sst - _f32(5.22))
+
+    in1 = ff < _f32(17.2)
+    in2 = ff < _f32(20.8)
+    in3 = ff < _f32(28.5)
+
+    def pick(i):
+        return jnp.where(in1, b0[i], jnp.where(in2, b1[i],
+                         jnp.where(in3, b2[i], b3[i])))
+
+    temp1, temp2, temp3 = pick(0), pick(1), pick(2)
+    # lowest band quirk (VI:163): "temperature <= temp3 || ff < 17.2" selects
+    # 4.375 cm/h instead of 6.25 for the first wind band.
+    low = jnp.where((tt <= temp3) | in1, _f32(4.375), _f32(6.25))
+    rate = jnp.where(tt > _f32(-2), _f32(0),
+                     jnp.where(tt > temp1, _f32(0.8333),
+                               jnp.where(tt > temp2, _f32(2.0833), low)))
+    out = jnp.where(ff >= _f32(10.8), rate, _f32(0))
+    return out_field(out, gate)
+
+
+# ---------------------------------------------------------------------------
+# shared solver building blocks
+# ---------------------------------------------------------------------------
+
+def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float):
+    """Shallow-water wave speed c = c0 * tanh(a / c), iterated from c = 1
+    until |dc| <= tol with the reference's diverged => 0 semantics
+    (ModStall VI:221-237, Mincog VI:494-508).
+
+    ``needs_iter`` marks lanes in the shallow-water branch; others return
+    ``c0`` untouched.  One whole-array while_loop; the trip count is the
+    slowest unconverged lane, capped at ``max_iter``.
+    """
+    c_init = jnp.where(needs_iter, _f32(1.0), c0)
+    done0 = ~needs_iter
+
+    def cond(state):
+        c, done, j = state
+        return jnp.logical_and(j < max_iter, jnp.any(~done))
+
+    def body(state):
+        c, done, j = state
+        c_new = c0 * jnp.tanh(a / c)
+        err = jnp.abs(c_new - c)
+        c = jnp.where(done, c, c_new)
+        done = done | (err <= _f32(tol))
+        return c, done, j + 1
+
+    c, done, _ = jax.lax.while_loop(
+        cond, body, (c_init, done0, jnp.int32(0)))
+    # lanes that hit the cap without converging: c = 0
+    return jnp.where(done | ~needs_iter, c, _f32(0.0))
+
+
+def vessel_icing_modstall(sal: Field, wave: Field, x_wind: Field,
+                          y_wind: Field, airtemp: Field, rh: Field,
+                          sst: Field, p: Field, pw: Field, aice: Field,
+                          depth: Field, vs: float, alpha: float,
+                          zmin: float, zmax: float) -> Field:
+    """Modified Stallabrass freezing sea-spray (Henry 1995, Samuelsen 2015;
+    VI:182-337).  ``vs`` ship speed, ``alpha`` relative heading, heights
+    sampled at 0.5 m steps in [zmin, zmax]."""
+    num = zmax - zmin
+    require(zmax >= zmin and math.fmod(num, 1.0) == 0.0,
+            "vesselIcingModStall: bad zmin/zmax")
+    require(vs >= 0 and alpha >= 0 and zmin >= 0 and zmax >= 0,
+            "vesselIcingModStall: negative parameter")
+    number = int(num * 2 + 1)
+
+    mask = and_masks(sal, wave, x_wind, y_wind, airtemp, rh, sst, p,
+                     aice, depth)
+    gate = mask & (aice.values < _f32(0.4))
+
+    # wave phase speed, shallow-water corrected (VI:218-237)
+    pwv = pw.values
+    c0 = _f32(9.81 / (2 * math.pi)) * pwv
+    shallow = (depth.values <= c0 * pwv) & (c0 != 0) & gate
+    a = _f32(2 * math.pi) * depth.values / jnp.where(pwv != 0, pwv, _f32(1)) \
+        * jnp.where(pwv != 0, _f32(1), _f32(jnp.inf))
+    c = _wave_speed_fixed_point(c0, a, shallow, 10000, 1e-5)
+
+    vr = c - _f32(vs * math.cos(alpha))
+    v = jnp.sqrt(x_wind.values**2 + y_wind.values**2)
+    tf = _stallabrass_tf(sal.values)
+
+    ha = _f32(5.17) * jnp.power(v, _f32(0.8))  # VI:248
+    ratio = _f32(89.5 / 5.17)                  # VI:251
+    tau = _f32(11.25) - v / _f32(4.0)          # VI:256
+
+    # droplet temperature: inline RK, 50 fixed steps (VI:262-281)
+    K = _f32(311000.0) / ((p.values / _f32(10.0)) * _f32(1005.0))
+    M = _f32(0.2) * airtemp.values + K * rh.values * _icing_f1(airtemp.values)
+    h = jnp.where(tau > 0, tau / _f32(50.0), _f32(0.0))
+
+    def f10mk(y):
+        return (M - _f32(0.2) * y) - K * _icing_f1(y)
+
+    def rk_body(_, y):
+        k1 = f10mk(y)
+        y2 = y + _f32(0.5) * h * k1
+        k2 = f10mk(y2)
+        y3 = y + _f32(0.5) * h * k2
+        k3 = f10mk(y3)
+        y4 = y + h * k3
+        return y + h * (_f32(1.0 / 6.0)
+                        * (((k1 + _f32(2.0) * k2) + _f32(2.0) * k3)
+                           + f10mk(y4)))
+
+    td = jax.lax.fori_loop(0, 50, rk_body, sst.values)
+    td = jnp.where(tau > 0, td, sst.values)
+
+    # per-height freezing fraction fixed point (VI:288-326)
+    at = airtemp.values
+    rhv = rh.values
+    f1_air = _icing_f1(at)
+    ice = jnp.zeros_like(v)
+    for counter in range(number):
+        rw = _f32(6.46e-5) * wave.values * (vr * vr) \
+            * _f32(math.exp(-0.55 * (zmin + 0.5 * counter))) * v
+
+        def n_cond(state):
+            n, err, j, done = state
+            return jnp.logical_and(j < 1001, jnp.any(~done))
+
+        def n_body(state):
+            n, err, j, done = state
+            ts = (_f32(1.0) + n) * tf
+            ri = (_f32(0.012012012) * rw * (ts - td)
+                  + (ha / _f32(333000.0))
+                  * ((ts - at) + ratio * (_icing_f1(ts) - rhv * f1_air)))
+            n1 = ri / rw
+            err1 = jnp.abs(n1 - n)
+            j1 = j + 1
+            forced = (~done) & (j1 > 1000)  # cap => N = 0 (VI:311-314)
+            n_out = jnp.where(done, n, jnp.where(forced, _f32(0.0), n1))
+            done_out = done | forced | (err1 < _f32(1e-5)) \
+                | (n1 < 0) | (n1 > 1)
+            return n_out, jnp.where(done, err, err1), j1, done_out
+
+        n0 = jnp.zeros_like(v)
+        n, _, _, _ = jax.lax.while_loop(
+            n_cond, n_body,
+            (n0, jnp.ones_like(v), jnp.int32(0), ~gate))
+        n = jnp.clip(n, _f32(0.0), _f32(1.0))
+        ice = ice + n * (rw / _f32(890.0)) * _f32(3600.0) * _f32(100.0)
+
+    out = jnp.abs(ice / _f32(number))
+    return out_field(out, gate)
+
+
+# ---------------------------------------------------------------------------
+# MINCOG (Samuelsen et al. 2017)
+# ---------------------------------------------------------------------------
+
+_BISECT_A, _BISECT_B = -0.5, 1.3
+# the reference derives the trip count from the static bracket (VI:391)
+_BISECT_ITERS = min(int(math.log2((_BISECT_B - _BISECT_A) / 1e-5)), 100)
+
+
+def _freeze_frac_zero(n, sw, ta, ha, he, ea, rh, rw, tsp, lwdown, swdown):
+    """MINCOG heat-balance residual (VI:339-361)."""
+    lfs = _f32(3.33e5 * 0.7)
+    sb = sw / (_f32(1.0) - n * _f32(0.7))
+    ts = _f32(-54.1126) * (sb / (_f32(1000.0) - sb))
+    es = _f32(10.0) * _icing_f1(ts)
+    qc = ha * (ts - ta)
+    qe = he * (es - rh * ea)
+    qd = rw * _f32(4000.0) * (ts - tsp)
+    qr = _kt4(ts) - lwdown - _f32(0.44) * swdown
+    ri = (_f32(1.0) / lfs) * (qc + qe + qd + qr)
+    return ri / rw - n
+
+
+def _bisection_lanes(fn, shape, a0: float, b0: float):
+    """Sign-change bisection with the reference's fixed iteration count and
+    no-bracket => 0 semantics (VI:381-415), vectorized over lanes."""
+    a = jnp.full(shape, _f32(a0))
+    b = jnp.full(shape, _f32(b0))
+    ffa = fn(a)
+    ffb = fn(b)
+    no_root = (ffa > 0) == (ffb > 0)
+    c = jnp.zeros(shape, _f32)
+    frozen = jnp.zeros(shape, bool)
+    for _ in range(_BISECT_ITERS):
+        c_new = (a + b) / _f32(2.0)
+        ffc = fn(c_new)
+        exact = ffc == 0
+        c = jnp.where(frozen, c, c_new)
+        take_b = jnp.logical_not((ffc > 0) == (ffa > 0))
+        upd = ~(frozen | exact)
+        b = jnp.where(upd & take_b, c_new, b)
+        a = jnp.where(upd & ~take_b, c_new, a)
+        ffa = jnp.where(upd & ~take_b, ffc, ffa)
+        frozen = frozen | exact
+    return jnp.where(no_root, _f32(0.0), c)
+
+
+def _mincog_point(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw, depth,
+                  vs: float, alpha: float, zmin: float, zmax: float,
+                  alt: int, gate):
+    """Vectorized MINCOG scalar core (VI:465-675); all lanes computed, the
+    caller selects by gate/early-exit masks."""
+    v = jnp.sqrt(x_wind**2 + y_wind**2)
+    skip = (v < _f32(1.0)) | (wave < _f32(0.1))  # VI:479-482 => icing 0
+
+    # wave speed (VI:489-508)
+    c0 = _f32(9.81 / (2 * math.pi)) * pw
+    shallow = (depth <= c0 * pw) & (c0 != 0) & gate & ~skip
+    a = _f32(2 * math.pi) * depth / jnp.where(pw != 0, pw, _f32(1)) \
+        * jnp.where(pw != 0, _f32(1), _f32(jnp.inf))
+    c = _wave_speed_fixed_point(c0, a, shallow, 1000, 1e-5)
+
+    cos_alpha = _f32(math.cos(alpha))
+    vr = c - _f32(vs) * cos_alpha
+    tper = jnp.abs(c * pw / vr)
+    skip = skip | (tper <= 0)
+
+    beta = alpha
+    sin_beta = _f32(math.sin(beta))
+    wrx = jnp.abs(v * _f32(math.cos(beta)) - _f32(vs))
+    wry = jnp.abs(v * sin_beta)
+    wr_inv = _f32(1.0) / jnp.sqrt(wrx * wrx + wry * wry)
+
+    hax = _f32(6.0617) * jnp.power(wrx, _f32(1.82))
+    hay = _f32(4.8496) * jnp.power(wry, _f32(1.8))
+    ha = (hax + hay) / (wrx + wry)
+
+    tdur = _f32(0.1230) + _f32(0.7008) * jnp.abs(vr * wave) \
+        / jnp.maximum(v, _f32(5.0))
+    nf = _f32(1.0) / (_f32(4.0) * tper)
+
+    # simplified droplet trajectory (VI:539-576)
+    beta_r = _f32(math.pi) - jnp.arcsin(v * sin_beta * wr_inv)
+    br = jnp.where(beta_r <= _f32(math.pi / 2), _f32(91 * math.pi / 180),
+                   jnp.where(beta_r > _f32(math.pi), _f32(math.pi), beta_r))
+    sin_br = jnp.sin(br)
+    sin_beta_r_2 = sin_br * sin_br
+    cos_beta_r = jnp.cos(br)
+    cos_2_beta_r = jnp.cos(_f32(2.0) * br)
+
+    # KV Nordkapp perimeter ellipse (VI:561-567)
+    r0_, a0_, b0_ = _f32(13.18), _f32(32.88), _f32(6.605)
+    a0_2, b0_2, r0_2 = a0_ * a0_, b0_ * b0_, r0_ * r0_
+    c0_ell = _f32(math.sqrt(2.0)) * a0_ * b0_ * jnp.sqrt(
+        (b0_2 - a0_2) * cos_2_beta_r + a0_2 + b0_2 - _f32(2.0) * r0_2 * sin_beta_r_2)
+    r_ = (r0_ * _f32(2.0) * b0_2 * cos_beta_r + c0_ell) \
+        / ((b0_2 - a0_2) * cos_2_beta_r + a0_2 + b0_2)
+
+    tau_const = r_ * wr_inv
+    beta_deg = _f32(beta * (180.0 / math.pi))
+    drag = _f32(-0.0046) * beta_deg + _f32(2.1912)
+    tau = tau_const * drag
+
+    ea = _f32(10.0) * _icing_f1(airtemp)
+    K = _f32(0.2 * 0.622 * 2.5e6) / (p * _f32(1005.0))
+    M = _f32(0.2) * airtemp + K * rh * ea
+
+    # droplet cooling, reference runge_kutta template (VI:450-463)
+    def f10mk(t):
+        return (M - _f32(0.2) * t) - K * _f32(10.0) * _icing_f1(t)
+
+    h = tau / _f32(50.0)
+    h2 = h / _f32(2.0)
+
+    def rk_body(_, y):
+        k1 = h2 * f10mk(y)
+        k2 = h * f10mk(y + k1)
+        k3 = h * f10mk(y + k2 / _f32(2.0))
+        k4 = h2 * f10mk(y + k3)
+        return y + (k1 + k2 + k3 + k4) / _f32(3.0)
+
+    td = jax.lax.fori_loop(0, 50, rk_body, sst)
+    tsp = _f32(0.5) * (td + sst)
+
+    vdcomp = wrx * _f32(0.9962) + _f32(6.67) * _f32(0.0872)  # VI:590-591
+
+    if alt == 1:
+        lwc0 = _f32(6.36e-5) * wave * (vr * vr)
+    else:
+        lam = c * pw
+        dl = _f32(4.0 * math.pi) * depth / lam
+        cg = (c / _f32(2.0)) * (_f32(1.0) + dl / jnp.sinh(dl))
+        vgr = cg - _f32(vs) * cos_alpha
+        lwc0 = _f32(9.5205e-4) * (wave * wave) * jnp.sqrt(wave / lam) * vgr
+    lwc0 = jnp.abs(lwc0)
+
+    he = ha * _f32(1738.6) / p
+    lwdown = _f32(0.7) * _kt4(airtemp)  # eps_atm * kT4 (VI:612-614)
+    swdown = jnp.zeros_like(airtemp)    # Swdown_model = 0 (VI:611, 615)
+
+    number = int((zmax - zmin) * 2 + 1)
+    icing = jnp.zeros_like(v)
+    for counter in range(number):
+        lwc = lwc0 * _f32(math.exp(-0.55 * (zmin + 0.5 * counter)))
+        rw = lwc * vdcomp * nf * tdur
+
+        def ffz(n):
+            return _freeze_frac_zero(n, sal, airtemp, ha, he, ea, rh, rw,
+                                     tsp, lwdown, swdown)
+
+        n = _bisection_lanes(ffz, v.shape, _BISECT_A, _BISECT_B)
+        icing = icing + rw * jnp.clip(n, _f32(0.0), _f32(1.0))
+
+    out = jnp.abs(icing / _f32(number)) * _f32(3600.0 * 100.0 / 890.0)
+    return jnp.where(skip, _f32(0.0), out)
+
+
+def vessel_icing_mincog(sal: Field, wave: Field, x_wind: Field,
+                        y_wind: Field, airtemp: Field, rh: Field,
+                        sst: Field, p: Field, pw: Field, aice: Field,
+                        depth: Field, vs: float, alpha: float,
+                        zmin: float, zmax: float, alt: int) -> Field:
+    """MINCOG icing rate (Samuelsen et al. 2017), org (alt=1) or adjusted
+    (alt=2) liquid-water content (VI:465-705)."""
+    require(vs >= 0 and alpha >= 0 and zmin >= 0 and zmax >= 0
+            and zmax >= zmin and math.fmod(zmax - zmin, 1.0) == 0.0,
+            "vesselIcingMincog: bad parameters")
+    mask = and_masks(sal, wave, x_wind, y_wind, airtemp, rh, sst, p,
+                     aice, depth)
+    brine_freeze = _f32(-54.1126) * sal.values / (_f32(1000.0) - sal.values)
+    gate = mask & (aice.values < _f32(0.4)) & (sst.values > brine_freeze)
+    out = _mincog_point(sal.values, wave.values, x_wind.values,
+                        y_wind.values, airtemp.values, rh.values,
+                        sst.values, p.values, pw.values, depth.values,
+                        vs, alpha, zmin, zmax, alt, gate)
+    return out_field(out, gate)

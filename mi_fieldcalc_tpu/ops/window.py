@@ -1,0 +1,186 @@
+"""Neighbourhood (windowed) functions.
+
+Reference: FieldCalculations.cc — neighbourProbFunctions (2862, summed-area
+-table box mean) and neighbourFunctions (2955, strided window stats with
+block fill).
+
+TPU design notes:
+
+* the summed-area table becomes two ``jnp.cumsum`` passes (identical float
+  semantics: the reference's prefix sums are sequential adds in the same
+  order, and for the 0/1 indicator fields these are exact integers),
+* window max/min use ``lax.reduce_window``,
+* the strided sample + block-fill of ``neighbourFunctions`` becomes a
+  gather from the per-point window statistic (every output point maps to
+  exactly one sample point),
+* the window percentile sorts stacked shifted copies of the field —
+  fine for the small radii the reference uses; the (2R+1)^2 memory blowup
+  is the documented limit.
+
+Both functions require ALL_DEFINED input (reference cc:2868, 2964), so
+masks only appear in the undef border of the output.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..field import Field
+from ._harness import require
+
+__all__ = ["neighbour_prob_functions", "neighbour_functions"]
+
+_f32 = jnp.float32
+
+
+def _box_sum_sat(ind, rng: int):
+    """Box sum over [-rng, rng]^2 windows via a summed-area table, matching
+    the reference's inclusion/exclusion on the SAT (cc:2898-2928).  Valid
+    for points at distance >= rng from the border; other points contain
+    garbage that callers mask out."""
+    # SAT[j, i] = sum over rows <= j, cols <= i  (cumsum y then x, cc order)
+    sat = jnp.cumsum(jnp.cumsum(ind, axis=-2), axis=-1)
+    ny, nx = ind.shape[-2], ind.shape[-1]
+    pad = jnp.pad(sat, [(0, 0)] * (ind.ndim - 2) + [(1, 0), (1, 0)])
+
+    def window_sum(a):
+        # sum over window rows [j-rng, j+rng], cols [i-rng, i+rng]
+        jmax = a[..., 2 * rng + 1:, 2 * rng + 1:]
+        jmin = a[..., : - (2 * rng + 1), : - (2 * rng + 1)]
+        jxm = a[..., 2 * rng + 1:, : - (2 * rng + 1)]
+        jmx = a[..., : - (2 * rng + 1), 2 * rng + 1:]
+        return jmax + jmin - jxm - jmx
+
+    core = window_sum(pad)  # shape [..., ny-2rng, nx-2rng]
+    out = jnp.zeros(ind.shape, ind.dtype)
+    return out.at[..., rng:ny - rng, rng:nx - rng].set(core)
+
+
+def _border_mask(shape, rng: int):
+    ny, nx = shape[-2], shape[-1]
+    y = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+    inner = (y >= rng) & (y < ny - rng) & (x >= rng) & (x < nx - rng)
+    return jnp.broadcast_to(inner, shape)
+
+
+def neighbour_prob_functions(f: Field, constants: Sequence[float],
+                             compute: int) -> Field:
+    """Thresholded box-mean probability via summed-area table
+    (FieldCalculations.cc:2862-2953).
+
+    compute: 5 probability above, 6 probability below; ``constants`` =
+    (limit, range).  Both are truncated to int as in the reference
+    (cc:2877-2878).  The ``range``-wide border is undefined.
+    """
+    require(compute in (5, 6), f"neighbourProbFunctions: bad compute {compute}")
+    require(len(constants) >= 2, "neighbourProbFunctions: needs 2 constants")
+    limit = int(constants[0])
+    rng = int(constants[1])
+
+    v = f.values
+    ind = jnp.where(v > limit if compute == 5 else v < limit,
+                    _f32(1), _f32(0))
+    if rng == 0:
+        return Field(ind, jnp.ones(f.shape, bool))
+
+    n_win = _f32((2 * rng + 1) ** 2)
+    box = _box_sum_sat(ind, rng) / n_win
+    inner = _border_mask(f.shape, rng)
+    return Field(box, inner)
+
+
+def _window_stack(v, rng: int):
+    """All (2R+1)^2 window members as a leading axis, ordered like the
+    reference's (k = window row, j = window col) loops (cc:3028-3029)."""
+    parts = []
+    for dy in range(-rng, rng + 1):
+        for dx in range(-rng, rng + 1):
+            parts.append(jnp.roll(jnp.roll(v, -dy, axis=-2), -dx, axis=-1))
+    return jnp.stack(parts)
+
+
+def neighbour_functions(f: Field, constants: Sequence[float],
+                        compute: int) -> Field:
+    """Strided windowed statistics with block fill
+    (FieldCalculations.cc:2955-3061).
+
+    compute: 1 mean, 2 max, 3 min, 4 percentile, 5 prob above, 6 prob below.
+    constants: (range[, step]) for compute<4, else (limit, range[, step]).
+    Sample points advance by ``step``; each sample's value is block-filled
+    into the surrounding step x step cells.  The border of width ``range``
+    (and any cells beyond the last block) is undefined.
+    """
+    require(1 <= compute <= 6, f"neighbourFunctions: bad compute {compute}")
+    require(len(constants) >= 1 and not (len(constants) < 2 and compute > 3),
+            "neighbourFunctions: not enough constants")
+    rng, step, limit = 3, 3, 0
+    if compute < 4:
+        rng = int(constants[0])
+        if len(constants) == 2:
+            step = int(constants[1])
+    else:
+        limit = int(constants[0])
+        rng = int(constants[1])
+        if len(constants) == 3:
+            step = int(constants[2])
+    ny, nx = f.shape[-2], f.shape[-1]
+    require(rng <= nx and rng <= ny and rng >= 1,
+            "neighbourFunctions: bad range")
+    require(step >= 1, "neighbourFunctions: bad step")
+
+    v = f.values
+    n_win = _f32((2 * rng + 1) ** 2)
+
+    # per-point window statistic (valid on the rng-inset interior)
+    if compute == 1:
+        stat = _box_sum_sat(v, rng) / n_win
+    elif compute in (2, 3):
+        init = _f32(-jnp.inf) if compute == 2 else _f32(jnp.inf)
+        op = jax.lax.max if compute == 2 else jax.lax.min
+        stat = jax.lax.reduce_window(
+            v, init, op,
+            window_dimensions=(1,) * (v.ndim - 2) + (2 * rng + 1, 2 * rng + 1),
+            window_strides=(1,) * v.ndim,
+            padding="SAME")
+    elif compute == 4:
+        win = _window_stack(v, rng)
+        win = jnp.sort(win, axis=0)
+        ii = int(n_win) * limit // 100
+        stat = win[ii]
+    else:  # 5 / 6: probability
+        ind = jnp.where(v > limit if compute == 5 else v < limit,
+                        _f32(1), _f32(0))
+        stat = _box_sum_sat(ind, rng) / n_win
+
+    # map each output point to its sample point (strided block fill)
+    first = rng
+    last = None  # largest sample index < dim - rng
+    y = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+
+    def sample_of(coord, dim):
+        n_blocks = (dim - 2 * rng + step - 1) // step  # samples along axis
+        lo = first - (step - 1) // 2
+        bid = (coord - lo) // step
+        valid = (bid >= 0) & (bid < n_blocks) & (coord >= lo)
+        s = first + jnp.clip(bid, 0, max(n_blocks - 1, 0)) * step
+        hi = s - (step - 1) // 2 + step  # exclusive end of the block
+        valid = valid & (coord < hi)
+        return s, valid
+
+    sy, vy = sample_of(y, ny)
+    sx, vx = sample_of(x, nx)
+    valid = vy & vx
+    if v.ndim == 2:
+        gathered = stat[sy, sx]
+    else:  # batched: gather the trailing grid axes per batch element
+        flat = sy * nx + sx
+        gathered = jnp.take(
+            stat.reshape(stat.shape[:-2] + (ny * nx,)), flat.reshape(-1),
+            axis=-1).reshape(stat.shape)
+    out = jnp.where(valid, gathered, _f32(0))
+    return Field(out, jnp.broadcast_to(valid, out.shape))
