@@ -28,3 +28,6 @@ from .field import (  # noqa: F401
 )
 from . import constants  # noqa: F401
 from . import ops  # noqa: F401
+from . import parallel  # noqa: F401
+from . import models  # noqa: F401
+from . import api  # noqa: F401

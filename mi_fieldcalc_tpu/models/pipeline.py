@@ -1,0 +1,118 @@
+"""The flagship derived-field pipeline.
+
+One fused, jittable program mapping prognostic model output — temperature,
+specific humidity, wind, surface pressure on hybrid model levels — to the
+full set of diagnostic fields a forecaster's workstation requests, i.e. the
+composition the reference computes one C++ call at a time:
+
+* per-point hybrid-level pressure      (hlevelpressure,  cc:1276-1304)
+* potential temperature                (aleveltemp 3,     cc:1310-1353)
+* relative humidity                    (alevelhum 1,      cc:1394-1458)
+* dewpoint (K)                         (alevelhum 9,      cc:1394-1458)
+* equivalent potential temperature     (alevelthe 1,      cc:1355-1392)
+* ducting index                        (alevelducting 1,  cc:1460-1505)
+* wind speed                           (vectorabs,        cc:1819-1841)
+* relative vorticity                   (relvort,          cc:1843-1873)
+* divergence                           (divergence,       cc:1910-1940)
+* temperature advection (1 h)          (advection,        cc:1942-1983)
+* |grad T|                             (gradient 3,       cc:1985-2074)
+* thermal front parameter              (cc:2266-2309)
+
+All operators are batched over the leading level axis; the stencil ops
+read radius-1 neighbourhoods (TFP composes to radius 2), so the pipeline's
+composed halo radius for sharded execution is ``RADIUS = 2``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..field import Field
+from ..ops import (
+    aleveltemp, alevelhum, alevelthe, alevelducting, vectorabs, relvort,
+    divergence, advection, gradient, thermal_front_parameter, plevelhum,
+    pleveltemp,
+)
+
+__all__ = ["DerivedFields", "derived_fields", "derived_fields_plevel",
+           "RADIUS"]
+
+#: Composed stencil radius of the pipeline (TFP = gradient ∘ gradient).
+RADIUS = 2
+
+
+class DerivedFields(NamedTuple):
+    """Pipeline output bundle (all Fields, same shape as the inputs)."""
+    p: Field          # pressure (hPa)
+    th: Field         # potential temperature (K)
+    rh: Field         # relative humidity (%)
+    td: Field         # dewpoint (K)
+    thetae: Field     # equivalent potential temperature (K)
+    ducting: Field    # ducting index
+    wspeed: Field     # wind speed (m/s)
+    vort: Field       # relative vorticity (1/s)
+    div: Field        # divergence (1/s)
+    tadv: Field       # 1-hour temperature advection (K)
+    gradt: Field      # |grad T| (K/m)
+    tfp: Field        # thermal front parameter
+
+
+def derived_fields(tk: Field, q: Field, u: Field, v: Field, ps: Field,
+                   alevel: jax.Array, blevel: jax.Array,
+                   xmapr: jax.Array, ymapr: jax.Array,
+                   fcoriolis: jax.Array) -> DerivedFields:
+    """Full derived-field pipeline on hybrid model levels.
+
+    Args:
+      tk, q, u, v: ``[nlev, ny, nx]`` Fields (temperature K, specific
+        humidity kg/kg, wind m/s).
+      ps: ``[ny, nx]`` surface-pressure Field (hPa).
+      alevel, blevel: ``[nlev]`` hybrid coefficients.
+      xmapr, ymapr, fcoriolis: ``[ny, nx]`` map-factor / coriolis arrays
+        (or ``[nlev, ny, nx]``; broadcast over levels otherwise).
+    """
+    nlev = tk.values.shape[0]
+    a = jnp.asarray(alevel, jnp.float32).reshape(nlev, 1, 1)
+    b = jnp.asarray(blevel, jnp.float32).reshape(nlev, 1, 1)
+    p = Field(a + b * ps.values[None],
+              jnp.broadcast_to(ps.mask[None], tk.values.shape))
+
+    def bcast(arr):
+        arr = jnp.asarray(arr, jnp.float32)
+        return jnp.broadcast_to(arr, tk.values.shape) if arr.ndim == 2 else arr
+
+    xm, ym, fc = bcast(xmapr), bcast(ymapr), bcast(fcoriolis)
+
+    th = aleveltemp(tk, p, compute=3)
+    rh = alevelhum(tk, q, p, compute=1)
+    td = alevelhum(tk, q, p, compute=9)
+    thetae = alevelthe(tk, q, p, compute=1)
+    ducting = alevelducting(tk, q, p, compute=1)
+    wspeed = vectorabs(u, v)
+    vort = relvort(u, v, xm, ym)
+    div = divergence(u, v, xm, ym)
+    tadv = advection(tk, u, v, xm, ym, hours=1.0)
+    gradt = gradient(tk, xm, ym, compute=3)
+    tfp = thermal_front_parameter(tk, xm, ym)
+
+    return DerivedFields(p=p, th=th, rh=rh, td=td, thetae=thetae,
+                         ducting=ducting, wspeed=wspeed, vort=vort, div=div,
+                         tadv=tadv, gradt=gradt, tfp=tfp)
+
+
+def derived_fields_plevel(tk: Field, rh: Field, u: Field, v: Field,
+                          p: float, xmapr: jax.Array, ymapr: jax.Array,
+                          fcoriolis: jax.Array) -> Dict[str, Field]:
+    """Pressure-level variant (BASELINE.json config 1): potential
+    temperature + dewpoint + kinematics on one constant-pressure surface."""
+    th = pleveltemp(tk, p, compute=3)
+    td = plevelhum(tk, rh, p, compute=11)   # T(K), RH -> Td(K)
+    wspeed = vectorabs(u, v)
+    vort = relvort(u, v, xmapr, ymapr)
+    div = divergence(u, v, xmapr, ymapr)
+    gradt = gradient(tk, xmapr, ymapr, compute=3)
+    return {"th": th, "td": td, "wspeed": wspeed, "vort": vort,
+            "div": div, "gradt": gradt}

@@ -78,9 +78,16 @@ def fill_edges(a):
     return a
 
 
+# Sharded-execution hook: mi_fieldcalc_tpu.parallel.halo installs a masked
+# fill here while tracing an op inside shard_map, so that fillEdges applies
+# only at physical domain edges, never at shard seams.
+_EDGE_FILL = None
+
+
 def _finish(values, mask) -> Field:
     """fill_edges on both values and mask, returning a Field."""
-    return Field(fill_edges(values), fill_edges(mask))
+    fe = _EDGE_FILL if _EDGE_FILL is not None else fill_edges
+    return Field(fe(values), fe(mask))
 
 
 def _check_min_size(f: Field, name: str) -> None:

@@ -1,0 +1,167 @@
+"""Halo exchange + sharded execution of stencil operators.
+
+The reference's stencils read a fixed radius-R neighbourhood in a flat
+x-fastest array (e.g. FieldCalculations.cc:1862, 2016) and patch physical
+boundaries with ``fillEdges`` (cc:59-74).  On a 2-D device mesh the same
+operators run per-shard on blocks padded with a radius-R halo ring fetched
+from mesh neighbours over ICI (``lax.ppermute`` inside ``shard_map``),
+while ``fillEdges`` must apply only at *physical* domain edges.
+
+Mechanics:
+
+* :func:`halo_exchange` pads a local block ``[..., ny_loc, nx_loc]`` to
+  ``[..., ny_loc+2R, nx_loc+2R]``; halo slots at physical edges receive
+  zeros (``ppermute`` semantics) and are handled by the edge-fill below.
+* :class:`EdgeContext` — installed while tracing the wrapped operator; the
+  stencil module's ``_finish`` consults it so every ``fillEdges`` call
+  (including those inside composed ops like ``plevelqvector``,
+  FieldCalculations.cc:505-595, which fills after each internal stage)
+  becomes a *masked* fill: at a shard on the physical boundary the
+  outermost ``R+1`` rows/columns are overwritten with the first interior
+  row/column — exactly reproducing the global ``fillEdges`` on the rows
+  that survive the final crop — and shard-seam rows are left untouched.
+* :func:`run_sharded` wires it together: shard inputs, exchange halos,
+  trace the op under the context, crop R from each side.
+
+Composed stencils work because the halo width is the *composed* radius:
+stage k's output is valid on the padded block shrunk by the sum of stage
+radii so far, and the masked fill re-establishes boundary rows between
+stages just like the global algorithm does.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..field import Field
+from ..ops import stencil as _stencil_mod
+from .mesh import partition_spec
+
+__all__ = ["halo_exchange", "run_sharded", "EdgeContext"]
+
+
+def _exchange_1d(a, h: int, axis: int, name: str, size: int):
+    """Pad ``a`` with an ``h``-wide halo along ``axis`` from mesh
+    neighbours on mesh axis ``name`` (``size`` devices).  Physical-edge
+    halo slots become zeros."""
+    dim = a.shape[axis]
+    if size == 1:
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (h, h)
+        return jnp.pad(a, pad)
+    lo_strip = lax.slice_in_dim(a, 0, h, axis=axis)          # my first h rows
+    hi_strip = lax.slice_in_dim(a, dim - h, dim, axis=axis)  # my last h rows
+    fwd = [(i, i + 1) for i in range(size - 1)]   # i's hi strip -> (i+1)'s lo halo
+    bwd = [(i + 1, i) for i in range(size - 1)]   # i's lo strip -> (i-1)'s hi halo
+    halo_lo = lax.ppermute(hi_strip, name, fwd)
+    halo_hi = lax.ppermute(lo_strip, name, bwd)
+    return jnp.concatenate([halo_lo, a, halo_hi], axis=axis)
+
+
+def halo_exchange(a, radius: int, mesh: Mesh):
+    """Pad the trailing (ny, nx) axes of ``a`` with a radius-R halo ring
+    from (gy, gx) mesh neighbours.  Must be called inside ``shard_map``."""
+    names = mesh.axis_names
+    if "gy" in names:
+        a = _exchange_1d(a, radius, a.ndim - 2, "gy",
+                         mesh.shape["gy"])
+    else:
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(radius, radius), (0, 0)])
+    if "gx" in names:
+        a = _exchange_1d(a, radius, a.ndim - 1, "gx",
+                         mesh.shape["gx"])
+    else:
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(radius, radius)])
+    return a
+
+
+class EdgeContext:
+    """Physical-edge information for one sharded trace.
+
+    ``fill(a)`` is the sharded replacement for the global ``fillEdges``
+    (FieldCalculations.cc:59-74): on a padded block with halo width H, a
+    shard at the physical top overwrites rows [0..H] with row H+1 (the
+    global copy "row 0 <- row 1" plus the discarded halo rows), etc.
+    Column fill first, then row fill, matching the reference's order.
+    """
+
+    def __init__(self, halo: int, mesh: Mesh):
+        self.halo = halo
+        names = mesh.axis_names
+        if "gy" in names:
+            iy = lax.axis_index("gy")
+            self.is_top = iy == 0
+            self.is_bottom = iy == mesh.shape["gy"] - 1
+        else:
+            self.is_top = self.is_bottom = jnp.bool_(True)
+        if "gx" in names:
+            ix = lax.axis_index("gx")
+            self.is_left = ix == 0
+            self.is_right = ix == mesh.shape["gx"] - 1
+        else:
+            self.is_left = self.is_right = jnp.bool_(True)
+
+    def _fill_axis(self, a, axis: int, is_lo, is_hi):
+        h = self.halo
+        dim = a.shape[axis]
+        idx = lax.broadcasted_iota(jnp.int32, a.shape, axis)
+        lo_src = lax.slice_in_dim(a, h + 1, h + 2, axis=axis)
+        hi_src = lax.slice_in_dim(a, dim - h - 2, dim - h - 1, axis=axis)
+        a = jnp.where((idx <= h) & is_lo, lo_src, a)
+        a = jnp.where((idx >= dim - 1 - h) & is_hi, hi_src, a)
+        return a
+
+    def fill(self, a):
+        a = self._fill_axis(a, a.ndim - 1, self.is_left, self.is_right)
+        a = self._fill_axis(a, a.ndim - 2, self.is_top, self.is_bottom)
+        return a
+
+
+def _crop(a, r: int):
+    return a[..., r:-r, r:-r]
+
+
+def run_sharded(op, mesh: Mesh, radius: int, *args, **kwargs):
+    """Run stencil operator ``op`` with (gy, gx) domain decomposition.
+
+    ``args`` may be Fields, arrays (``[..., ny, nx]``, sharded on the
+    trailing axes per :func:`mesh.partition_spec`) or Python scalars
+    (closed over statically).  ``radius`` is the op's *composed* stencil
+    radius (1 for simple derivatives, 2 for plevelqvector /
+    thermal_front_parameter).  ``kwargs`` are static.
+
+    Returns the same pytree-of-Fields the unsharded op returns, with
+    global values identical to the unsharded run (sharded-vs-unsharded
+    equivalence is tested in tests/test_parallel.py).
+    """
+    dyn_leaves, treedef = jax.tree_util.tree_flatten(args)
+    dyn_leaves = tuple(jnp.asarray(leaf) for leaf in dyn_leaves)
+    in_specs = tuple(partition_spec(leaf.ndim, mesh) for leaf in dyn_leaves)
+
+    out_shape = jax.eval_shape(lambda leaves: op(
+        *jax.tree_util.tree_unflatten(treedef, leaves), **kwargs), dyn_leaves)
+    out_specs = jax.tree_util.tree_map(
+        lambda s: partition_spec(len(s.shape), mesh), out_shape)
+
+    def body(leaves):
+        # grids get a halo ring; 0/1-D coefficient vectors pass through
+        padded = [halo_exchange(leaf, radius, mesh) if leaf.ndim >= 2
+                  else leaf for leaf in leaves]
+        ctx = EdgeContext(radius, mesh)
+        prev = _stencil_mod._EDGE_FILL
+        _stencil_mod._EDGE_FILL = ctx.fill
+        try:
+            out = op(*jax.tree_util.tree_unflatten(treedef, padded), **kwargs)
+        finally:
+            _stencil_mod._EDGE_FILL = prev
+        return jax.tree_util.tree_map(lambda a: _crop(a, radius), out)
+
+    fn = shard_map(body, mesh=mesh, in_specs=(in_specs,),
+                   out_specs=out_specs, check_rep=False)
+    return fn(dyn_leaves)

@@ -1,0 +1,83 @@
+"""Device-mesh construction for grid domain decomposition.
+
+Axis convention:
+
+* ``"lev"`` — batch parallelism over leading dims (vertical level,
+  ensemble member, time step).  Embarrassingly parallel; no communication.
+* ``"gy"`` / ``"gx"`` — spatial decomposition of the trailing ``(ny, nx)``
+  grid axes.  Stencil operators need halo exchange along these
+  (:mod:`mi_fieldcalc_tpu.parallel.halo`).
+
+On a real TPU slice the mesh should be laid out so ``gy``/``gx`` neighbours
+are ICI neighbours; :func:`grid_mesh` delegates to
+``jax.experimental.mesh_utils.create_device_mesh`` which does exactly that.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec
+
+__all__ = ["grid_mesh", "partition_spec", "factor_devices"]
+
+AXES = ("lev", "gy", "gx")
+
+
+def factor_devices(n: int) -> Tuple[int, int, int]:
+    """Factor ``n`` devices into a (lev, gy, gx) mesh shape: all devices on
+    a square-ish (gy, gx) spatial grid (minimises halo surface per shard)."""
+    gy = int(np.sqrt(n))
+    while n % gy:
+        gy -= 1
+    return (1, gy, n // gy)
+
+
+def grid_mesh(mesh_shape: Optional[Sequence[int]] = None,
+              devices=None,
+              axis_names: Sequence[str] = AXES) -> Mesh:
+    """Create a device mesh for grid decomposition.
+
+    ``mesh_shape`` defaults to putting all devices on a square-ish
+    (gy, gx) spatial grid with lev=1.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = factor_devices(n)
+    mesh_shape = tuple(mesh_shape)
+    if int(np.prod(mesh_shape)) != n:
+        raise ValueError(f"mesh shape {mesh_shape} != {n} devices")
+    try:
+        from jax.experimental import mesh_utils
+        dev_array = mesh_utils.create_device_mesh(mesh_shape, devices=devices)
+    except Exception:
+        dev_array = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(dev_array, tuple(axis_names)[: len(mesh_shape)])
+
+
+def partition_spec(ndim: int, mesh: Mesh) -> PartitionSpec:
+    """PartitionSpec for framework arrays on ``mesh``.
+
+    ``[..., ny, nx]`` grids map trailing axes to (gy, gx) and the leading
+    axis (if 3-D+) to ``lev``; 1-D arrays are per-level coefficient vectors
+    (hybrid alevel/blevel) and shard over ``lev`` so they stay aligned with
+    a lev-sharded grid's leading axis; scalars replicate.
+    """
+    names = mesh.axis_names
+    gy = "gy" if "gy" in names else None
+    gx = "gx" if "gx" in names else None
+    lev = "lev" if "lev" in names else None
+    if ndim == 0:
+        return PartitionSpec()
+    if ndim == 1:
+        return PartitionSpec(lev)
+    spec = [None] * ndim
+    spec[-2] = gy
+    spec[-1] = gx
+    if ndim > 2:
+        spec[0] = lev
+    return PartitionSpec(*spec)

@@ -1,0 +1,133 @@
+"""Sharded-vs-unsharded equivalence for the domain-decomposition subsystem.
+
+The reference has no distributed backend (SURVEY §2.7); these tests pin the
+new framework's contract instead: running any stencil operator through
+``run_sharded`` on a (gy, gx) device mesh produces bit-identical values and
+masks to the single-device run, including fillEdges behaviour at physical
+boundaries and undef propagation across shard seams.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mi_fieldcalc_tpu import Field, from_sentinel, UNDEF
+from mi_fieldcalc_tpu.ops import (
+    gradient, relvort, absvort, divergence, advection, jacobian,
+    plevelgwind_xcomp, plevelgvort, plevelqvector, thermal_front_parameter,
+    ilevelgwind, abshum,
+)
+from mi_fieldcalc_tpu.parallel import grid_mesh, run_sharded, partition_spec
+from jax.sharding import NamedSharding
+
+
+def _grids(ny=32, nx=48, batch=None, seed=0, holes=True):
+    rng = np.random.default_rng(seed)
+    shape = (ny, nx) if batch is None else (batch, ny, nx)
+    z = rng.normal(5000, 100, shape).astype(np.float32)
+    t = rng.normal(280, 5, shape).astype(np.float32)
+    if holes:
+        z[..., 3, 7] = UNDEF
+        z[..., 0, 0] = UNDEF      # physical corner
+        t[..., 15, 23] = UNDEF    # interior of a different shard
+        t[..., 16, 0] = UNDEF     # physical left edge, shard seam row
+    xm = np.full(shape, 1e-5, np.float32)
+    ym = np.full(shape, 1.1e-5, np.float32)
+    fc = np.full(shape, 1e-4, np.float32)
+    return from_sentinel(z), from_sentinel(t), xm, ym, fc
+
+
+def _assert_field_equal(ref: Field, shd: Field):
+    ref_m, shd_m = np.asarray(ref.mask), np.asarray(shd.mask)
+    np.testing.assert_array_equal(ref_m, shd_m)
+    # compare values only where defined (masked-out lanes are unspecified)
+    rv = np.asarray(ref.values) * ref_m
+    sv = np.asarray(shd.values) * shd_m
+    np.testing.assert_array_equal(rv, sv)
+
+
+MESHES = [(1, 2, 4), (1, 4, 2), (1, 1, 8), (1, 8, 1)]
+
+OPS = [
+    ("gradient_dx", lambda f, x, y: gradient(f, x, y, 1), 1, "zt_xy"),
+    ("gradient_abs", lambda f, x, y: gradient(f, x, y, 3), 1, "zt_xy"),
+    ("gradient_lapl", lambda f, x, y: gradient(f, x, y, 4), 1, "zt_xy"),
+    ("relvort", relvort, 1, "uv_xy"),
+    ("divergence", divergence, 1, "uv_xy"),
+    ("jacobian", jacobian, 1, "uv_xy"),
+    ("gwind_x", plevelgwind_xcomp, 1, "z_xyf"),
+    ("gvort", plevelgvort, 1, "z_xyf"),
+    ("qvector", lambda z, t, x, y, f: plevelqvector(z, t, x, y, f, p=500.0,
+                                                    compute=1), 2, "ztxyf"),
+    ("tfp", thermal_front_parameter, 2, "t_xy"),
+]
+
+
+def _build_args(kind, z, t, xm, ym, fc):
+    if kind == "zt_xy":
+        return (z, xm, ym)
+    if kind == "uv_xy":
+        return (z, t, xm, ym)
+    if kind == "z_xyf":
+        return (z, xm, ym, fc)
+    if kind == "ztxyf":
+        return (z, t, xm, ym, fc)
+    if kind == "t_xy":
+        return (t, xm, ym)
+    raise KeyError(kind)
+
+
+@pytest.mark.parametrize("name,fn,radius,kind", OPS,
+                         ids=[o[0] for o in OPS])
+def test_sharded_equivalence(name, fn, radius, kind):
+    z, t, xm, ym, fc = _grids()
+    mesh = grid_mesh((1, 2, 4))
+    args = _build_args(kind, z, t, xm, ym, fc)
+    _assert_field_equal(fn(*args), run_sharded(fn, mesh, radius, *args))
+
+
+@pytest.mark.parametrize("mesh_shape", MESHES)
+def test_sharded_equivalence_mesh_shapes(mesh_shape):
+    z, t, xm, ym, fc = _grids()
+    mesh = grid_mesh(mesh_shape)
+    ref = plevelqvector(z, t, xm, ym, fc, p=500.0, compute=3)
+    shd = run_sharded(
+        lambda *a: plevelqvector(*a, p=500.0, compute=3), mesh, 2,
+        z, t, xm, ym, fc)
+    _assert_field_equal(ref, shd)
+
+
+def test_sharded_tuple_output():
+    z, t, xm, ym, fc = _grids()
+    mesh = grid_mesh((1, 2, 4))
+    ref_u, ref_v = ilevelgwind(z, xm, ym, fc)
+    shd_u, shd_v = run_sharded(ilevelgwind, mesh, 1, z, xm, ym, fc)
+    _assert_field_equal(ref_u, shd_u)
+    _assert_field_equal(ref_v, shd_v)
+
+
+def test_sharded_batched():
+    """Leading level axis sharded over 'lev', spatial over (gy, gx)."""
+    z, t, xm, ym, fc = _grids(batch=4)
+    mesh = grid_mesh((2, 2, 2))
+    ref = relvort(z, t, xm, ym)
+    shd = run_sharded(relvort, mesh, 1, z, t, xm, ym)
+    _assert_field_equal(ref, shd)
+
+
+def test_elementwise_gspmd():
+    """Pointwise ops need no halo machinery: jit + NamedSharding inputs
+    must match the single-device result exactly (XLA GSPMD partitioning)."""
+    z, t, xm, ym, fc = _grids(holes=False)
+    rng = np.random.default_rng(1)
+    rh = from_sentinel(rng.uniform(10, 95, (32, 48)).astype(np.float32))
+    mesh = grid_mesh((1, 2, 4))
+    sh = NamedSharding(mesh, partition_spec(2, mesh))
+    t_sh = Field(jax.device_put(t.values, sh), jax.device_put(t.mask, sh))
+    rh_sh = Field(jax.device_put(rh.values, sh), jax.device_put(rh.mask, sh))
+    # jitted-vs-jitted: eager and jit may fuse float math differently, but
+    # GSPMD partitioning of a pointwise program must be bit-identical.
+    ref = jax.jit(abshum)(t, rh)
+    shd = jax.jit(abshum)(t_sh, rh_sh)
+    _assert_field_equal(ref, shd)
