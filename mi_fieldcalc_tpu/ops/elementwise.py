@@ -321,8 +321,10 @@ def snow_in_cm(snow_water: Field, tk2m: Field, td2m: Field) -> Field:
     mask = and_masks(snow_water, tk2m, td2m)
     t = (tk2m.values + td2m.values) / 2
     t = jnp.where(mask, t, t0)  # keep exp well-behaved at masked points
-    e = jnp.exp((t - _f32(274.3)) * _f32(3.5))
-    logit_t = (1 - e) / (1 + e)
+    # (1-e^x)/(1+e^x) == -tanh(x/2); the tanh form cannot overflow in f32,
+    # whereas the reference's exp() runs in double (C promotion) and stays
+    # finite where a f32 exp would saturate to inf
+    logit_t = -jnp.tanh((t - _f32(274.3)) * _f32(1.75))
     dt = (t - _f32(252.0)) / _f32(20.0)
     mm2cm_t = _f32(0.13) / (_f32(0.02) + _f32(0.1) * dt * dt)
     fac = logit_t * mm2cm_t

@@ -227,10 +227,13 @@ def plevelhum(t: Field, hum: Field, p: float, compute: int, unit: str = "",
 def _levelhum_core(t: Field, hum: Field, p_arr, p_mask, compute: int) -> Field:
     """hlevel/alevel humidity core (FieldCalculations.cc:1186-1214,
     1428-1454).  Mode numbering differs from plevelhum: 5/6/9/10 are q->Td
-    and 7/8/11/12 are RH->Td, with 7/11 pressure-independent."""
-    need_p = compute not in (7, 11)
+    and 7/8/11/12 are RH->Td, with 7/11 pressure-independent.
+
+    ``p_mask`` is the *gate*: None means the pressure's definedness does
+    not gate the output (the caller decides — h- and a-level gates differ,
+    see hlevelhum/alevelhum)."""
     mask = and_masks(t, hum)
-    if need_p:
+    if p_mask is not None:
         mask = mask & p_mask
     tdconv = t0 if compute >= 9 else _f32(0)
     tk = t.values if compute % 2 == 1 else t.values * pidcp_from_p(p_arr)
@@ -252,16 +255,28 @@ def hlevelhum(t: Field, hum: Field, ps: Field, alevel: float, blevel: float,
     require(not _bad_hlevel(alevel, blevel), "hlevelhum: bad alevel/blevel")
     compute = _remap_hum_compute(compute, unit)
     p_arr = _f32(alevel) + _f32(blevel) * ps.values
-    return _levelhum_core(t, hum, p_arr, ps.mask, compute)
+    # gate (cc:1187): ps must be defined except for the pressure-independent
+    # modes 7/11
+    p_mask = None if compute in (7, 11) else ps.mask
+    return _levelhum_core(t, hum, p_arr, p_mask, compute)
 
 
 def alevelhum(t: Field, hum: Field, p: Field, compute: int,
               unit: str = "") -> Field:
     """Model-level humidity conversions with a pressure field
-    (FieldCalculations.cc:1394-1458)."""
+    (FieldCalculations.cc:1394-1458).
+
+    Reference quirk (cc:1438, inverted vs hlevelhum): the *pressure-
+    independent* modes 7/11 demand a defined p, while every p-using mode
+    lets an undefined p flow into the kernels — producing defined garbage
+    (e.g. RH blows up, Td collapses to T via the RH clamp).  Reproduced
+    exactly by materializing the sentinel into the computation.
+    """
     require(0 < compute < 13, f"alevelhum: bad compute {compute}")
     compute = _remap_hum_compute(compute, unit)
-    return _levelhum_core(t, hum, p.values, p.mask, compute)
+    if compute in (7, 11):
+        return _levelhum_core(t, hum, p.values, p.mask, compute)
+    return _levelhum_core(t, hum, p.to_sentinel(), None, compute)
 
 
 # ---------------------------------------------------------------------------
