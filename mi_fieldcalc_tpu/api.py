@@ -22,10 +22,28 @@ from .field import UNDEF, ValuesDefined, from_sentinel  # noqa: F401 (enum re-ex
 from . import ops
 
 __all__ = [
+    # the 15 functions the reference's pybind11 module exposes
     "ValuesDefined", "kIndex", "ductingIndex", "showalterIndex",
     "boydenIndex", "sweatIndex", "seaSoundSpeed", "cvtemp", "cvhum",
     "abshum", "windCooling", "underCooledRain", "vesselIcingOverland",
     "vesselIcingMertins", "vesselIcingModStall", "vesselIcingMincog",
+    # the rest of the C++ API (FieldCalculations.h:113-304), same
+    # signature order minus (nx, ny, out, fDefined)
+    "pleveltemp", "plevelthe", "plevelhum", "pleveldz2tmean",
+    "plevelqvector", "plevelducting", "plevelgwind_xcomp",
+    "plevelgwind_ycomp", "plevelgvort", "hleveltemp", "hlevelthe",
+    "hlevelhum", "hlevelducting", "hlevelpressure", "aleveltemp",
+    "alevelthe", "alevelhum", "alevelducting", "ilevelgwind", "vectorabs",
+    "relvort", "absvort", "divergence", "advection", "gradient",
+    "shapiro2_filter", "thermalFrontParameter", "pressure2FlightLevel",
+    "momentumXcoordinate", "momentumYcoordinate", "jacobian",
+    "values2classes", "minvalueFields", "minvalueFieldConst",
+    "maxvalueFields", "maxvalueFieldConst", "absvalueField", "log10Field",
+    "pow10Field", "logField", "expField", "powerField", "replaceUndefined",
+    "replaceDefined", "fieldOPERfield", "fieldOPERconstant",
+    "constantOPERfield", "sumFields", "meanValue", "stddevValue",
+    "extremeValue", "probability", "neighbourProbFunctions",
+    "neighbourFunctions", "snow_in_cm",
 ]
 
 
@@ -126,3 +144,316 @@ def vesselIcingMincog(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, Pw,
     return _wrap(ops.vessel_icing_mincog, undef, sal, wave, x_wind, y_wind,
                  airtemp, rh, sst, p, Pw, aice, depth,
                  scalars=(vs, alpha, zmin, zmax, alt))
+
+
+# ---------------------------------------------------------------------------
+# Full C++ API surface (FieldCalculations.h:113-304) beyond the reference's
+# python-bound subset: same argument order as the C++ declarations, minus
+# (nx, ny) / output pointer / fDefined, with a trailing undef.
+# ---------------------------------------------------------------------------
+
+def pleveltemp(tinp, p: float, unit: str, compute: int,
+               undef: float = UNDEF):
+    return _wrap(ops.pleveltemp, undef, tinp, scalars=(p, compute, unit))
+
+
+def plevelthe(t, rh, p: float, compute: int, undef: float = UNDEF):
+    return _wrap(ops.plevelthe, undef, t, rh, scalars=(p, compute))
+
+
+def plevelhum(t, huminp, p: float, unit: str, compute: int,
+              undef: float = UNDEF):
+    return _wrap(ops.plevelhum, undef, t, huminp,
+                 scalars=(p, compute, unit))
+
+
+def pleveldz2tmean(z1, z2, p1: float, p2: float, compute: int,
+                   undef: float = UNDEF):
+    return _wrap(ops.pleveldz2tmean, undef, z1, z2,
+                 scalars=(p1, p2, compute))
+
+
+def plevelqvector(z, t, xmapr, ymapr, fcoriolis, p: float, compute: int,
+                  undef: float = UNDEF):
+    return _wrap(ops.plevelqvector, undef, z, t, xmapr, ymapr, fcoriolis,
+                 scalars=(p, compute))
+
+
+def plevelducting(t, h, p: float, compute: int, undef: float = UNDEF):
+    return _wrap(ops.plevelducting, undef, t, h, scalars=(p, compute))
+
+
+def plevelgwind_xcomp(z, xmapr, ymapr, fcoriolis, undef: float = UNDEF):
+    return _wrap(ops.plevelgwind_xcomp, undef, z, xmapr, ymapr, fcoriolis)
+
+
+def plevelgwind_ycomp(z, xmapr, ymapr, fcoriolis, undef: float = UNDEF):
+    return _wrap(ops.plevelgwind_ycomp, undef, z, xmapr, ymapr, fcoriolis)
+
+
+def plevelgvort(z, xmapr, ymapr, fcoriolis, undef: float = UNDEF):
+    return _wrap(ops.plevelgvort, undef, z, xmapr, ymapr, fcoriolis)
+
+
+def hleveltemp(tinp, ps, alevel: float, blevel: float, unit: str,
+               compute: int, undef: float = UNDEF):
+    return _wrap(ops.hleveltemp, undef, tinp, ps,
+                 scalars=(alevel, blevel, compute, unit))
+
+
+def hlevelthe(t, q, ps, alevel: float, blevel: float, compute: int,
+              undef: float = UNDEF):
+    return _wrap(ops.hlevelthe, undef, t, q, ps,
+                 scalars=(alevel, blevel, compute))
+
+
+def hlevelhum(t, huminp, ps, alevel: float, blevel: float, unit: str,
+              compute: int, undef: float = UNDEF):
+    return _wrap(ops.hlevelhum, undef, t, huminp, ps,
+                 scalars=(alevel, blevel, compute, unit))
+
+
+def hlevelducting(t, h, ps, alevel: float, blevel: float, compute: int,
+                  undef: float = UNDEF):
+    return _wrap(ops.hlevelducting, undef, t, h, ps,
+                 scalars=(alevel, blevel, compute))
+
+
+def hlevelpressure(ps, alevel: float, blevel: float, undef: float = UNDEF):
+    return _wrap(ops.hlevelpressure, undef, ps, scalars=(alevel, blevel))
+
+
+def aleveltemp(tinp, p, unit: str, compute: int, undef: float = UNDEF):
+    return _wrap(ops.aleveltemp, undef, tinp, p, scalars=(compute, unit))
+
+
+def alevelthe(t, q, p, compute: int, undef: float = UNDEF):
+    return _wrap(ops.alevelthe, undef, t, q, p, scalars=(compute,))
+
+
+def alevelhum(t, huminp, p, unit: str, compute: int, undef: float = UNDEF):
+    return _wrap(ops.alevelhum, undef, t, huminp, p,
+                 scalars=(compute, unit))
+
+
+def alevelducting(t, h, p, compute: int, undef: float = UNDEF):
+    return _wrap(ops.alevelducting, undef, t, h, p, scalars=(compute,))
+
+
+def ilevelgwind(mpot, xmapr, ymapr, fcoriolis, undef: float = UNDEF):
+    """Returns (ug, vg) — the reference fills two output arrays."""
+    npa = [np.asarray(a, dtype=np.float32)
+           for a in (mpot, xmapr, ymapr, fcoriolis)]
+    if npa[0].ndim != 2 or any(a.shape != npa[0].shape for a in npa[1:]):
+        return None
+    fields = [from_sentinel(a, undef) for a in npa]
+    try:
+        ug, vg = ops.ilevelgwind(*fields)
+    except ValueError:
+        return None
+    return (np.asarray(ug.to_sentinel(undef)),
+            np.asarray(vg.to_sentinel(undef)))
+
+
+def vectorabs(u, v, undef: float = UNDEF):
+    return _wrap(ops.vectorabs, undef, u, v)
+
+
+def relvort(u, v, xmapr, ymapr, undef: float = UNDEF):
+    return _wrap(ops.relvort, undef, u, v, xmapr, ymapr)
+
+
+def absvort(u, v, xmapr, ymapr, fcoriolis, undef: float = UNDEF):
+    return _wrap(ops.absvort, undef, u, v, xmapr, ymapr, fcoriolis)
+
+
+def divergence(u, v, xmapr, ymapr, undef: float = UNDEF):
+    return _wrap(ops.divergence, undef, u, v, xmapr, ymapr)
+
+
+def advection(f, u, v, xmapr, ymapr, hours: float, undef: float = UNDEF):
+    return _wrap(ops.advection, undef, f, u, v, xmapr, ymapr,
+                 scalars=(hours,))
+
+
+def gradient(field, xmapr, ymapr, compute: int, undef: float = UNDEF):
+    return _wrap(ops.gradient, undef, field, xmapr, ymapr,
+                 scalars=(compute,))
+
+
+def shapiro2_filter(field, undef: float = UNDEF):
+    return _wrap(ops.shapiro2_filter, undef, field,
+                 kwscalars={"undef": undef})
+
+
+def thermalFrontParameter(t, xmapr, ymapr, undef: float = UNDEF):
+    return _wrap(ops.thermal_front_parameter, undef, t, xmapr, ymapr)
+
+
+def pressure2FlightLevel(pressure, undef: float = UNDEF):
+    return _wrap(ops.pressure2flightlevel, undef, pressure)
+
+
+def momentumXcoordinate(v, xmapr, fcoriolis, fcoriolisMin: float,
+                        undef: float = UNDEF):
+    return _wrap(ops.momentum_x_coordinate, undef, v, xmapr, fcoriolis,
+                 scalars=(fcoriolisMin,))
+
+
+def momentumYcoordinate(u, ymapr, fcoriolis, fcoriolisMin: float,
+                        undef: float = UNDEF):
+    return _wrap(ops.momentum_y_coordinate, undef, u, ymapr, fcoriolis,
+                 scalars=(fcoriolisMin,))
+
+
+def jacobian(field1, field2, xmapr, ymapr, undef: float = UNDEF):
+    return _wrap(ops.jacobian, undef, field1, field2, xmapr, ymapr)
+
+
+def values2classes(fvalue, values, undef: float = UNDEF):
+    return _wrap(ops.values2classes, undef, fvalue,
+                 scalars=(list(values),))
+
+
+def minvalueFields(field1, field2, undef: float = UNDEF):
+    return _wrap(ops.minvalue_fields, undef, field1, field2)
+
+
+def maxvalueFields(field1, field2, undef: float = UNDEF):
+    return _wrap(ops.maxvalue_fields, undef, field1, field2)
+
+
+def minvalueFieldConst(field1, value: float, undef: float = UNDEF):
+    return _wrap(ops.minvalue_field_const, undef, field1,
+                 scalars=(value,), kwscalars={"undef": undef})
+
+
+def maxvalueFieldConst(field1, value: float, undef: float = UNDEF):
+    return _wrap(ops.maxvalue_field_const, undef, field1,
+                 scalars=(value,), kwscalars={"undef": undef})
+
+
+def absvalueField(field, undef: float = UNDEF):
+    return _wrap(ops.absvalue_field, undef, field)
+
+
+def log10Field(field, undef: float = UNDEF):
+    return _wrap(ops.log10_field, undef, field)
+
+
+def pow10Field(field, undef: float = UNDEF):
+    return _wrap(ops.pow10_field, undef, field)
+
+
+def logField(field, undef: float = UNDEF):
+    return _wrap(ops.log_field, undef, field)
+
+
+def expField(field, undef: float = UNDEF):
+    return _wrap(ops.exp_field, undef, field)
+
+
+def powerField(field, value: float, undef: float = UNDEF):
+    return _wrap(ops.power_field, undef, field, scalars=(value,),
+                 kwscalars={"undef": undef})
+
+
+def replaceUndefined(field, value: float, undef: float = UNDEF):
+    return _wrap(ops.replace_undefined, undef, field, scalars=(value,),
+                 kwscalars={"undef": undef})
+
+
+def replaceDefined(field, value: float, undef: float = UNDEF):
+    return _wrap(ops.replace_defined, undef, field, scalars=(value,),
+                 kwscalars={"undef": undef})
+
+
+def fieldOPERfield(compute: int, field1, field2, undef: float = UNDEF):
+    npa = [np.asarray(a, np.float32) for a in (field1, field2)]
+    if npa[0].ndim != 2 or npa[0].shape != npa[1].shape:
+        return None
+    try:
+        out = ops.field_oper_field(compute, *[from_sentinel(a, undef)
+                                              for a in npa])
+    except ValueError:
+        return None
+    return np.asarray(out.to_sentinel(undef))
+
+
+def fieldOPERconstant(compute: int, field, value: float,
+                      undef: float = UNDEF):
+    npa = np.asarray(field, np.float32)
+    if npa.ndim != 2:
+        return None
+    try:
+        out = ops.field_oper_constant(compute, from_sentinel(npa, undef),
+                                      value)
+    except ValueError:
+        return None
+    return np.asarray(out.to_sentinel(undef))
+
+
+def constantOPERfield(compute: int, value: float, field,
+                      undef: float = UNDEF):
+    npa = np.asarray(field, np.float32)
+    if npa.ndim != 2:
+        return None
+    try:
+        out = ops.constant_oper_field(compute, value,
+                                      from_sentinel(npa, undef))
+    except ValueError:
+        return None
+    return np.asarray(out.to_sentinel(undef))
+
+
+def _wrap_members(op, undef, fields, *extra, scalars=()):
+    npa = [np.asarray(a, np.float32) for a in fields]
+    if not npa or npa[0].ndim != 2 \
+            or any(a.shape != npa[0].shape for a in npa[1:]):
+        return None
+    stack = from_sentinel(np.stack(npa), undef)
+    try:
+        out = op(*extra, stack, *scalars) if extra or scalars else op(stack)
+    except ValueError:
+        return None
+    return np.asarray(out.to_sentinel(undef))
+
+
+def sumFields(fields, undef: float = UNDEF):
+    return _wrap_members(ops.sum_fields, undef, fields)
+
+
+def meanValue(fields, fDefinedIn=None, undef: float = UNDEF):
+    return _wrap_members(ops.mean_value, undef, fields)
+
+
+def stddevValue(fields, fDefinedIn=None, undef: float = UNDEF):
+    return _wrap_members(ops.stddev_value, undef, fields)
+
+
+def extremeValue(compute: int, fields, undef: float = UNDEF):
+    return _wrap_members(lambda s: ops.extreme_value(compute, s), undef,
+                         fields)
+
+
+def probability(compute: int, fields, fDefinedIn, limits,
+                undef: float = UNDEF):
+    return _wrap_members(
+        lambda s: ops.probability(compute, s, list(limits),
+                                  member_defined=fDefinedIn), undef, fields)
+
+
+def neighbourProbFunctions(field, constants, compute: int,
+                           undef: float = UNDEF):
+    return _wrap(ops.neighbour_prob_functions, undef, field,
+                 scalars=(list(constants), compute))
+
+
+def neighbourFunctions(field, constants, compute: int,
+                       undef: float = UNDEF):
+    return _wrap(ops.neighbour_functions, undef, field,
+                 scalars=(list(constants), compute))
+
+
+def snow_in_cm(snow_water, tk2m, td2m, undef: float = UNDEF):
+    return _wrap(ops.snow_in_cm, undef, snow_water, tk2m, td2m)

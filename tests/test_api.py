@@ -68,3 +68,75 @@ def test_vessel_icing_runs():
     mert = fc.vesselIcingMertins(airtemp, seatemp, u, v, sal, aice)
     assert over is not None and np.all(over > 0)
     assert mert is not None and np.all(mert >= 0)
+
+
+def test_full_surface_smoke():
+    """Every reference C++ function has an api wrapper that runs."""
+    rng = np.random.default_rng(3)
+    g = lambda lo, hi: rng.uniform(lo, hi, (6, 6)).astype(np.float32)  # noqa: E731
+    tk, th, rh, q = g(240, 300), g(260, 330), g(5, 95), g(1e-4, 1e-2)
+    z, zl, ps, p = g(4900, 5800), g(-50, 250), g(950, 1040), g(200, 1000)
+    xm, ym, fcor, w = g(8e-6, 1.3e-5), g(8e-6, 1.3e-5), g(1e-4, 1.4e-4), g(-20, 20)
+    calls = [
+        lambda: fc.pleveltemp(tk, 500.0, "", 3),
+        lambda: fc.plevelthe(tk, rh, 700.0, 1),
+        lambda: fc.plevelhum(tk, q, 850.0, "", 1),
+        lambda: fc.pleveldz2tmean(z, zl, 500.0, 1000.0, 2),
+        lambda: fc.plevelqvector(z, tk, xm, ym, fcor, 500.0, 1),
+        lambda: fc.plevelducting(tk, q, 850.0, 1),
+        lambda: fc.plevelgwind_xcomp(z, xm, ym, fcor),
+        lambda: fc.plevelgwind_ycomp(z, xm, ym, fcor),
+        lambda: fc.plevelgvort(z, xm, ym, fcor),
+        lambda: fc.hleveltemp(tk, ps, 50.0, 0.9, "", 3),
+        lambda: fc.hlevelthe(tk, q, ps, 50.0, 0.9, 1),
+        lambda: fc.hlevelhum(tk, q, ps, 50.0, 0.9, "", 1),
+        lambda: fc.hlevelducting(tk, q, ps, 50.0, 0.9, 1),
+        lambda: fc.hlevelpressure(ps, 50.0, 0.9),
+        lambda: fc.aleveltemp(tk, p, "", 3),
+        lambda: fc.alevelthe(tk, q, p, 1),
+        lambda: fc.alevelhum(tk, q, p, "", 1),
+        lambda: fc.alevelducting(tk, q, p, 1),
+        lambda: fc.vectorabs(w, w),
+        lambda: fc.relvort(w, w, xm, ym),
+        lambda: fc.absvort(w, w, xm, ym, fcor),
+        lambda: fc.divergence(w, w, xm, ym),
+        lambda: fc.advection(tk, w, w, xm, ym, 3.0),
+        lambda: fc.gradient(tk, xm, ym, 3),
+        lambda: fc.shapiro2_filter(tk),
+        lambda: fc.thermalFrontParameter(tk, xm, ym),
+        lambda: fc.pressure2FlightLevel(p),
+        lambda: fc.momentumXcoordinate(w, xm, fcor, 1e-5),
+        lambda: fc.momentumYcoordinate(w, ym, fcor, 1e-5),
+        lambda: fc.jacobian(z, tk, xm, ym),
+        lambda: fc.values2classes(p, [0.0, 300.0, 600.0, 1000.0]),
+        lambda: fc.minvalueFields(tk, th),
+        lambda: fc.maxvalueFields(tk, th),
+        lambda: fc.minvalueFieldConst(tk, 270.0),
+        lambda: fc.maxvalueFieldConst(tk, 270.0),
+        lambda: fc.absvalueField(w),
+        lambda: fc.log10Field(p),
+        lambda: fc.pow10Field(np.log10(p)),
+        lambda: fc.logField(p),
+        lambda: fc.expField(np.log(p)),
+        lambda: fc.powerField(p, 0.5),
+        lambda: fc.replaceUndefined(tk, 0.0),
+        lambda: fc.replaceDefined(tk, 1.0),
+        lambda: fc.fieldOPERfield(1, tk, th),
+        lambda: fc.fieldOPERconstant(2, tk, 1.5),
+        lambda: fc.constantOPERfield(3, 1.5, tk),
+        lambda: fc.sumFields([tk, th]),
+        lambda: fc.meanValue([tk, th]),
+        lambda: fc.stddevValue([tk, th]),
+        lambda: fc.extremeValue(1, [tk, th]),
+        lambda: fc.probability(1, [q, q], [2, 2], [5e-3]),
+        lambda: fc.neighbourProbFunctions(p, [500.0, 2.0], 5),
+        lambda: fc.neighbourFunctions(p, [2.0], 1),
+        lambda: fc.snow_in_cm(q * 100, tk, tk),
+    ]
+    for i, call in enumerate(calls):
+        out = call()
+        assert out is not None, f"call #{i} returned None"
+        arr = out[0] if isinstance(out, tuple) else out
+        assert arr.shape == (6, 6), f"call #{i} shape {arr.shape}"
+    ug_vg = fc.ilevelgwind(g(2.9e5, 3.1e5), xm, ym, fcor)
+    assert ug_vg is not None and len(ug_vg) == 2
