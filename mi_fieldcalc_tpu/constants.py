@@ -74,14 +74,30 @@ def ewt_defined(l):
     return (l >= 0) & (l < N_EWT - 1)
 
 
+def _ewt_pair(ls):
+    """``(ewt[ls], ewt[ls+1])`` for ``ls`` in [0, 39] — WITHOUT a gather.
+
+    A dynamic gather from a 41-entry table lowers to a scalar loop on the
+    TPU backend here (~3500x slower than the surrounding elementwise ops,
+    measured); an unrolled one-hot select chain stays pure VPU work and is
+    bit-identical to the gather (exactly one branch selects per lane).
+    """
+    e0 = jnp.full(ls.shape, EWT[0], jnp.float32)
+    e1 = jnp.full(ls.shape, EWT[1], jnp.float32)
+    for k in range(1, N_EWT - 1):
+        sel = ls == k
+        e0 = jnp.where(sel, jnp.float32(EWT[k]), e0)
+        e1 = jnp.where(sel, jnp.float32(EWT[k + 1]), e1)
+    return e0, e1
+
+
 def ewt_value(x, l):
     """Linear interpolation ``ewt[l] + (ewt[l+1]-ewt[l])*(x-l)``
-    (MetConstants.h:78).  ``l`` is clipped for safe gathers at undefined
+    (MetConstants.h:78).  ``l`` is clipped for safe evaluation at undefined
     points; callers must combine with :func:`ewt_defined`.
     """
     ls = jnp.clip(l, 0, N_EWT - 2)
-    e0 = _EWT_J[ls]
-    e1 = _EWT_J[ls + 1]
+    e0, e1 = _ewt_pair(ls)
     return e0 + (e1 - e0) * (x - ls.astype(jnp.float32))
 
 
@@ -99,8 +115,7 @@ def ewt_inverse(et, l):
     for k in range(N_EWT):
         cnt = cnt + (et >= _EWT_J[k]).astype(jnp.int32)
     ll = jnp.clip(cnt - 1, 0, jnp.clip(l, 0, N_EWT - 2))
-    e0 = _EWT_J[ll]
-    e1 = _EWT_J[ll + 1]
+    e0, e1 = _ewt_pair(ll)
     rr = (et - e0) / (e1 - e0)
     return jnp.float32(-100.0) + (ll.astype(jnp.float32) + rr) * jnp.float32(5.0)
 
