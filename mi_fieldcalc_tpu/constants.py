@@ -11,6 +11,7 @@ All constants carry the same float32 values as the reference
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -74,21 +75,26 @@ def ewt_defined(l):
     return (l >= 0) & (l < N_EWT - 1)
 
 
+# [40, 2] matrix of (ewt[l], ewt[l+1]) pairs for the one-hot lookup below
+_EWT_PAIRS = jnp.stack([_EWT_J[:-1], _EWT_J[1:]], axis=-1)
+
+
 def _ewt_pair(ls):
     """``(ewt[ls], ewt[ls+1])`` for ``ls`` in [0, 39] — WITHOUT a gather.
 
     A dynamic gather from a 41-entry table lowers to a scalar loop on the
     TPU backend here (~3500x slower than the surrounding elementwise ops,
-    measured); an unrolled one-hot select chain stays pure VPU work and is
-    bit-identical to the gather (exactly one branch selects per lane).
+    measured).  Instead: one-hot(ls) @ pair-table on the MXU.  Exactly one
+    row of the one-hot is 1 per lane, so the contraction selects the table
+    entries bit-exactly (all other terms are exact 0 contributions).
     """
-    e0 = jnp.full(ls.shape, EWT[0], jnp.float32)
-    e1 = jnp.full(ls.shape, EWT[1], jnp.float32)
-    for k in range(1, N_EWT - 1):
-        sel = ls == k
-        e0 = jnp.where(sel, jnp.float32(EWT[k]), e0)
-        e1 = jnp.where(sel, jnp.float32(EWT[k + 1]), e1)
-    return e0, e1
+    oh = (ls[..., None] == jnp.arange(N_EWT - 1, dtype=ls.dtype)
+          ).astype(jnp.float32)
+    e01 = jax.lax.dot_general(
+        oh, _EWT_PAIRS,
+        dimension_numbers=(((oh.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return e01[..., 0], e01[..., 1]
 
 
 def ewt_value(x, l):

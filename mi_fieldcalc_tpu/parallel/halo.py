@@ -37,7 +37,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..field import Field
 from ..ops import stencil as _stencil_mod
@@ -163,5 +166,5 @@ def run_sharded(op, mesh: Mesh, radius: int, *args, **kwargs):
         return jax.tree_util.tree_map(lambda a: _crop(a, radius), out)
 
     fn = shard_map(body, mesh=mesh, in_specs=(in_specs,),
-                   out_specs=out_specs, check_rep=False)
+                   out_specs=out_specs, check_vma=False)
     return fn(dyn_leaves)
