@@ -43,7 +43,7 @@ __all__ = [
     "replaceDefined", "fieldOPERfield", "fieldOPERconstant",
     "constantOPERfield", "sumFields", "meanValue", "stddevValue",
     "extremeValue", "probability", "neighbourProbFunctions",
-    "neighbourFunctions", "snow_in_cm",
+    "neighbourFunctions", "snow_in_cm", "copy_field",
 ]
 
 
@@ -457,3 +457,11 @@ def neighbourFunctions(field, constants, compute: int,
 
 def snow_in_cm(snow_water, tk2m, td2m, undef: float = UNDEF):
     return _wrap(ops.snow_in_cm, undef, snow_water, tk2m, td2m)
+
+
+def copy_field(finp, undef: float = UNDEF):
+    """Verbatim copy (FieldCalculations.cc:318-322); numpy-in/numpy-out."""
+    npa = np.asarray(finp, np.float32)
+    if npa.ndim != 2:
+        return None
+    return npa.copy()
