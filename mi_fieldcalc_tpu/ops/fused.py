@@ -1,0 +1,438 @@
+"""Single-pass Pallas TPU kernel for the flagship derived-field pipeline.
+
+:func:`mi_fieldcalc_tpu.models.derived_fields` composes 12 operators; under
+XLA each output becomes its own fusion (66 fusions total), so the hot
+inputs are re-read from HBM once per consumer — ~15.6 GB of traffic per
+step where the intrinsic requirement (every input read once, every output
+written once) is ~1.9 GB.  This module computes all 12 outputs in ONE
+``pallas_call`` pass over (level, y-tile) blocks, holding a tile of every
+input in VMEM and streaming out all 24 result arrays (12 values + 12
+masks), which removes the redundant traffic entirely.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+
+* Grid ``(y_tiles, nlev)`` — levels innermost so the 2-D inputs
+  (surface pressure, map factors) keep the same block across consecutive
+  steps and are not re-fetched per level.
+* y-stencil halos: the centered differences need rows ``y±1`` and the
+  thermal-front parameter composes to ``y±2`` through the |grad T|
+  intermediate.  Instead of overlapping blocks (unsupported), each
+  stencil input is passed three times — the center ``(1, TY, nx)`` block
+  plus 8-row blocks of the previous/next row-chunks — and the kernel
+  concatenates the 2 boundary rows of each into a ``TY+4``-row extended
+  tile.  Halo overhead is 16/TY of the ideal traffic instead of 2x.
+* x-stencils need no halo: a block spans the full x extent and neighbor
+  values are single-lane rotations (``pltpu.roll``).  The wrapped lanes
+  land exactly on the columns that ``fillEdges``
+  (FieldCalculations.cc:59-74) overwrites.
+* ``fillEdges`` parity: column 0/nx-1 and row 0/ny-1 of the *physical*
+  domain are patched via iota-masked selects against rolled copies, in
+  the reference's order (columns first, then full rows).  The |grad T|
+  intermediate is patched the same way before the second stencil reads
+  it, exactly like the reference's ``gradient()`` output
+  (FieldCalculations.cc:2281-2302).
+* The 41-entry saturation-vapor table (MetConstants.h:56-59) lives in
+  VMEM padded to 128 lanes; lookups are Mosaic lane-gathers
+  (``take_along_axis`` on 128-wide chunks) — bit-exact table values at
+  ~1 VPU op per point instead of a 40-select chain.
+* The tri-state/undef semantics ride along as bool mask lanes and are
+  identical to the jnp ops (same formulas, same quirks — e.g. the
+  ``alevelhum`` sentinel-pressure gate, FieldCalculations.cc:1438).
+
+The kernel is numerically equivalent to the jnp path (values to f32
+round-off under reassociation, masks bit-for-bit); ``tests/test_fused.py``
+checks both on every op, with undefs, in interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Sequence
+
+# temporary perf-lab switches (trace-time); all default off
+_V = lambda k: os.environ.get(k, "") == "1"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import EWT, cp, eps, kappa, p0inv, rhmax, rhmin, t0, xlh
+from ..field import Field, UNDEF
+
+__all__ = ["derived_fields_fused", "fused_supported"]
+
+_f32 = jnp.float32
+
+#: EWT padded to one 128-lane register row (gather indices stay in 0..40).
+_TAB128 = np.zeros(128, np.float32)
+_TAB128[: EWT.size] = EWT
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers
+# ---------------------------------------------------------------------------
+
+def _roll(a, shift, axis):
+    """``pltpu.roll`` that tolerates bool arrays (Mosaic can only rotate
+    32-bit data; masks ride through int32)."""
+    if a.dtype == jnp.bool_:
+        return pltpu.roll(a.astype(jnp.int32), shift, axis=axis) != 0
+    return pltpu.roll(a, shift, axis=axis)
+
+
+def _xshift(a, d):
+    """Value at (y, x+d) via lane rotation; wrapped lanes are physical-edge
+    columns that fill_edges overwrites."""
+    nx = a.shape[-1]
+    return _roll(a, (-d) % nx, axis=a.ndim - 1)
+
+
+def _lookup(tab_ref, idx):
+    """Bit-exact ``EWT[idx]`` for ``idx`` in [0, 40] via 128-lane chunked
+    Mosaic gathers (wider gathers are unsupported)."""
+    if _V("MF_FUSED_CHAIN_LOOKUP"):
+        out = jnp.full(idx.shape, EWT[0], jnp.float32)
+        for k in range(1, EWT.size):
+            out = jnp.where(idx >= k, EWT[k], out)
+        return out
+    rows, nx = idx.shape
+    tab = jnp.broadcast_to(tab_ref[...].reshape(1, 128), (rows, 128))
+    if nx <= 128:
+        pad = jnp.zeros((rows, 128 - nx), idx.dtype) if nx < 128 else None
+        ix = idx if pad is None else jnp.concatenate([idx, pad], axis=1)
+        return jnp.take_along_axis(tab, ix, axis=1)[:, :nx]
+    parts = []
+    for c in range(nx // 128):
+        parts.append(jnp.take_along_axis(tab, idx[:, c * 128:(c + 1) * 128],
+                                         axis=1))
+    out = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    done = (nx // 128) * 128
+    if done < nx:
+        # ragged tail: gather an overlapping full-width window
+        tail = jnp.take_along_axis(tab, idx[:, nx - 128:], axis=1)
+        out = jnp.concatenate([out, tail[:, 128 - (nx - done):]], axis=1)
+    return out
+
+
+def _colfix(a):
+    """fillEdges column patch: col 0 <- col 1, col nx-1 <- col nx-2."""
+    nx = a.shape[-1]
+    c = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    a = jnp.where(c == 0, _xshift(a, 1), a)
+    return jnp.where(c == nx - 1, _xshift(a, -1), a)
+
+
+def _rowfix(a, gy0, ny):
+    """fillEdges row patch at *physical* rows 0 / ny-1 (global row of the
+    tile's first sublane is ``gy0``)."""
+    rows = a.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + gy0
+    dn = _roll(a, rows - 1, axis=0)   # row k <- row k+1
+    up = _roll(a, 1, axis=0)          # row k <- row k-1
+    a = jnp.where(r == 0, dn, a)
+    return jnp.where(r == ny - 1, up, a)
+
+
+def _fill(a, gy0, ny):
+    if _V("MF_FUSED_NO_FILLS"):
+        return a
+    return _rowfix(_colfix(a), gy0, ny)
+
+
+def _esat(tab_ref, tk):
+    """Table-coordinate saturation vapor pressure (MetConstants.h:61-84);
+    returns (et, ok, x, l) like :func:`..ops.thermo.esat_table`."""
+    x = (tk - t0 + _f32(100.0)) * _f32(0.2)
+    l = jnp.trunc(x).astype(jnp.int32)
+    ls = jnp.clip(l, 0, 39)
+    e0 = _lookup(tab_ref, ls)
+    e1 = _lookup(tab_ref, ls + 1)
+    et = e0 + (e1 - e0) * (x - ls.astype(_f32))
+    ok = (l >= 0) & (l < 40)
+    return et, ok, l
+
+
+def _ewt_inverse(tab_ref, et, l):
+    """Monotone-table inverse (MetConstants.cc:37-45), vectorized."""
+    cnt = jnp.zeros(et.shape, jnp.int32)
+    for k in range(EWT.size):
+        cnt = cnt + (et >= EWT[k]).astype(jnp.int32)
+    ll = jnp.clip(cnt - 1, 0, jnp.clip(l, 0, 39))
+    e0 = _lookup(tab_ref, ll)
+    e1 = _lookup(tab_ref, ll + 1)
+    rr = (et - e0) / (e1 - e0)
+    return _f32(-100.0) + (ll.astype(_f32) + rr) * _f32(5.0)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(ny, nx, TY, nlev,
+            alev_ref, blev_ref,
+            # inputs
+            tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n, q_c,
+            tkm_c, tkm_p, tkm_n, um_c, um_p, um_n, vm_c, qm_c,
+            ps, psm, xm_c, xm_p, xm_n, ym_c, ym_p, ym_n, tab_ref,
+            # outputs: 12 values then 12 masks
+            o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
+            o_gt, o_tf,
+            m_p, m_th, m_rh, m_td, m_the, m_duc, m_ws, m_vo, m_dv, m_ad,
+            m_gt, m_tf):
+    j = pl.program_id(0)
+    lev = pl.program_id(1)
+    gy0 = j * TY
+
+    def ext(center, prev8, next8):
+        """TY+4-row extended tile: rows gy0-2 .. gy0+TY+1."""
+        return jnp.concatenate(
+            [prev8[0, 6:8, :], center[0], next8[0, 0:2, :]], axis=0)
+
+    def ext2d(center, prev8, next8):
+        return jnp.concatenate(
+            [prev8[6:8, :], center, next8[0:2, :]], axis=0)
+
+    def _b(x):
+        # mask lanes ride as int32: Mosaic cannot rotate/select i1 vectors
+        return x.astype(jnp.int32)
+
+    tke, ue, ve = (ext(tk_c[...], tk_p[...], tk_n[...]),
+                   ext(u_c[...], u_p[...], u_n[...]),
+                   ext(v_c[...], v_p[...], v_n[...]))
+    tkme = ext(_b(tkm_c[...]), _b(tkm_p[...]), _b(tkm_n[...]))
+    ume = ext(_b(um_c[...]), _b(um_p[...]), _b(um_n[...]))
+    xme = ext2d(xm_c[...], xm_p[...], xm_n[...])
+    yme = ext2d(ym_c[...], ym_p[...], ym_n[...])
+
+    tkv, qv = tk_c[0], q_c[0]
+    uv, vv = u_c[0], v_c[0]
+    tkm, qm, um, vm = _b(tkm_c[0]), _b(qm_c[0]), _b(um_c[0]), _b(vm_c[0])
+    psv, psvm = ps[...], _b(psm[...])
+    xmv, ymv = xm_c[...], ym_c[...]
+
+    # ---- elementwise family (levels.py formulas) --------------------------
+    a = alev_ref[lev]
+    b = blev_ref[lev]
+    p_raw = a + b * psv
+    o_p[0] = p_raw
+    m_p[0] = psvm != 0
+
+    pidcp = jnp.power(p_raw * p0inv, kappa)
+    o_th[0] = tkv / pidcp
+    m_th[0] = (tkm & psvm) != 0
+
+    if _V("MF_FUSED_NO_THERMO"):
+        for o in (o_rh, o_td, o_the, o_duc):
+            o[0] = tkv / pidcp
+        for m in (m_rh, m_td, m_the, m_duc):
+            m[0] = (tkm & psvm) != 0
+    else:
+        p_sent = jnp.where(psvm != 0, p_raw, _f32(UNDEF))  # alevelhum gate
+        et, ok, l = _esat(tab_ref, tkv)
+        qsat = eps * et / p_sent
+        o_rh[0] = _f32(100.0) * qv / qsat
+        m_rh[0] = (tkm & qm & ok) != 0
+
+        rhc = jnp.clip(qv / qsat, rhmin, rhmax)
+        if _V("MF_FUSED_NO_TD"):
+            o_td[0] = rhc
+        else:
+            o_td[0] = _ewt_inverse(tab_ref, rhc * et, l) + t0
+        m_td[0] = (tkm & qm & ok) != 0
+
+        o_the[0] = (tkv * cp + qv * xlh) / (cp * pidcp)
+        m_the[0] = (tkm & qm & psvm) != 0
+
+        o_duc[0] = (_f32(77.6) * (p_raw / tkv)
+                    + _f32(373000.0) * (qv * p_raw) / (eps * tkv * tkv))
+        m_duc[0] = (tkm & qm & psvm) != 0
+
+    o_ws[0] = jnp.sqrt(uv * uv + vv * vv)
+    m_ws[0] = (um & vm) != 0
+
+    # ---- radius-1 stencils (stencil.py formulas) --------------------------
+    # extended-tile row slices: index k of an "e" array is global row
+    # gy0-2+k; center rows are [2, TY+2).
+    def c_(e):   # center rows
+        return e[2:TY + 2]
+
+    def ym1(e):  # value at y-1 for center rows
+        return e[1:TY + 1]
+
+    def yp1(e):
+        return e[3:TY + 3]
+
+    if _V("MF_FUSED_NO_STENCILS"):
+        ws = jnp.sqrt(uv * uv + vv * vv)
+        for o in (o_vo, o_dv, o_ad, o_gt, o_tf):
+            o[0] = ws
+        for m in (m_vo, m_dv, m_ad, m_gt, m_tf):
+            m[0] = (um & vm) != 0
+        return
+
+    half = _f32(0.5)
+    vort = (half * xmv * (_xshift(c_(ve), 1) - _xshift(c_(ve), -1))
+            - half * ymv * (yp1(ue) - ym1(ue)))
+    vort_m = (_xshift(vm, -1) & _xshift(vm, 1) & ym1(ume) & yp1(ume))
+    vort_mf = _fill(vort_m, gy0, ny)
+    o_vo[0] = _fill(vort, gy0, ny)
+    m_vo[0] = vort_mf != 0
+
+    dive = (half * xmv * (_xshift(c_(ue), 1) - _xshift(c_(ue), -1))
+            + half * ymv * (yp1(ve) - ym1(ve)))
+    o_dv[0] = _fill(dive, gy0, ny)
+    m_dv[0] = vort_mf != 0               # reference quirk: vort's inputs
+
+    adv = (uv * half * xmv * (_xshift(c_(tke), 1) - _xshift(c_(tke), -1))
+           + vv * half * ymv * (yp1(tke) - ym1(tke))) * _f32(-3600.0)
+    adv_m = (um & vm & _xshift(tkm, -1) & _xshift(tkm, 1)
+             & ym1(tkme) & yp1(tkme))
+    o_ad[0] = _fill(adv, gy0, ny)
+    m_ad[0] = _fill(adv_m, gy0, ny) != 0
+
+    # ---- |grad T| on the TY+2-row window, then TFP ------------------------
+    # absd index k is global row gy0-1+k.
+    tcw = tke[1:TY + 3]       # rows gy0-1 .. gy0+TY
+    xmw, ymw = xme[1:TY + 3], yme[1:TY + 3]
+    dfdx = half * xmw * (_xshift(tcw, 1) - _xshift(tcw, -1))
+    dfdy = half * ymw * (tke[2:TY + 4] - tke[0:TY + 2])
+    absd = jnp.sqrt(dfdx * dfdx + dfdy * dfdy)
+    absd_m = (_xshift(tkme[1:TY + 3], -1) & _xshift(tkme[1:TY + 3], 1)
+              & tkme[0:TY + 2] & tkme[2:TY + 4])
+    absd = _fill(absd, gy0 - 1, ny)
+    absd_m = _fill(absd_m, gy0 - 1, ny)
+
+    o_gt[0] = absd[1:TY + 1]
+    m_gt[0] = absd_m[1:TY + 1] != 0
+
+    a_c = absd[1:TY + 1]
+    dadx = half * xmv * (_xshift(a_c, 1) - _xshift(a_c, -1))
+    dady = half * ymv * (absd[2:TY + 2] - absd[0:TY])
+    nonzero = a_c != 0
+    ainv = 1 / jnp.where(nonzero, a_c, _f32(1))
+    dtdxa = half * xmv * (_xshift(c_(tke), 1) - _xshift(c_(tke), -1)) * ainv
+    dtdya = half * ymv * (yp1(tke) - ym1(tke)) * ainv
+    tfp = -(dadx * dtdxa + dady * dtdya)
+    am_c = absd_m[1:TY + 1]
+    tfp_m = (ym1(tkme) & _xshift(tkm, 1) & _xshift(tkm, -1) & yp1(tkme)
+             & absd_m[0:TY] & _xshift(am_c, 1) & am_c & _xshift(am_c, -1)
+             & absd_m[2:TY + 2] & nonzero.astype(jnp.int32))
+    o_tf[0] = _fill(tfp, gy0, ny)
+    m_tf[0] = _fill(tfp_m, gy0, ny) != 0
+
+
+# ---------------------------------------------------------------------------
+# host-side wrapper
+# ---------------------------------------------------------------------------
+
+def _pick_ty(ny: int) -> int:
+    """Row-tile height: multiple of 8, and (ny-1) % TY != 0 so the physical
+    last-row fill can read row ny-2 from the same tile."""
+    for ty in (32, 24, 40, 16, 48, 8):
+        if ty <= ny and (ny - 1) % ty != 0:
+            return ty
+    # small/awkward ny: one padded tile keeps every fill source local too
+    ty = -(-max(ny, 3) // 8) * 8
+    return ty if ty <= 48 else 0
+
+
+def fused_supported(ny: int, nx: int) -> bool:
+    """Whether the fused kernel covers this grid (ny/nx >= 3 as in the
+    reference; TY selectable; nx bounded by VMEM)."""
+    return ny >= 3 and nx >= 3 and _pick_ty(ny) > 0 and nx <= 4096
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
+                         alevel, blevel, xmapr, ymapr, fcoriolis,
+                         interpret: bool = False):
+    """Fused single-pass equivalent of
+    :func:`mi_fieldcalc_tpu.models.derived_fields` (same signature, same
+    :class:`DerivedFields` result)."""
+    from ..models.pipeline import DerivedFields
+
+    nlev, ny, nx = tk.values.shape
+    TY = _pick_ty(ny)
+    if TY == 0:
+        raise ValueError("derived_fields_fused: unsupported grid size")
+    jy = -(-ny // TY)
+    nb8 = -(-ny // 8)
+    r8 = TY // 8
+
+    f32_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.float32)
+    b_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.bool_)
+
+    def im_c(j, lev, *_):
+        return (lev, j, 0)
+
+    def im_p8(j, lev, *_):
+        return (lev, jnp.maximum(j * r8 - 1, 0), 0)
+
+    def im_n8(j, lev, *_):
+        return (lev, jnp.minimum((j + 1) * r8, nb8 - 1), 0)
+
+    def im2_c(j, lev, *_):
+        return (j, 0)
+
+    def im2_p8(j, lev, *_):
+        return (jnp.maximum(j * r8 - 1, 0), 0)
+
+    def im2_n8(j, lev, *_):
+        return (jnp.minimum((j + 1) * r8, nb8 - 1), 0)
+
+    def c3(dt=None):
+        return pl.BlockSpec((1, TY, nx), im_c, memory_space=pltpu.VMEM)
+
+    def p83():
+        return pl.BlockSpec((1, 8, nx), im_p8, memory_space=pltpu.VMEM)
+
+    def n83():
+        return pl.BlockSpec((1, 8, nx), im_n8, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        c3(), p83(), n83(),           # tk
+        c3(), p83(), n83(),           # u
+        c3(), p83(), n83(),           # v
+        c3(),                         # q
+        c3(), p83(), n83(),           # tk mask
+        c3(), p83(), n83(),           # u mask
+        c3(), c3(),                   # v mask, q mask
+        pl.BlockSpec((TY, nx), im2_c, memory_space=pltpu.VMEM),    # ps
+        pl.BlockSpec((TY, nx), im2_c, memory_space=pltpu.VMEM),    # ps mask
+        pl.BlockSpec((TY, nx), im2_c, memory_space=pltpu.VMEM),    # xmapr
+        pl.BlockSpec((8, nx), im2_p8, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, nx), im2_n8, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TY, nx), im2_c, memory_space=pltpu.VMEM),    # ymapr
+        pl.BlockSpec((8, nx), im2_p8, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, nx), im2_n8, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),                     # table
+    ]
+    out_specs = tuple([c3() for _ in range(24)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(jy, nlev),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+
+    xm2 = jnp.broadcast_to(jnp.asarray(xmapr, jnp.float32), (ny, nx))
+    ym2 = jnp.broadcast_to(jnp.asarray(ymapr, jnp.float32), (ny, nx))
+    del fcoriolis  # unused by the 12 pipeline outputs
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, ny, nx, TY, nlev),
+        grid_spec=grid_spec,
+        out_shape=tuple([f32_3d] * 12 + [b_3d] * 12),
+        interpret=interpret,
+    )(jnp.asarray(alevel, jnp.float32), jnp.asarray(blevel, jnp.float32),
+      tk.values, tk.values, tk.values, u.values, u.values, u.values,
+      v.values, v.values, v.values, q.values,
+      tk.mask, tk.mask, tk.mask, u.mask, u.mask, u.mask, v.mask, q.mask,
+      ps.values, ps.mask, xm2, xm2, xm2, ym2, ym2, ym2,
+      jnp.asarray(_TAB128))
+
+    vals, masks = outs[:12], outs[12:]
+    return DerivedFields(*[Field(v, m) for v, m in zip(vals, masks)])

@@ -1,0 +1,75 @@
+"""Equivalence of the fused Pallas pipeline kernel with the jnp pipeline.
+
+The fused kernel (mi_fieldcalc_tpu/ops/fused.py) must produce the same 12
+outputs as :func:`mi_fieldcalc_tpu.models.derived_fields`: masks
+bit-for-bit, values to f32 round-off (Mosaic reassociates differently than
+XLA).  Runs in Pallas interpret mode on the CPU test backend; the same
+kernel compiles natively on TPU (checked by bench.py / the driver).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mi_fieldcalc_tpu.field import UNDEF, from_sentinel
+from mi_fieldcalc_tpu.models.pipeline import derived_fields
+from mi_fieldcalc_tpu.ops.fused import derived_fields_fused, fused_supported
+
+
+def _inputs(nlev, ny, nx, seed=0, undefs=True):
+    rng = np.random.default_rng(seed)
+    tk = rng.normal(275, 15, (nlev, ny, nx)).astype(np.float32)
+    q = rng.uniform(1e-4, 1e-2, (nlev, ny, nx)).astype(np.float32)
+    u = rng.normal(0, 12, (nlev, ny, nx)).astype(np.float32)
+    v = rng.normal(0, 12, (nlev, ny, nx)).astype(np.float32)
+    ps = rng.normal(1000, 15, (ny, nx)).astype(np.float32)
+    if undefs:
+        # scattered undefs incl. corners, edges, and extreme temps
+        for arr in (tk, q, u, v):
+            idx = rng.integers(0, arr.size, arr.size // 37)
+            arr.reshape(-1)[idx] = UNDEF
+        tk[0, 0, 0] = UNDEF
+        tk[-1, -1, -1] = UNDEF
+        tk[0, 1, 1] = 500.0        # beyond the e_sat table -> undef RH/Td
+        ps[ny // 2, nx // 2] = UNDEF
+    alevel = np.linspace(0, 50, nlev).astype(np.float32)
+    blevel = np.linspace(1, 0.5, nlev).astype(np.float32)
+    xm = rng.uniform(3e-7, 5e-7, (ny, nx)).astype(np.float32)
+    ym = rng.uniform(3e-7, 5e-7, (ny, nx)).astype(np.float32)
+    fc = np.full((ny, nx), 1.2e-4, np.float32)
+    return (from_sentinel(tk), from_sentinel(q), from_sentinel(u),
+            from_sentinel(v), from_sentinel(ps), jnp.asarray(alevel),
+            jnp.asarray(blevel), jnp.asarray(xm), jnp.asarray(ym),
+            jnp.asarray(fc))
+
+
+@pytest.mark.parametrize("nlev,ny,nx", [
+    (3, 37, 61),     # ragged everything, nx < one 128-lane chunk
+    (2, 33, 135),    # nx just past one chunk (ragged gather tail)
+    (1, 9, 9),       # minimal-ish grid (single padded tile)
+    (1, 17, 140),    # (ny-1) divisible by every tile height <= ny
+    (2, 64, 256),    # TY divides ny shapes
+])
+@pytest.mark.parametrize("undefs", [True, False])
+def test_fused_matches_jnp(nlev, ny, nx, undefs):
+    assert fused_supported(ny, nx)
+    args = _inputs(nlev, ny, nx, seed=ny + nx, undefs=undefs)
+    ref = jax.jit(derived_fields)(*args)
+    got = derived_fields_fused(*args, interpret=True)
+    for name in ref._fields:
+        rv = np.asarray(getattr(ref, name).values)
+        rm = np.asarray(getattr(ref, name).mask)
+        gv = np.asarray(getattr(got, name).values)
+        gm = np.asarray(getattr(got, name).mask)
+        assert np.array_equal(rm, gm), f"{name}: mask mismatch"
+        w = rm
+        with np.errstate(all="ignore"):
+            assert np.allclose(rv[w], gv[w], rtol=2e-5, atol=1e-30), \
+                f"{name}: value mismatch"
+
+
+def test_fused_supported_bounds():
+    assert not fused_supported(2, 64)      # ny < 3
+    assert not fused_supported(64, 2)      # nx < 3
+    assert fused_supported(719, 929)
