@@ -212,10 +212,12 @@ def vessel_icing_modstall(sal: Field, wave: Field, x_wind: Field,
     at = airtemp.values
     rhv = rh.values
     f1_air = _icing_f1(at)
-    ice = jnp.zeros_like(v)
-    for counter in range(number):
+    decay = jnp.asarray([math.exp(-0.55 * (zmin + 0.5 * k))
+                         for k in range(number)], _f32)
+
+    def height_body(counter, ice):
         rw = _f32(6.46e-5) * wave.values * (vr * vr) \
-            * _f32(math.exp(-0.55 * (zmin + 0.5 * counter))) * v
+            * jax.lax.dynamic_index_in_dim(decay, counter, keepdims=False) * v
 
         def n_cond(state):
             n, err, j, done = state
@@ -241,8 +243,9 @@ def vessel_icing_modstall(sal: Field, wave: Field, x_wind: Field,
             n_cond, n_body,
             (n0, jnp.ones_like(v), jnp.int32(0), ~gate))
         n = jnp.clip(n, _f32(0.0), _f32(1.0))
-        ice = ice + n * (rw / _f32(890.0)) * _f32(3600.0) * _f32(100.0)
+        return ice + n * (rw / _f32(890.0)) * _f32(3600.0) * _f32(100.0)
 
+    ice = jax.lax.fori_loop(0, number, height_body, jnp.zeros_like(v))
     out = jnp.abs(ice / _f32(number))
     return out_field(out, gate)
 
@@ -280,7 +283,9 @@ def _bisection_lanes(fn, shape, a0: float, b0: float):
     no_root = (ffa > 0) == (ffb > 0)
     c = jnp.zeros(shape, _f32)
     frozen = jnp.zeros(shape, bool)
-    for _ in range(_BISECT_ITERS):
+
+    def body(_, state):
+        a, b, c, ffa, frozen = state
         c_new = (a + b) / _f32(2.0)
         ffc = fn(c_new)
         exact = ffc == 0
@@ -290,7 +295,10 @@ def _bisection_lanes(fn, shape, a0: float, b0: float):
         b = jnp.where(upd & take_b, c_new, b)
         a = jnp.where(upd & ~take_b, c_new, a)
         ffa = jnp.where(upd & ~take_b, ffc, ffa)
-        frozen = frozen | exact
+        return a, b, c, ffa, frozen | exact
+
+    a, b, c, ffa, frozen = jax.lax.fori_loop(
+        0, _BISECT_ITERS, body, (a, b, c, ffa, frozen))
     return jnp.where(no_root, _f32(0.0), c)
 
 
@@ -388,9 +396,15 @@ def _mincog_point(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw, depth,
     swdown = jnp.zeros_like(airtemp)    # Swdown_model = 0 (VI:611, 615)
 
     number = int((zmax - zmin) * 2 + 1)
-    icing = jnp.zeros_like(v)
-    for counter in range(number):
-        lwc = lwc0 * _f32(math.exp(-0.55 * (zmin + 0.5 * counter)))
+    # per-height decay factors, host-evaluated in f64 like the reference's
+    # math.exp then rounded once to f32 (kept outside the device loop so
+    # the graph stays one fori_loop body, not `number` unrolled solvers)
+    decay = jnp.asarray([math.exp(-0.55 * (zmin + 0.5 * k))
+                         for k in range(number)], _f32)
+
+    def height_body(counter, icing):
+        lwc = lwc0 * jax.lax.dynamic_index_in_dim(
+            decay, counter, keepdims=False)
         rw = lwc * vdcomp * nf * tdur
 
         def ffz(n):
@@ -398,7 +412,9 @@ def _mincog_point(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw, depth,
                                      tsp, lwdown, swdown)
 
         n = _bisection_lanes(ffz, v.shape, _BISECT_A, _BISECT_B)
-        icing = icing + rw * jnp.clip(n, _f32(0.0), _f32(1.0))
+        return icing + rw * jnp.clip(n, _f32(0.0), _f32(1.0))
+
+    icing = jax.lax.fori_loop(0, number, height_body, jnp.zeros_like(v))
 
     out = jnp.abs(icing / _f32(number)) * _f32(3600.0 * 100.0 / 890.0)
     return jnp.where(skip, _f32(0.0), out)

@@ -156,31 +156,45 @@ def neighbour_functions(f: Field, constants: Sequence[float],
                         _f32(1), _f32(0))
         stat = _box_sum_sat(ind, rng) / n_win
 
-    # map each output point to its sample point (strided block fill)
+    # map each output point to its sample point (strided block fill).
+    # Every block is a contiguous step x step cell around a sample, so the
+    # fill is a strided slice + repeat — no gather (TPU gathers on full
+    # grids cost ~10x the window statistic itself).
     first = rng
-    last = None  # largest sample index < dim - rng
     y = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
     x = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
 
-    def sample_of(coord, dim):
-        n_blocks = (dim - 2 * rng + step - 1) // step  # samples along axis
+    def axis_meta(dim):
+        n_blocks = max((dim - 2 * rng + step - 1) // step, 0)
         lo = first - (step - 1) // 2
+        return n_blocks, lo
+
+    def valid_of(coord, dim):
+        n_blocks, lo = axis_meta(dim)
         bid = (coord - lo) // step
         valid = (bid >= 0) & (bid < n_blocks) & (coord >= lo)
         s = first + jnp.clip(bid, 0, max(n_blocks - 1, 0)) * step
         hi = s - (step - 1) // 2 + step  # exclusive end of the block
-        valid = valid & (coord < hi)
-        return s, valid
+        return valid & (coord < hi)
 
-    sy, vy = sample_of(y, ny)
-    sx, vx = sample_of(x, nx)
-    valid = vy & vx
-    if v.ndim == 2:
-        gathered = stat[sy, sx]
-    else:  # batched: gather the trailing grid axes per batch element
-        flat = sy * nx + sx
-        gathered = jnp.take(
-            stat.reshape(stat.shape[:-2] + (ny * nx,)), flat.reshape(-1),
-            axis=-1).reshape(stat.shape)
+    valid = valid_of(y, ny) & valid_of(x, nx)
+    if step == 1:
+        gathered = stat          # every point is its own sample
+    else:
+        nby, lo_y = axis_meta(ny)
+        nbx, lo_x = axis_meta(nx)
+        samples = stat[..., rng:rng + (nby - 1) * step + 1:step,
+                       rng:rng + (nbx - 1) * step + 1:step]
+        up = jnp.repeat(jnp.repeat(samples, step, axis=-2), step, axis=-1)
+
+        def paste(dim, lo, nb):
+            src0, dst0 = max(0, -lo), max(0, lo)
+            return src0, dst0, min(dim - dst0, nb * step - src0)
+
+        sy0, dy0, ly = paste(ny, lo_y, nby)
+        sx0, dx0, lx = paste(nx, lo_x, nbx)
+        gathered = jnp.zeros(stat.shape, stat.dtype)
+        gathered = gathered.at[..., dy0:dy0 + ly, dx0:dx0 + lx].set(
+            up[..., sy0:sy0 + ly, sx0:sx0 + lx])
     out = jnp.where(valid, gathered, _f32(0))
     return Field(out, jnp.broadcast_to(valid, out.shape))
