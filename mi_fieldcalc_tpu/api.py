@@ -14,11 +14,12 @@ Sentinel decode/encode happens only here, at the boundary, mirroring
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
 
-from .field import UNDEF, ValuesDefined, from_sentinel  # noqa: F401 (enum re-export)
+from .field import Field, UNDEF, ValuesDefined, from_sentinel  # noqa: F401
 from . import ops
 
 __all__ = [
@@ -47,19 +48,51 @@ __all__ = [
 ]
 
 
+def _canon(x):
+    """Hashable (jit-cache-key) form of a scalar parameter."""
+    return tuple(x) if isinstance(x, (list, tuple)) else x
+
+
+@functools.lru_cache(maxsize=1024)
+def _compiled(op, undef, scalars, kwitems, lead_scalars=()):
+    """One jitted program per (operator, scalar-parameter) combination
+    covering the whole numpy boundary: sentinel decode -> operator ->
+    sentinel encode.  Eagerly dispatching the decoded ops one by one costs
+    100-2000 ms/call over this backend's relay; compiled calls are
+    transfer-bound (~10 ms on the operational grid).
+
+    Argument order: ``op(*lead_scalars, *fields, *scalars, **kwitems)``.
+    """
+    import jax
+
+    kw = dict(kwitems)
+
+    def run(*arrs):
+        fields = tuple(from_sentinel(a, undef) for a in arrs)
+        out = op(*lead_scalars, *fields, *scalars, **kw)
+        if isinstance(out, Field):
+            return out.to_sentinel(undef)
+        return tuple(o.to_sentinel(undef) for o in out)
+
+    return jax.jit(run)
+
+
 def _wrap(op, undef, *arrays, scalars=(), kwscalars=None):
     """The py_wrap_2d equivalent: validate 2-D equal shapes, decode
-    sentinels, run, re-encode.  Returns None on invalid input, like the
-    reference binding."""
+    sentinels, run the jit-compiled operator, re-encode.  Returns None on
+    invalid input, like the reference binding."""
     npa = [np.asarray(a, dtype=np.float32) for a in arrays]
     if npa[0].ndim != 2 or any(a.shape != npa[0].shape for a in npa[1:]):
         return None
-    fields = [from_sentinel(a, undef) for a in npa]
+    fn = _compiled(op, float(undef), tuple(_canon(s) for s in scalars),
+                   tuple(sorted((kwscalars or {}).items())))
     try:
-        out = op(*fields, *scalars, **(kwscalars or {}))
+        out = fn(*npa)
     except ValueError:
         return None  # reference operators signal bad parameters with false
-    return np.asarray(out.to_sentinel(undef))
+    if isinstance(out, tuple):
+        return tuple(np.asarray(o) for o in out)
+    return np.asarray(out)
 
 
 def kIndex(t500, t700, rh700, t850, rh850, p500: float, p700: float,
@@ -242,17 +275,7 @@ def alevelducting(t, h, p, compute: int, undef: float = UNDEF):
 
 def ilevelgwind(mpot, xmapr, ymapr, fcoriolis, undef: float = UNDEF):
     """Returns (ug, vg) — the reference fills two output arrays."""
-    npa = [np.asarray(a, dtype=np.float32)
-           for a in (mpot, xmapr, ymapr, fcoriolis)]
-    if npa[0].ndim != 2 or any(a.shape != npa[0].shape for a in npa[1:]):
-        return None
-    fields = [from_sentinel(a, undef) for a in npa]
-    try:
-        ug, vg = ops.ilevelgwind(*fields)
-    except ValueError:
-        return None
-    return (np.asarray(ug.to_sentinel(undef)),
-            np.asarray(vg.to_sentinel(undef)))
+    return _wrap(ops.ilevelgwind, undef, mpot, xmapr, ymapr, fcoriolis)
 
 
 def vectorabs(u, v, undef: float = UNDEF):
@@ -282,8 +305,15 @@ def gradient(field, xmapr, ymapr, compute: int, undef: float = UNDEF):
 
 
 def shapiro2_filter(field, undef: float = UNDEF):
-    return _wrap(ops.shapiro2_filter, undef, field,
-                 kwscalars={"undef": undef})
+    npa = np.asarray(field, np.float32)
+    if npa.ndim != 2:
+        return None
+    # resolve the all-defined fast path host-side (a traced jnp.all would
+    # fail under jit; the reference also branches once per call, cc:2101)
+    all_defined = bool(not np.isnan(npa).any()
+                       and not (npa == np.float32(undef)).any())
+    return _wrap(ops.shapiro2_filter, undef, npa,
+                 kwscalars={"undef": undef, "all_defined": all_defined})
 
 
 def thermalFrontParameter(t, xmapr, ymapr, undef: float = UNDEF):
@@ -368,29 +398,29 @@ def replaceDefined(field, value: float, undef: float = UNDEF):
                  kwscalars={"undef": undef})
 
 
-def fieldOPERfield(compute: int, field1, field2, undef: float = UNDEF):
-    npa = [np.asarray(a, np.float32) for a in (field1, field2)]
-    if npa[0].ndim != 2 or npa[0].shape != npa[1].shape:
+def _wrap_lead(op, undef, lead_scalars, *arrays, scalars=()):
+    """Like :func:`_wrap` but with scalar parameters *before* the fields,
+    matching the reference's ``(compute, ...)``-first signatures."""
+    npa = [np.asarray(a, dtype=np.float32) for a in arrays]
+    if npa[0].ndim != 2 or any(a.shape != npa[0].shape for a in npa[1:]):
         return None
+    fn = _compiled(op, float(undef), tuple(_canon(s) for s in scalars), (),
+                   tuple(_canon(s) for s in lead_scalars))
     try:
-        out = ops.field_oper_field(compute, *[from_sentinel(a, undef)
-                                              for a in npa])
+        return np.asarray(fn(*npa))
     except ValueError:
         return None
-    return np.asarray(out.to_sentinel(undef))
+
+
+def fieldOPERfield(compute: int, field1, field2, undef: float = UNDEF):
+    return _wrap_lead(ops.field_oper_field, undef, (compute,),
+                      field1, field2)
 
 
 def fieldOPERconstant(compute: int, field, value: float,
                       undef: float = UNDEF):
-    npa = np.asarray(field, np.float32)
-    if npa.ndim != 2:
-        return None
-    try:
-        out = ops.field_oper_constant(compute, from_sentinel(npa, undef),
-                                      value)
-    except ValueError:
-        return None
-    return np.asarray(out.to_sentinel(undef))
+    return _wrap_lead(ops.field_oper_constant, undef, (compute,), field,
+                      scalars=(value,))
 
 
 def constantOPERfield(compute: int, value: float, field,
@@ -398,25 +428,27 @@ def constantOPERfield(compute: int, value: float, field,
     npa = np.asarray(field, np.float32)
     if npa.ndim != 2:
         return None
+    fn = _compiled(ops.constant_oper_field, float(undef), (), (),
+                   (compute, value))
     try:
-        out = ops.constant_oper_field(compute, value,
-                                      from_sentinel(npa, undef))
+        return np.asarray(fn(npa))
     except ValueError:
         return None
-    return np.asarray(out.to_sentinel(undef))
 
 
-def _wrap_members(op, undef, fields, *extra, scalars=()):
+def _wrap_members(op, undef, fields, lead_scalars=(), scalars=()):
+    """Ensemble wrapper: stack member fields on a leading axis and run the
+    jitted reduction (``op(*lead_scalars, stack, *scalars)``)."""
     npa = [np.asarray(a, np.float32) for a in fields]
     if not npa or npa[0].ndim != 2 \
             or any(a.shape != npa[0].shape for a in npa[1:]):
         return None
-    stack = from_sentinel(np.stack(npa), undef)
+    fn = _compiled(op, float(undef), tuple(_canon(s) for s in scalars), (),
+                   tuple(_canon(s) for s in lead_scalars))
     try:
-        out = op(*extra, stack, *scalars) if extra or scalars else op(stack)
+        return np.asarray(fn(np.stack(npa)))
     except ValueError:
         return None
-    return np.asarray(out.to_sentinel(undef))
 
 
 def sumFields(fields, undef: float = UNDEF):
@@ -432,15 +464,16 @@ def stddevValue(fields, fDefinedIn=None, undef: float = UNDEF):
 
 
 def extremeValue(compute: int, fields, undef: float = UNDEF):
-    return _wrap_members(lambda s: ops.extreme_value(compute, s), undef,
-                         fields)
+    return _wrap_members(ops.extreme_value, undef, fields,
+                         lead_scalars=(compute,))
 
 
 def probability(compute: int, fields, fDefinedIn, limits,
                 undef: float = UNDEF):
     return _wrap_members(
-        lambda s: ops.probability(compute, s, list(limits),
-                                  member_defined=fDefinedIn), undef, fields)
+        ops.probability, undef, fields, lead_scalars=(compute,),
+        scalars=(tuple(limits),
+                 tuple(ValuesDefined(int(d)) for d in fDefinedIn)))
 
 
 def neighbourProbFunctions(field, constants, compute: int,
