@@ -117,29 +117,30 @@ def _lookup(tab_ref, idx):
     return out
 
 
-def _colfix(a):
-    """fillEdges column patch: col 0 <- col 1, col nx-1 <- col nx-2."""
-    nx = a.shape[-1]
-    c = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+def _colfix(a, cx0, nxg):
+    """fillEdges column patch at *physical* columns 0 / nxg-1; ``cx0`` is
+    the global x of lane 0 (0 single-device; a traced shard offset when
+    sharded)."""
+    c = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1) + cx0
     a = jnp.where(c == 0, _xshift(a, 1), a)
-    return jnp.where(c == nx - 1, _xshift(a, -1), a)
+    return jnp.where(c == nxg - 1, _xshift(a, -1), a)
 
 
-def _rowfix(a, gy0, ny):
-    """fillEdges row patch at *physical* rows 0 / ny-1 (global row of the
+def _rowfix(a, gy0, nyg):
+    """fillEdges row patch at *physical* rows 0 / nyg-1 (global row of the
     tile's first sublane is ``gy0``)."""
     rows = a.shape[0]
     r = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + gy0
     dn = _roll(a, rows - 1, axis=0)   # row k <- row k+1
     up = _roll(a, 1, axis=0)          # row k <- row k-1
     a = jnp.where(r == 0, dn, a)
-    return jnp.where(r == ny - 1, up, a)
+    return jnp.where(r == nyg - 1, up, a)
 
 
-def _fill(a, gy0, ny):
+def _fill(a, gy0, nyg, cx0, nxg):
     if _V("MF_FUSED_NO_FILLS"):
         return a
-    return _rowfix(_colfix(a), gy0, ny)
+    return _rowfix(_colfix(a, cx0, nxg), gy0, nyg)
 
 
 def _esat(tab_ref, tk):
@@ -171,8 +172,8 @@ def _ewt_inverse(tab_ref, et, l):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(ny, nx, TY, nlev,
-            alev_ref, blev_ref,
+def _kernel(ny, nx, TY, nlev, nyg, nxg,
+            alev_ref, blev_ref, off_ref,
             # inputs
             tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n, q_c,
             tkm_c, tkm_p, tkm_n, um_c, um_p, um_n, vm_c, qm_c,
@@ -184,7 +185,11 @@ def _kernel(ny, nx, TY, nlev,
             m_gt, m_tf):
     j = pl.program_id(0)
     lev = pl.program_id(1)
-    gy0 = j * TY
+    # global coordinates of this block's first row / first lane: offsets
+    # are (0, 0) single-device, or the shard's halo-adjusted position when
+    # the kernel runs per-shard inside shard_map
+    gy0 = off_ref[0] + j * TY
+    cx0 = off_ref[1]
 
     def ext(center, prev8, next8):
         """TY+4-row extended tile: rows gy0-2 .. gy0+TY+1."""
@@ -277,21 +282,21 @@ def _kernel(ny, nx, TY, nlev,
     vort = (half * xmv * (_xshift(c_(ve), 1) - _xshift(c_(ve), -1))
             - half * ymv * (yp1(ue) - ym1(ue)))
     vort_m = (_xshift(vm, -1) & _xshift(vm, 1) & ym1(ume) & yp1(ume))
-    vort_mf = _fill(vort_m, gy0, ny)
-    o_vo[0] = _fill(vort, gy0, ny)
+    vort_mf = _fill(vort_m, gy0, nyg, cx0, nxg)
+    o_vo[0] = _fill(vort, gy0, nyg, cx0, nxg)
     m_vo[0] = vort_mf != 0
 
     dive = (half * xmv * (_xshift(c_(ue), 1) - _xshift(c_(ue), -1))
             + half * ymv * (yp1(ve) - ym1(ve)))
-    o_dv[0] = _fill(dive, gy0, ny)
+    o_dv[0] = _fill(dive, gy0, nyg, cx0, nxg)
     m_dv[0] = vort_mf != 0               # reference quirk: vort's inputs
 
     adv = (uv * half * xmv * (_xshift(c_(tke), 1) - _xshift(c_(tke), -1))
            + vv * half * ymv * (yp1(tke) - ym1(tke))) * _f32(-3600.0)
     adv_m = (um & vm & _xshift(tkm, -1) & _xshift(tkm, 1)
              & ym1(tkme) & yp1(tkme))
-    o_ad[0] = _fill(adv, gy0, ny)
-    m_ad[0] = _fill(adv_m, gy0, ny) != 0
+    o_ad[0] = _fill(adv, gy0, nyg, cx0, nxg)
+    m_ad[0] = _fill(adv_m, gy0, nyg, cx0, nxg) != 0
 
     # ---- |grad T| on the TY+2-row window, then TFP ------------------------
     # absd index k is global row gy0-1+k.
@@ -302,8 +307,8 @@ def _kernel(ny, nx, TY, nlev,
     absd = jnp.sqrt(dfdx * dfdx + dfdy * dfdy)
     absd_m = (_xshift(tkme[1:TY + 3], -1) & _xshift(tkme[1:TY + 3], 1)
               & tkme[0:TY + 2] & tkme[2:TY + 4])
-    absd = _fill(absd, gy0 - 1, ny)
-    absd_m = _fill(absd_m, gy0 - 1, ny)
+    absd = _fill(absd, gy0 - 1, nyg, cx0, nxg)
+    absd_m = _fill(absd_m, gy0 - 1, nyg, cx0, nxg)
 
     o_gt[0] = absd[1:TY + 1]
     m_gt[0] = absd_m[1:TY + 1] != 0
@@ -320,19 +325,22 @@ def _kernel(ny, nx, TY, nlev,
     tfp_m = (ym1(tkme) & _xshift(tkm, 1) & _xshift(tkm, -1) & yp1(tkme)
              & absd_m[0:TY] & _xshift(am_c, 1) & am_c & _xshift(am_c, -1)
              & absd_m[2:TY + 2] & nonzero.astype(jnp.int32))
-    o_tf[0] = _fill(tfp, gy0, ny)
-    m_tf[0] = _fill(tfp_m, gy0, ny) != 0
+    o_tf[0] = _fill(tfp, gy0, nyg, cx0, nxg)
+    m_tf[0] = _fill(tfp_m, gy0, nyg, cx0, nxg) != 0
 
 
 # ---------------------------------------------------------------------------
 # host-side wrapper
 # ---------------------------------------------------------------------------
 
-def _pick_ty(ny: int) -> int:
-    """Row-tile height: multiple of 8, and (ny-1) % TY != 0 so the physical
-    last-row fill can read row ny-2 from the same tile."""
+def _pick_ty(ny: int, last_row: int = -1) -> int:
+    """Row-tile height: multiple of 8, with the row that receives the
+    physical last-row fill (``last_row``, default ny-1) NOT on a tile
+    boundary so its source row stays in the same tile."""
+    if last_row < 0:
+        last_row = ny - 1
     for ty in (32, 24, 40, 16, 48, 8):
-        if ty <= ny and (ny - 1) % ty != 0:
+        if ty <= ny and last_row % ty != 0:
             return ty
     # small/awkward ny: one padded tile keeps every fill source local too
     ty = -(-max(ny, 3) // 8) * 8
@@ -345,17 +353,30 @@ def fused_supported(ny: int, nx: int) -> bool:
     return ny >= 3 and nx >= 3 and _pick_ty(ny) > 0 and nx <= 4096
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "global_shape"))
 def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                          alevel, blevel, xmapr, ymapr, fcoriolis,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         global_shape=None, grid_offsets=None):
     """Fused single-pass equivalent of
     :func:`mi_fieldcalc_tpu.models.derived_fields` (same signature, same
-    :class:`DerivedFields` result)."""
+    :class:`DerivedFields` result).
+
+    For per-shard execution inside ``shard_map``: ``global_shape`` is the
+    static global ``(ny, nx)`` and ``grid_offsets`` the shard's traced
+    ``(row, col)`` position of local element (0, 0) in global coordinates
+    (negative at halo rows) — the physical-edge fills then fire only on
+    shards that actually touch the domain boundary.
+    """
     from ..models.pipeline import DerivedFields
 
     nlev, ny, nx = tk.values.shape
-    TY = _pick_ty(ny)
+    nyg, nxg = global_shape if global_shape is not None else (ny, nx)
+    # local row that receives the "row nyg-1 <- nyg-2" fill: for a bottom
+    # shard, global nyg-1 sits `halo` rows above the local end
+    last_local = ny - 1 - ((ny - 1) - (nyg - 1)) if global_shape is None \
+        else ny - 3
+    TY = _pick_ty(ny, last_local)
     if TY == 0:
         raise ValueError("derived_fields_fused: unsupported grid size")
     jy = -(-ny // TY)
@@ -412,7 +433,7 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
     ]
     out_specs = tuple([c3() for _ in range(24)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(jy, nlev),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -421,13 +442,16 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
     xm2 = jnp.broadcast_to(jnp.asarray(xmapr, jnp.float32), (ny, nx))
     ym2 = jnp.broadcast_to(jnp.asarray(ymapr, jnp.float32), (ny, nx))
     del fcoriolis  # unused by the 12 pipeline outputs
+    offs = (jnp.zeros(2, jnp.int32) if grid_offsets is None
+            else jnp.asarray(grid_offsets, jnp.int32))
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, ny, nx, TY, nlev),
+        functools.partial(_kernel, ny, nx, TY, nlev, nyg, nxg),
         grid_spec=grid_spec,
         out_shape=tuple([f32_3d] * 12 + [b_3d] * 12),
         interpret=interpret,
     )(jnp.asarray(alevel, jnp.float32), jnp.asarray(blevel, jnp.float32),
+      offs,
       tk.values, tk.values, tk.values, u.values, u.values, u.values,
       v.values, v.values, v.values, q.values,
       tk.mask, tk.mask, tk.mask, u.mask, u.mask, u.mask, v.mask, q.mask,
