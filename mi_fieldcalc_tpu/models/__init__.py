@@ -10,4 +10,5 @@ between operators instead of round-tripping HBM per op.
 
 from .pipeline import (  # noqa: F401
     DerivedFields, derived_fields, derived_fields_plevel,
+    derived_fields_isobaric, STANDARD_PLEVELS,
 )

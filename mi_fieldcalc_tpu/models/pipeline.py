@@ -38,7 +38,7 @@ from ..ops import (
 )
 
 __all__ = ["DerivedFields", "derived_fields", "derived_fields_plevel",
-           "RADIUS"]
+           "derived_fields_isobaric", "STANDARD_PLEVELS", "RADIUS"]
 
 #: Composed stencil radius of the pipeline (TFP = gradient ∘ gradient).
 RADIUS = 2
@@ -98,6 +98,57 @@ def derived_fields(tk: Field, q: Field, u: Field, v: Field, ps: Field,
     gradt = gradient(tk, xm, ym, compute=3)
     tfp = thermal_front_parameter(tk, xm, ym)
 
+    return DerivedFields(p=p, th=th, rh=rh, td=td, thetae=thetae,
+                         ducting=ducting, wspeed=wspeed, vort=vort, div=div,
+                         tadv=tadv, gradt=gradt, tfp=tfp)
+
+
+#: Standard isobaric surfaces for the 3-D vertical pipeline (hPa).
+STANDARD_PLEVELS = (1000.0, 925.0, 850.0, 700.0, 500.0, 400.0, 300.0,
+                    250.0, 200.0, 150.0, 100.0)
+
+
+def derived_fields_isobaric(tk: Field, q: Field, u: Field, v: Field,
+                            ps: Field, alevel: jax.Array, blevel: jax.Array,
+                            xmapr: jax.Array, ymapr: jax.Array,
+                            fcoriolis: jax.Array,
+                            plevels=STANDARD_PLEVELS) -> DerivedFields:
+    """The 3-D vertical pipeline (BASELINE.json config 4): interpolate the
+    prognostic fields from hybrid model levels to standard isobaric
+    surfaces (log-p linear, mask-aware — ops/vertical.py), then run the
+    full derived-field suite on the interpolated stack.  One jittable
+    program; the interpolation's level reductions fuse with the
+    elementwise suite under XLA."""
+    from ..ops import hlevel_to_plevel
+
+    nlev = tk.values.shape[0]
+    tki = hlevel_to_plevel(tk, ps, alevel, blevel, plevels)
+    qi = hlevel_to_plevel(q, ps, alevel, blevel, plevels)
+    ui = hlevel_to_plevel(u, ps, alevel, blevel, plevels)
+    vi = hlevel_to_plevel(v, ps, alevel, blevel, plevels)
+    # constant-pressure "field" per target level; defined everywhere
+    np_ = len(plevels)
+    pvals = jnp.asarray(plevels, jnp.float32).reshape(np_, 1, 1)
+    p = Field(jnp.broadcast_to(pvals, tki.values.shape),
+              jnp.ones(tki.values.shape, bool))
+
+    def bcast(arr):
+        arr = jnp.asarray(arr, jnp.float32)
+        return jnp.broadcast_to(arr, tki.values.shape) if arr.ndim == 2 else arr
+
+    xm, ym = bcast(xmapr), bcast(ymapr)
+
+    th = aleveltemp(tki, p, compute=3)
+    rh = alevelhum(tki, qi, p, compute=1)
+    td = alevelhum(tki, qi, p, compute=9)
+    thetae = alevelthe(tki, qi, p, compute=1)
+    ducting = alevelducting(tki, qi, p, compute=1)
+    wspeed = vectorabs(ui, vi)
+    vort = relvort(ui, vi, xm, ym)
+    div = divergence(ui, vi, xm, ym)
+    tadv = advection(tki, ui, vi, xm, ym, hours=1.0)
+    gradt = gradient(tki, xm, ym, compute=3)
+    tfp = thermal_front_parameter(tki, xm, ym)
     return DerivedFields(p=p, th=th, rh=rh, td=td, thetae=thetae,
                          ducting=ducting, wspeed=wspeed, vort=vort, div=div,
                          tadv=tadv, gradt=gradt, tfp=tfp)

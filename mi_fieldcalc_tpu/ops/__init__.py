@@ -34,3 +34,6 @@ from .icing import (  # noqa: F401
     vessel_icing_overland, vessel_icing_mertins, vessel_icing_modstall,
     vessel_icing_mincog,
 )
+from .vertical import (  # noqa: F401
+    plevel_interp, hlevel_to_plevel,
+)
