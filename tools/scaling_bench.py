@@ -1,0 +1,102 @@
+"""Weak-scaling harness for the sharded derived-field pipeline.
+
+BASELINE.json configs 3/5: domain-decomposed pipeline with halo exchange
+over ICI, weak scaling 1 chip -> N chips (fixed per-device block, global
+grid grows with the mesh).  On a real TPU slice this reports the
+weak-scaling efficiency headline; on the CPU backend
+(``JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8``)
+it validates the harness end-to-end.
+
+Usage::
+
+    python tools/scaling_bench.py [--local-ny 360] [--local-nx 360]
+                                  [--nlev 16] [--iters 10]
+
+Prints one JSON line per mesh size with points/s and efficiency relative
+to the single-device run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--local-ny", type=int, default=360)
+    ap.add_argument("--local-nx", type=int, default=360)
+    ap.add_argument("--nlev", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cpu", type=int, default=0, metavar="N",
+                    help="force an N-device virtual CPU mesh (the axon "
+                         "plugin pins the platform, so the env var alone "
+                         "is not enough)")
+    args_ns = ap.parse_args()
+
+    if args_ns.cpu:
+        import os
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   f" --xla_force_host_platform_device_count="
+                                   f"{args_ns.cpu}")
+    import jax
+    if args_ns.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import numpy as np
+    from __graft_entry__ import _example_inputs
+    from mi_fieldcalc_tpu.models import derived_fields
+    from mi_fieldcalc_tpu.models.pipeline import RADIUS
+    from mi_fieldcalc_tpu.parallel import grid_mesh, run_sharded
+    from mi_fieldcalc_tpu.parallel.fused import derived_fields_fused_sharded
+
+    ndev_all = len(jax.devices())
+    on_tpu = jax.devices()[0].platform == "tpu"
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev_all]
+
+    base_pps = None
+    for n in sizes:
+        gy = int(np.sqrt(n))
+        while n % gy:
+            gy -= 1
+        gx = n // gy
+        ny, nx = args_ns.local_ny * gy, args_ns.local_nx * gx
+        mesh = grid_mesh((1, gy, gx), devices=jax.devices()[:n])
+        inp = list(jax.device_put(_example_inputs(args_ns.nlev, ny, nx)))
+        import jax.numpy as jnp
+        xm2 = jnp.broadcast_to(inp[7], (ny, nx))
+        ym2 = jnp.broadcast_to(inp[8], (ny, nx))
+        fc2 = jnp.broadcast_to(inp[9], (ny, nx))
+
+        if on_tpu:
+            step = lambda: derived_fields_fused_sharded(
+                mesh, *inp[:7], xm2, ym2, fc2)
+        else:
+            fn = jax.jit(lambda *a: run_sharded(
+                derived_fields, mesh, RADIUS, *a))
+            step = lambda: fn(*inp)
+
+        out = step()
+        _ = float(out.tfp.values[0, 0, 0])   # drain queue
+        t0 = time.perf_counter()
+        for _ in range(args_ns.iters):
+            out = step()
+        _ = float(out.tfp.values[0, 0, 0])
+        dt = (time.perf_counter() - t0) / args_ns.iters
+        pts = args_ns.nlev * ny * nx
+        pps = pts / dt
+        if base_pps is None:
+            base_pps = pps
+        print(json.dumps({
+            "devices": n, "mesh": [1, gy, gx], "grid": [args_ns.nlev, ny, nx],
+            "points_per_sec": round(pps, 1), "ms_per_step": round(dt * 1e3, 2),
+            "weak_scaling_efficiency": round(pps / (base_pps * n), 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
