@@ -353,11 +353,13 @@ def fused_supported(ny: int, nx: int) -> bool:
     return ny >= 3 and nx >= 3 and _pick_ty(ny) > 0 and nx <= 4096
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "global_shape"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "global_shape", "halo_rows"))
 def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                          alevel, blevel, xmapr, ymapr, fcoriolis,
                          interpret: bool = False,
-                         global_shape=None, grid_offsets=None):
+                         global_shape=None, grid_offsets=None,
+                         halo_rows: int = 2):
     """Fused single-pass equivalent of
     :func:`mi_fieldcalc_tpu.models.derived_fields` (same signature, same
     :class:`DerivedFields` result).
@@ -366,16 +368,18 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
     static global ``(ny, nx)`` and ``grid_offsets`` the shard's traced
     ``(row, col)`` position of local element (0, 0) in global coordinates
     (negative at halo rows) — the physical-edge fills then fire only on
-    shards that actually touch the domain boundary.
+    shards that actually touch the domain boundary.  ``halo_rows`` is how
+    many of the trailing local rows are halo (used only to keep the
+    bottom-shard fill-source row inside one tile); pass 0 for the
+    overlap path's unpadded interior block.
     """
     from ..models.pipeline import DerivedFields
 
     nlev, ny, nx = tk.values.shape
     nyg, nxg = global_shape if global_shape is not None else (ny, nx)
     # local row that receives the "row nyg-1 <- nyg-2" fill: for a bottom
-    # shard, global nyg-1 sits `halo` rows above the local end
-    last_local = ny - 1 - ((ny - 1) - (nyg - 1)) if global_shape is None \
-        else ny - 3
+    # shard, global nyg-1 sits `halo_rows` above the local end
+    last_local = ny - 1 if global_shape is None else ny - 1 - halo_rows
     TY = _pick_ty(ny, last_local)
     if TY == 0:
         raise ValueError("derived_fields_fused: unsupported grid size")

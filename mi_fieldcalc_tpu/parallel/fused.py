@@ -44,13 +44,20 @@ RADIUS = 2
 def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
                                  v: Field, ps: Field, alevel, blevel,
                                  xmapr, ymapr, fcoriolis,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 overlap: bool = False):
     """Run the fused pipeline kernel per-shard over ``mesh``.
 
     Arguments as :func:`..models.pipeline.derived_fields`; ``xmapr`` /
     ``ymapr`` must be ``(ny, nx)`` arrays (map factors are per-point
     fields in any real projection).  Returns a sharded
     :class:`DerivedFields`.
+
+    ``overlap=True`` (gy-decomposed meshes, ``gx == 1``) hides the halo
+    latency: the kernel runs on the *unpadded* local block concurrently
+    with the 2-row ``ppermute`` strips, and only the 2 seam rows per side
+    are recomputed from 8-row strip kernels and patched in — the interior
+    pass has no data dependence on the collective, so XLA overlaps them.
     """
     nyg, nxg = tk.values.shape[-2:]
     args = (tk, q, u, v, ps, jnp.asarray(alevel, jnp.float32),
@@ -58,7 +65,14 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
             jnp.asarray(xmapr, jnp.float32), jnp.asarray(ymapr, jnp.float32),
             jnp.asarray(fcoriolis, jnp.float32))
     leaves = tuple(jax.tree_util.tree_flatten(args)[0])
-    fn = _sharded_fn(mesh, (nyg, nxg), bool(interpret))
+    if overlap:
+        names = mesh.axis_names
+        if ("gx" in names and mesh.shape["gx"] > 1) or "gy" not in names:
+            raise ValueError("overlap mode needs a gy-only spatial "
+                             "decomposition (gx == 1)")
+        fn = _sharded_fn_overlap(mesh, (nyg, nxg), bool(interpret))
+    else:
+        fn = _sharded_fn(mesh, (nyg, nxg), bool(interpret))
     return fn(leaves)
 
 
@@ -111,3 +125,121 @@ def _sharded_fn(mesh: Mesh, global_shape, interpret: bool):
 _TREEDEF = jax.tree_util.tree_structure(
     (Field(0, 0), Field(0, 0), Field(0, 0), Field(0, 0), Field(0, 0),
      0, 0, 0, 0, 0))
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
+    """Overlapped variant: interior kernel on the unpadded block runs
+    concurrently with the seam-strip exchange; 2 rows per seam side are
+    recomputed from 8-row strips and patched in."""
+    nyg, nxg = global_shape
+    gy = mesh.shape["gy"]
+
+    def body(leaves):
+        tk, q, u, v, ps, al, bl, xm, ym, fc = \
+            jax.tree_util.tree_unflatten(_TREEDEF, leaves)
+        ny_loc = tk.values.shape[-2]
+        if ny_loc < 8:
+            raise ValueError("overlap mode needs >= 8 local rows")
+        iy = lax.axis_index("gy")
+        row0 = iy * ny_loc
+
+        fwd = [(i, i + 1) for i in range(gy - 1)]
+        bwd = [(i + 1, i) for i in range(gy - 1)]
+
+        def strips(a):
+            """(rows from the shard above, rows from the shard below)."""
+            a8 = a.astype(jnp.int8) if a.dtype == jnp.bool_ else a
+            lo = lax.slice_in_dim(a8, 0, RADIUS, axis=a.ndim - 2)
+            hi = lax.slice_in_dim(a8, ny_loc - RADIUS, ny_loc,
+                                  axis=a.ndim - 2)
+            top = lax.ppermute(hi, "gy", fwd)
+            bot = lax.ppermute(lo, "gy", bwd)
+            if a.dtype == jnp.bool_:
+                return top != 0, bot != 0
+            return top, bot
+
+        def fstrips(f):
+            tv, bv = strips(f.values)
+            tm, bm = strips(f.mask)
+            return (tv, tm), (bv, bm)
+
+        (tk_t, tk_b), (q_t, q_b), (u_t, u_b), (v_t, v_b), (ps_t, ps_b) = \
+            [fstrips(f) for f in (tk, q, u, v, ps)]
+        xm_t, xm_b = strips(xm)
+        ym_t, ym_b = strips(ym)
+        fc_t, fc_b = strips(fc)
+
+        # interior: no halo, no dependence on the ppermutes above
+        offs0 = jnp.stack([row0, 0]).astype(jnp.int32)
+        interior = derived_fields_fused(
+            tk, q, u, v, ps, al, bl, xm, ym, fc, interpret=interpret,
+            global_shape=(nyg, nxg), grid_offsets=offs0, halo_rows=0)
+
+        ax = tk.values.ndim - 2
+
+        def sl(a, lo, hi):
+            return lax.slice_in_dim(a, lo, hi, axis=a.ndim - 2)
+
+        def strip_field(f, halo, local_rows):
+            hv, hm = halo
+            lo, hi = local_rows
+            axv = f.values.ndim - 2
+            if lo is None:   # bottom strip: local rows first, halo last
+                return Field(
+                    jnp.concatenate([sl(f.values, ny_loc - 6, ny_loc), hv],
+                                    axis=axv),
+                    jnp.concatenate([sl(f.mask, ny_loc - 6, ny_loc), hm],
+                                    axis=axv))
+            return Field(
+                jnp.concatenate([hv, sl(f.values, 0, 6)], axis=axv),
+                jnp.concatenate([hm, sl(f.mask, 0, 6)], axis=axv))
+
+        def strip2(a, halo, top):
+            if top:
+                return jnp.concatenate([halo, a[..., 0:6, :]], axis=-2)
+            return jnp.concatenate([a[..., ny_loc - 6:ny_loc, :], halo],
+                                   axis=-2)
+
+        # top seam: rows [row0-2, row0+6); harvest local rows 0..1
+        top_out = derived_fields_fused(
+            strip_field(tk, tk_t, (0, 6)), strip_field(q, q_t, (0, 6)),
+            strip_field(u, u_t, (0, 6)), strip_field(v, v_t, (0, 6)),
+            strip_field(ps, ps_t, (0, 6)), al, bl,
+            strip2(xm, xm_t, True), strip2(ym, ym_t, True),
+            strip2(fc, fc_t, True), interpret=interpret,
+            global_shape=(nyg, nxg),
+            grid_offsets=jnp.stack([row0 - RADIUS, 0]).astype(jnp.int32),
+            halo_rows=0)
+        # bottom seam: rows [row0+ny_loc-6, row0+ny_loc+2); harvest the two
+        # rows before the halo
+        bot_out = derived_fields_fused(
+            strip_field(tk, tk_b, (None, None)),
+            strip_field(q, q_b, (None, None)),
+            strip_field(u, u_b, (None, None)),
+            strip_field(v, v_b, (None, None)),
+            strip_field(ps, ps_b, (None, None)), al, bl,
+            strip2(xm, xm_b, False), strip2(ym, ym_b, False),
+            strip2(fc, fc_b, False), interpret=interpret,
+            global_shape=(nyg, nxg),
+            grid_offsets=jnp.stack([row0 + ny_loc - 6, 0]).astype(jnp.int32),
+            halo_rows=0)
+
+        has_above = iy > 0
+        has_below = iy < gy - 1
+
+        def patch(inter, topv, botv):
+            t = jnp.where(has_above, sl(topv, 2, 4), sl(inter, 0, 2))
+            b = jnp.where(has_below, sl(botv, 4, 6),
+                          sl(inter, ny_loc - 2, ny_loc))
+            return jnp.concatenate([t, sl(inter, 2, ny_loc - 2), b], axis=ax)
+
+        return jax.tree_util.tree_map(patch, interior, top_out, bot_out)
+
+    from ..models.pipeline import DerivedFields
+    out_spec = partition_spec(3, mesh)
+    out_specs = DerivedFields(*[Field(out_spec, out_spec)] * 12)
+    in_specs = tuple(partition_spec(nd, mesh)
+                     for nd in [3] * 8 + [2] * 2 + [1] * 2 + [2] * 3)
+    return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
+                             out_specs=out_specs, check_vma=False))

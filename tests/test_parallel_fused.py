@@ -19,21 +19,25 @@ from mi_fieldcalc_tpu.parallel.fused import derived_fields_fused_sharded
 from test_fused import _inputs
 
 
+@pytest.mark.parametrize("overlap", [False, True])
 @pytest.mark.parametrize("mesh_shape,nlev,ny,nx", [
     ((1, 2, 2), 2, 48, 64),
     ((2, 2, 1), 4, 40, 137),    # lev-sharded + y-split, ragged nx
     ((1, 4, 1), 2, 64, 96),     # deep y-split
     ((1, 1, 4), 2, 32, 128),    # x-split only
 ])
-def test_sharded_fused_matches_unsharded(mesh_shape, nlev, ny, nx):
+def test_sharded_fused_matches_unsharded(mesh_shape, nlev, ny, nx, overlap):
     ndev = int(np.prod(mesh_shape))
     if len(jax.devices()) < ndev:
         pytest.skip("not enough devices")
+    if overlap and mesh_shape[2] > 1:
+        pytest.skip("overlap mode is gy-only")
     mesh = grid_mesh(mesh_shape, devices=jax.devices()[:ndev])
     args = _inputs(nlev, ny, nx, seed=ny + nx, undefs=True)
 
     ref = jax.jit(derived_fields)(*args)
-    got = derived_fields_fused_sharded(mesh, *args, interpret=True)
+    got = derived_fields_fused_sharded(mesh, *args, interpret=True,
+                                       overlap=overlap)
 
     for name in ref._fields:
         rv = np.asarray(getattr(ref, name).values)
