@@ -143,6 +143,35 @@ def _fill(a, gy0, nyg, cx0, nxg):
     return _rowfix(_colfix(a, cx0, nxg), gy0, nyg)
 
 
+def _edge_store(ref, value, gy0, cx0, nyg, nxg, TY, nx):
+    """Write output block ``value`` with fillEdges applied: columns via a
+    full-tile select (Mosaic cannot address single lanes dynamically),
+    rows via 2 conditional dynamic-row stores — the physical row patch
+    then costs ~2 row copies instead of a roll + select across every lane
+    of every block.  Columns first, then rows (the row copy picks up the
+    fixed corners), the reference's order (FieldCalculations.cc:59-74).
+    Conditions are global-coordinate predicates, so on sharded runs
+    interior blocks patch nothing and seams stay untouched."""
+    def put(v):
+        ref[0] = (v != 0) if (ref.dtype == jnp.bool_
+                              and v.dtype != jnp.bool_) else v
+
+    if _V("MF_FUSED_NO_FILLS"):
+        put(value)
+        return
+    put(_colfix(value, cx0, nxg))
+
+    @pl.when((gy0 <= 0) & (gy0 + TY > 0))
+    def _():
+        i = -gy0                     # local row of global row 0
+        ref[0, pl.ds(i, 1), :] = ref[0, pl.ds(i + 1, 1), :]
+
+    @pl.when((gy0 <= nyg - 1) & (gy0 + TY > nyg - 1))
+    def _():
+        i = (nyg - 1) - gy0          # local row of global row nyg-1
+        ref[0, pl.ds(i, 1), :] = ref[0, pl.ds(i - 1, 1), :]
+
+
 def _esat(tab_ref, tk):
     """Table-coordinate saturation vapor pressure (MetConstants.h:61-84);
     returns (et, ok, x, l) like :func:`..ops.thermo.esat_table`."""
@@ -282,21 +311,16 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg,
     vort = (half * xmv * (_xshift(c_(ve), 1) - _xshift(c_(ve), -1))
             - half * ymv * (yp1(ue) - ym1(ue)))
     vort_m = (_xshift(vm, -1) & _xshift(vm, 1) & ym1(ume) & yp1(ume))
-    vort_mf = _fill(vort_m, gy0, nyg, cx0, nxg)
-    o_vo[0] = _fill(vort, gy0, nyg, cx0, nxg)
-    m_vo[0] = vort_mf != 0
-
     dive = (half * xmv * (_xshift(c_(ue), 1) - _xshift(c_(ue), -1))
             + half * ymv * (yp1(ve) - ym1(ve)))
-    o_dv[0] = _fill(dive, gy0, nyg, cx0, nxg)
-    m_dv[0] = vort_mf != 0               # reference quirk: vort's inputs
-
     adv = (uv * half * xmv * (_xshift(c_(tke), 1) - _xshift(c_(tke), -1))
            + vv * half * ymv * (yp1(tke) - ym1(tke))) * _f32(-3600.0)
     adv_m = (um & vm & _xshift(tkm, -1) & _xshift(tkm, 1)
              & ym1(tkme) & yp1(tkme))
-    o_ad[0] = _fill(adv, gy0, nyg, cx0, nxg)
-    m_ad[0] = _fill(adv_m, gy0, nyg, cx0, nxg) != 0
+    for ref, val in ((o_vo, vort), (m_vo, vort_m), (o_dv, dive),
+                     (m_dv, vort_m),   # reference quirk: vort's inputs
+                     (o_ad, adv), (m_ad, adv_m)):
+        _edge_store(ref, val, gy0, cx0, nyg, nxg, TY, nx)
 
     # ---- |grad T| on the TY+2-row window, then TFP ------------------------
     # absd index k is global row gy0-1+k.
@@ -325,8 +349,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg,
     tfp_m = (ym1(tkme) & _xshift(tkm, 1) & _xshift(tkm, -1) & yp1(tkme)
              & absd_m[0:TY] & _xshift(am_c, 1) & am_c & _xshift(am_c, -1)
              & absd_m[2:TY + 2] & nonzero.astype(jnp.int32))
-    o_tf[0] = _fill(tfp, gy0, nyg, cx0, nxg)
-    m_tf[0] = _fill(tfp_m, gy0, nyg, cx0, nxg) != 0
+    _edge_store(o_tf, tfp, gy0, cx0, nyg, nxg, TY, nx)
+    _edge_store(m_tf, tfp_m, gy0, cx0, nyg, nxg, TY, nx)
 
 
 # ---------------------------------------------------------------------------
