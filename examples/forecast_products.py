@@ -1,0 +1,91 @@
+"""End-to-end tour: derived forecast products three ways.
+
+1. the drop-in numpy API (what existing mi-fieldcalc users call),
+2. the native Field surface, batched over levels and jitted,
+3. the sharded fused pipeline over a device mesh.
+
+Runs anywhere (CPU included): ``python examples/forecast_products.py``.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def synthetic_state(nlev=10, ny=96, nx=128, seed=0):
+    """A vaguely atmospheric synthetic model state on hybrid levels."""
+    rng = np.random.default_rng(seed)
+    yy = np.linspace(-1, 1, ny)[:, None]
+    xx = np.linspace(-1, 1, nx)[None, :]
+    blob = np.exp(-(yy ** 2 + xx ** 2) * 3).astype(np.float32)
+    lev = np.linspace(0.3, 1.0, nlev)[:, None, None].astype(np.float32)
+    tk = 220 + 70 * lev + 8 * blob[None] \
+        + rng.normal(0, 0.5, (nlev, ny, nx)).astype(np.float32)
+    q = (1e-3 * lev * (1 + blob[None])).astype(np.float32)
+    u = 15 * (1 - lev) + 5 * np.gradient(blob, axis=0)[None]
+    v = 5 * np.gradient(blob, axis=1)[None] * np.ones_like(lev)
+    ps = (1000 + 12 * blob).astype(np.float32)
+    alevel = np.linspace(20.0, 0.0, nlev).astype(np.float32)
+    blevel = np.linspace(0.25, 1.0, nlev).astype(np.float32)
+    mapr = np.full((ny, nx), 4e-7, np.float32)
+    fcor = np.full((ny, nx), 1.2e-4, np.float32)
+    # a patch of missing data (e.g. satellite gap)
+    tk[:, 10:14, 20:26] = 1.0e35
+    return (tk.astype(np.float32), q, u.astype(np.float32),
+            v.astype(np.float32), ps, alevel, blevel, mapr, fcor)
+
+
+def main():
+    tk, q, u, v, ps, alevel, blevel, mapr, fcor = synthetic_state()
+    nlev, ny, nx = tk.shape
+
+    # -- 1. drop-in numpy API (one level at a time, like the reference) --
+    import mi_fieldcalc_tpu.api as fc
+    rh0 = fc.hlevelhum(tk[-1], q[-1], ps, float(alevel[-1]),
+                       float(blevel[-1]), "kelvin", 1)
+    chill = fc.windCooling(tk[-1], u[-1], v[-1], 1)
+    print(f"lowest-level RH%:   mean {np.nanmean(rh0[rh0 < 1e34]):6.1f}")
+    print(f"wind chill (K):     min  {chill[chill < 1e34].min():6.1f}")
+
+    # -- 2. native surface: all levels in one jitted program -------------
+    from mi_fieldcalc_tpu import from_sentinel
+    from mi_fieldcalc_tpu.models import derived_fields, derived_fields_isobaric
+
+    fields = (from_sentinel(tk), from_sentinel(q), from_sentinel(u),
+              from_sentinel(v), from_sentinel(ps))
+    coefs = (jnp.asarray(alevel), jnp.asarray(blevel))
+    geo = (jnp.asarray(mapr), jnp.asarray(mapr), jnp.asarray(fcor))
+
+    out = jax.jit(derived_fields)(*fields, *coefs, *geo)
+    thetae = np.asarray(out.thetae.to_sentinel())
+    print(f"theta_e (K):        max  {thetae[thetae < 1e34].max():6.1f} "
+          f"({int((thetae >= 1e34).sum())} undef pts propagate the gap)")
+
+    iso = jax.jit(lambda *a: derived_fields_isobaric(
+        *a, plevels=(850.0, 500.0)))(*fields, *coefs, *geo)
+    print(f"850 hPa dewpoint:   mean "
+          f"{np.asarray(iso.td.values)[0][np.asarray(iso.td.mask)[0]].mean():6.1f} K")
+
+    # -- 3. sharded: same math, domain-decomposed over every device ------
+    from mi_fieldcalc_tpu.parallel import grid_mesh
+    from mi_fieldcalc_tpu.parallel.fused import derived_fields_fused_sharded
+
+    n = len(jax.devices())
+    gy = int(np.sqrt(n))
+    while n % gy:
+        gy -= 1
+    mesh = grid_mesh((1, gy, n // gy))
+    interp = jax.devices()[0].platform != "tpu"
+    sh = derived_fields_fused_sharded(mesh, *fields, *coefs,
+                                      jnp.asarray(mapr), jnp.asarray(mapr),
+                                      jnp.asarray(fcor), interpret=interp)
+    agree = np.allclose(
+        np.asarray(sh.vort.values)[np.asarray(out.vort.mask)],
+        np.asarray(out.vort.values)[np.asarray(out.vort.mask)], rtol=2e-5)
+    print(f"sharded over {n} device(s) [{mesh.shape}] — matches single-"
+          f"device vorticity: {agree}")
+
+
+if __name__ == "__main__":
+    main()

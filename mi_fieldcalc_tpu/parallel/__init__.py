@@ -11,3 +11,4 @@ domain edges — never at shard seams.
 
 from .mesh import grid_mesh, partition_spec  # noqa: F401
 from .halo import halo_exchange, run_sharded  # noqa: F401
+from . import distributed  # noqa: F401

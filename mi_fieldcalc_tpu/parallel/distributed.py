@@ -1,0 +1,80 @@
+"""Multi-host runtime: initialization and mesh construction across hosts.
+
+The reference is a single-process library (OpenMP threads only — SURVEY
+§2.7); its TPU-native equivalent spans hosts with the JAX distributed
+runtime: every host runs the same program, ``jax.distributed.initialize``
+wires the processes into one global device set, and the ``(lev, gy, gx)``
+mesh from :func:`..parallel.mesh.grid_mesh` then covers all chips in the
+slice — ``shard_map`` collectives ride ICI within the slice and DCN
+across slices with no further code changes (the halo ``ppermute`` rings
+and definedness ``psum`` reductions are laid out by XLA).
+
+Typical multi-host entry::
+
+    from mi_fieldcalc_tpu.parallel import distributed, grid_mesh
+    distributed.initialize()              # no-op on a single host
+    mesh = grid_mesh()                    # all chips, all hosts
+    out = derived_fields_fused_sharded(mesh, *fields)
+
+Per-host I/O: each host feeds only its local shard via
+``jax.make_array_from_process_local_data`` (helpers below), so a global
+0.25-degree x 137-level grid never has to fit in one host's memory.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = ["initialize", "is_initialized", "local_shard_array"]
+
+_initialized = False
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Join the multi-host JAX runtime; safe no-op on a single host.
+
+    With no arguments, relies on the TPU environment's auto-detection
+    (the standard path on Cloud TPU slices); arguments are passed through
+    to ``jax.distributed.initialize`` for manual clusters.
+    """
+    global _initialized
+    import jax
+
+    if _initialized:
+        return
+    if (coordinator_address is None and num_processes is None
+            and jax.process_count() == 1):
+        # single process and nothing to join — e.g. CPU testing or 1 host
+        _initialized = True
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _initialized = True
+
+
+def is_initialized() -> bool:
+    return _initialized
+
+
+def local_shard_array(global_shape: Sequence[int], local_data: np.ndarray,
+                      mesh, pspec=None):
+    """Assemble a global sharded array from this host's local block.
+
+    ``local_data`` must be exactly this process's shard(s) of the global
+    array under ``pspec`` (default: the framework layout from
+    :func:`..parallel.mesh.partition_spec`).  Wraps
+    ``jax.make_array_from_process_local_data``.
+    """
+    import jax
+    from .mesh import partition_spec
+
+    if pspec is None:
+        pspec = partition_spec(len(global_shape), mesh)
+    sharding = jax.sharding.NamedSharding(mesh, pspec)
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local_data), tuple(global_shape))
