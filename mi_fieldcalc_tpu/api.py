@@ -15,7 +15,6 @@ Sentinel decode/encode happens only here, at the boundary, mirroring
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import numpy as np
 

@@ -48,10 +48,6 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Sequence
-
-# temporary perf-lab switches (trace-time); all default off
-_V = lambda k: os.environ.get(k, "") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +61,9 @@ from ..field import Field, UNDEF
 __all__ = ["derived_fields_fused", "fused_supported"]
 
 _f32 = jnp.float32
+
+# temporary perf-lab switches (trace-time); all default off
+_V = lambda k: os.environ.get(k, "") == "1"
 
 #: EWT padded to one 128-lane register row (gather indices stay in 0..40).
 _TAB128 = np.zeros(128, np.float32)

@@ -11,7 +11,6 @@ import jax
 import numpy as np
 import pytest
 
-from mi_fieldcalc_tpu.field import UNDEF
 from mi_fieldcalc_tpu.models.pipeline import derived_fields
 from mi_fieldcalc_tpu.parallel import grid_mesh
 from mi_fieldcalc_tpu.parallel.fused import derived_fields_fused_sharded
