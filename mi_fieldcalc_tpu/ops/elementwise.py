@@ -168,14 +168,19 @@ def pressure2flightlevel(pressure: Field) -> Field:
     ftab = F_LEVEL_TABLE
     n_tab = len(ptab) - 1
     p = jnp.clip(pressure.values, _f32(ptab[n_tab]), _f32(ptab[0]))
-    # k = smallest index in [1, n_tab] with ptab[k] <= p
-    k = jnp.ones(p.shape, jnp.int32)
-    for j in range(1, n_tab):
-        k = k + (p < _f32(ptab[j])).astype(jnp.int32)
-    pk0 = jnp.asarray(ptab)[k - 1]
-    pk1 = jnp.asarray(ptab)[k]
-    fk0 = jnp.asarray(ftab)[k - 1]
-    fk1 = jnp.asarray(ftab)[k]
+    # bracket [k-1, k], k = smallest index in [1, n_tab] with ptab[k] <= p;
+    # table entries selected with fused compare chains (a 16-entry gather
+    # lowers to a scalar loop on this backend)
+    pk0 = jnp.full(p.shape, ptab[0], _f32)
+    pk1 = jnp.full(p.shape, ptab[1], _f32)
+    fk0 = jnp.full(p.shape, ftab[0], _f32)
+    fk1 = jnp.full(p.shape, ftab[1], _f32)
+    for j in range(2, n_tab + 1):
+        m = p < _f32(ptab[j - 1])   # true iff k >= j
+        pk0 = jnp.where(m, ptab[j - 1], pk0)
+        pk1 = jnp.where(m, ptab[j], pk1)
+        fk0 = jnp.where(m, ftab[j - 1], fk0)
+        fk1 = jnp.where(m, ftab[j], fk1)
     ratio = (p - pk0) / (pk1 - pk0)
     return out_field(fk0 + (fk1 - fk0) * ratio, pressure.mask)
 
