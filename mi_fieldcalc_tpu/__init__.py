@@ -23,7 +23,7 @@ Public surface:
 __version__ = "0.1.0"
 
 from .field import (  # noqa: F401
-    UNDEF, Field, ValuesDefined, combine_defined, defined_state,
+    UNDEF, Field, ValuesDefined, combine_defined, defined_counts, defined_state,
     from_sentinel, from_values, full_undef,
 )
 from . import constants  # noqa: F401

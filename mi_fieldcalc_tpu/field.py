@@ -42,6 +42,7 @@ __all__ = [
     "from_values",
     "full_undef",
     "defined_state",
+    "defined_counts",
     "combine_defined",
 ]
 
@@ -136,11 +137,26 @@ def full_undef(shape, dtype=jnp.float32) -> Field:
     return Field(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype=bool))
 
 
+def defined_counts(mask):
+    """Jit-safe definedness summary: ``(n_defined, n_total)`` as scalars.
+
+    The traced counterpart of :func:`defined_state` (``checkDefined``,
+    FieldDefined.cc:41-70) for use *inside* pipelines: compare
+    ``n_defined`` against 0 / ``n_total`` with lane selects instead of
+    host branches (see ``cvtemp``'s auto-detect for the pattern).  Under
+    ``shard_map`` the sum is per-shard; combine across a mesh axis with
+    ``jax.lax.psum(n_def, axis_name)`` — the multi-chip equivalent of the
+    reference's serial ``n_undefined`` reduction.
+    """
+    m = jnp.asarray(mask)
+    return jnp.sum(m, dtype=jnp.int32), jnp.int32(np.prod(m.shape or (1,)))
+
+
 def defined_state(mask) -> ValuesDefined:
     """``checkDefined`` (FieldDefined.cc:41-70) over a mask array.
 
     Host-synchronizing; intended for API-boundary use and tests, not for
-    inside jitted pipelines.
+    inside jitted pipelines (use :func:`defined_counts` there).
     """
     n_def = int(jnp.sum(mask))
     n = int(np.prod(np.asarray(mask.shape))) if mask.shape else 1

@@ -58,3 +58,39 @@ def test_field_is_pytree():
 
     out = double(f)
     assert float(out.values[0, 0]) == 2.0
+
+
+def test_defined_counts_jit_safe():
+    import jax
+    import jax.numpy as jnp
+    from mi_fieldcalc_tpu import defined_counts
+
+    mask = jnp.asarray([[True, False], [True, True]])
+
+    @jax.jit
+    def f(m):
+        n_def, n_tot = defined_counts(m)
+        return n_def, n_tot
+
+    n_def, n_tot = f(mask)
+    assert int(n_def) == 3 and int(n_tot) == 4
+
+    # sharded: per-shard counts combine with psum
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from mi_fieldcalc_tpu.parallel import grid_mesh
+    if len(jax.devices()) >= 4:
+        mesh = grid_mesh((1, 2, 2), devices=jax.devices()[:4])
+        big = jnp.asarray(np.arange(64).reshape(8, 8) % 5 != 0)
+
+        def body(m):
+            n_def, _ = defined_counts(m)
+            return jax.lax.psum(jax.lax.psum(n_def, "gy"), "gx")
+
+        total = shard_map(body, mesh=mesh, in_specs=P("gy", "gx"),
+                          out_specs=P(), check_vma=False)(big)
+        assert int(total) == int(np.sum(np.arange(64) % 5 != 0))
