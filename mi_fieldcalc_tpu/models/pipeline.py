@@ -112,13 +112,19 @@ def derived_fields_isobaric(tk: Field, q: Field, u: Field, v: Field,
                             ps: Field, alevel: jax.Array, blevel: jax.Array,
                             xmapr: jax.Array, ymapr: jax.Array,
                             fcoriolis: jax.Array,
-                            plevels=STANDARD_PLEVELS) -> DerivedFields:
+                            plevels=STANDARD_PLEVELS,
+                            fused: bool = False) -> DerivedFields:
     """The 3-D vertical pipeline (BASELINE.json config 4): interpolate the
     prognostic fields from hybrid model levels to standard isobaric
     surfaces (log-p linear, mask-aware — ops/vertical.py), then run the
     full derived-field suite on the interpolated stack.  One jittable
     program; the interpolation's level reductions fuse with the
-    elementwise suite under XLA."""
+    elementwise suite under XLA.
+
+    ``fused=True`` runs the derived-field tail through the single-pass
+    Pallas kernel instead of the jnp ops: the constant-pressure surfaces
+    are expressible in the kernel's hybrid law as ``alevel = plevels,
+    blevel = 0`` with an all-defined surface-pressure field."""
     from ..ops import hlevel_to_plevel
 
     nlev = tk.values.shape[0]
@@ -126,8 +132,18 @@ def derived_fields_isobaric(tk: Field, q: Field, u: Field, v: Field,
     qi = hlevel_to_plevel(q, ps, alevel, blevel, plevels)
     ui = hlevel_to_plevel(u, ps, alevel, blevel, plevels)
     vi = hlevel_to_plevel(v, ps, alevel, blevel, plevels)
-    # constant-pressure "field" per target level; defined everywhere
     np_ = len(plevels)
+    if fused:
+        from ..ops.fused import derived_fields_fused
+        ny, nx = tki.values.shape[-2:]
+        ps1 = Field(jnp.zeros((ny, nx), jnp.float32),
+                    jnp.ones((ny, nx), bool))
+        return derived_fields_fused(
+            tki, qi, ui, vi, ps1,
+            jnp.asarray(plevels, jnp.float32), jnp.zeros(np_, jnp.float32),
+            xmapr, ymapr, fcoriolis,
+            interpret=jax.devices()[0].platform != "tpu")
+    # constant-pressure "field" per target level; defined everywhere
     pvals = jnp.asarray(plevels, jnp.float32).reshape(np_, 1, 1)
     p = Field(jnp.broadcast_to(pvals, tki.values.shape),
               jnp.ones(tki.values.shape, bool))

@@ -111,3 +111,35 @@ def test_isobaric_pipeline_runs_and_masks():
     # interpolated theta at 500 hPa should exceed theta at 850 (stable atm
     # not guaranteed with random T, so just check ranges are sane)
     assert np.asarray(out.rh.values)[np.asarray(out.rh.mask)].max() < 1e4
+
+
+def test_isobaric_fused_matches_jnp():
+    nlev, ny, nx = 6, 24, 40
+    rng = np.random.default_rng(11)
+    tk = rng.normal(275, 10, (nlev, ny, nx)).astype(np.float32)
+    q = rng.uniform(1e-4, 1e-2, (nlev, ny, nx)).astype(np.float32)
+    u = rng.normal(0, 10, (nlev, ny, nx)).astype(np.float32)
+    v = rng.normal(0, 10, (nlev, ny, nx)).astype(np.float32)
+    ps = rng.uniform(980, 1030, (ny, nx)).astype(np.float32)
+    tk[2, 5, 5] = UNDEF
+    args = (from_sentinel(tk), from_sentinel(q), from_sentinel(u),
+            from_sentinel(v), from_sentinel(ps),
+            jnp.linspace(30.0, 0.0, nlev).astype(jnp.float32),
+            jnp.linspace(0.02, 1.0, nlev).astype(jnp.float32),
+            jnp.full((ny, nx), 4e-7, jnp.float32),
+            jnp.full((ny, nx), 4e-7, jnp.float32),
+            jnp.full((ny, nx), 1.2e-4, jnp.float32))
+    plv = (850.0, 700.0)
+    ref = jax.jit(lambda *a: derived_fields_isobaric(*a, plevels=plv))(*args)
+    got = derived_fields_isobaric(*args, plevels=plv, fused=True)
+    for name in ref._fields:
+        rm = np.asarray(getattr(ref, name).mask)
+        gm = np.asarray(getattr(got, name).mask)
+        rv = np.asarray(getattr(ref, name).values)
+        gv = np.asarray(getattr(got, name).values)
+        assert np.array_equal(rm, gm), f"{name}: mask mismatch"
+        with np.errstate(all="ignore"):
+            # atol floor: cancellation in the advection sum leaves ~1e-7
+            # absolute noise on near-zero results under reassociation
+            assert np.allclose(rv[rm], gv[rm], rtol=2e-5, atol=5e-6), \
+                f"{name}: values"
