@@ -200,17 +200,48 @@ def _ewt_inverse(tab_ref, et, l):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(ny, nx, TY, nlev, nyg, nxg,
+class _StackedSlot:
+    """Adapter presenting plane ``v`` of a stacked ``(12, 1, TY, nx)``
+    output block through the same ``ref[0] = ...`` interface the kernel
+    uses for per-field output refs, so one kernel body serves both output
+    layouts."""
+
+    def __init__(self, ref, v):
+        self._ref, self._v = ref, v
+
+    @property
+    def dtype(self):
+        return self._ref.dtype
+
+    def _at(self, idx):
+        if isinstance(idx, tuple):
+            return (self._v, 0) + idx[1:]
+        assert idx == 0
+        return (self._v, 0)
+
+    def __setitem__(self, idx, val):
+        self._ref[self._at(idx)] = val
+
+    def __getitem__(self, idx):
+        return self._ref[self._at(idx)]
+
+
+def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked,
             alev_ref, blev_ref, off_ref,
             # inputs
             tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n, q_c,
             tkm_c, tkm_p, tkm_n, um_c, um_p, um_n, vm_c, qm_c,
             ps, psm, xm_c, xm_p, xm_n, ym_c, ym_p, ym_n, tab_ref,
-            # outputs: 12 values then 12 masks
-            o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
-            o_gt, o_tf,
-            m_p, m_th, m_rh, m_td, m_the, m_duc, m_ws, m_vo, m_dv, m_ad,
-            m_gt, m_tf):
+            # outputs: 12 values then 12 masks (24 refs, or 2 stacked refs)
+            *out_refs):
+    if stacked:
+        ov_ref, om_ref = out_refs
+        out_refs = tuple([_StackedSlot(ov_ref, k) for k in range(12)]
+                         + [_StackedSlot(om_ref, k) for k in range(12)])
+    (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
+     o_gt, o_tf,
+     m_p, m_th, m_rh, m_td, m_the, m_duc, m_ws, m_vo, m_dv, m_ad,
+     m_gt, m_tf) = out_refs
     j = pl.program_id(0)
     lev = pl.program_id(1)
     # global coordinates of this block's first row / first lane: offsets
@@ -362,7 +393,10 @@ def _pick_ty(ny: int, last_row: int = -1) -> int:
     boundary so its source row stays in the same tile."""
     if last_row < 0:
         last_row = ny - 1
-    for ty in (32, 24, 40, 16, 48, 8):
+    # 48 first: the 8-row y-halo blocks cost 16/TY of the stencil-input
+    # traffic, and TY=48 measured 9% faster than 32 on the 719x929 grid
+    # (tools/perf_lab_ty.py; TY>=64 exceeds VMEM and fails to compile)
+    for ty in (48, 32, 40, 24, 16, 8):
         if ty <= ny and last_row % ty != 0:
             return ty
     # small/awkward ny: one padded tile keeps every fill source local too
@@ -377,12 +411,14 @@ def fused_supported(ny: int, nx: int) -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "global_shape", "halo_rows"))
+                   static_argnames=("interpret", "global_shape", "halo_rows",
+                                    "ty", "stacked"))
 def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                          alevel, blevel, xmapr, ymapr, fcoriolis,
                          interpret: bool = False,
                          global_shape=None, grid_offsets=None,
-                         halo_rows: int = 2):
+                         halo_rows: int = 2, ty: int | None = None,
+                         stacked: bool = False):
     """Fused single-pass equivalent of
     :func:`mi_fieldcalc_tpu.models.derived_fields` (same signature, same
     :class:`DerivedFields` result).
@@ -403,9 +439,11 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
     # local row that receives the "row nyg-1 <- nyg-2" fill: for a bottom
     # shard, global nyg-1 sits `halo_rows` above the local end
     last_local = ny - 1 if global_shape is None else ny - 1 - halo_rows
-    TY = _pick_ty(ny, last_local)
+    TY = ty if ty is not None else _pick_ty(ny, last_local)
     if TY == 0:
         raise ValueError("derived_fields_fused: unsupported grid size")
+    if ty is not None and (ty % 8 != 0 or last_local % ty == 0):
+        raise ValueError("derived_fields_fused: bad ty override")
     jy = -(-ny // TY)
     nb8 = -(-ny // 8)
     r8 = TY // 8
@@ -458,7 +496,18 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         pl.BlockSpec((8, nx), im2_n8, memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),                     # table
     ]
-    out_specs = tuple([c3() for _ in range(24)])
+    if stacked:
+        def im4(j, lev, *_):
+            return (0, lev, j, 0)
+
+        out_specs = tuple(
+            pl.BlockSpec((12, 1, TY, nx), im4, memory_space=pltpu.VMEM)
+            for _ in range(2))
+        out_shape = (jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.float32),
+                     jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.bool_))
+    else:
+        out_specs = tuple([c3() for _ in range(24)])
+        out_shape = tuple([f32_3d] * 12 + [b_3d] * 12)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(jy, nlev),
@@ -473,9 +522,9 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
             else jnp.asarray(grid_offsets, jnp.int32))
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, ny, nx, TY, nlev, nyg, nxg),
+        functools.partial(_kernel, ny, nx, TY, nlev, nyg, nxg, stacked),
         grid_spec=grid_spec,
-        out_shape=tuple([f32_3d] * 12 + [b_3d] * 12),
+        out_shape=out_shape,
         interpret=interpret,
     )(jnp.asarray(alevel, jnp.float32), jnp.asarray(blevel, jnp.float32),
       offs,
@@ -485,5 +534,8 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
       ps.values, ps.mask, xm2, xm2, xm2, ym2, ym2, ym2,
       jnp.asarray(_TAB128))
 
+    if stacked:
+        from ..models.pipeline import DerivedFieldsStacked
+        return DerivedFieldsStacked(values=outs[0], masks=outs[1])
     vals, masks = outs[:12], outs[12:]
     return DerivedFields(*[Field(v, m) for v, m in zip(vals, masks)])
