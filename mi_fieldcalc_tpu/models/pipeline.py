@@ -60,6 +60,32 @@ class DerivedFields(NamedTuple):
     tfp: Field        # thermal front parameter
 
 
+class DerivedFieldsStacked(NamedTuple):
+    """Structure-of-arrays pipeline output: all 12 value planes in ONE
+    ``(12, nlev, ny, nx)`` float32 array plus one bool mask array, in
+    :class:`DerivedFields` field order.
+
+    This is the production layout of the fused kernel
+    (``derived_fields_fused(..., stacked=True)``): two output buffers
+    instead of 24 means fewer, larger DMA writes, and downstream
+    consumers (file writers, ensemble reducers) usually want the planes
+    contiguous anyway.  Named accessors slice lazily — outside ``jit``
+    each access is one device-side slice."""
+    values: jax.Array
+    masks: jax.Array
+
+    def field(self, i: int) -> Field:
+        return Field(self.values[i], self.masks[i])
+
+    def as_fields(self) -> "DerivedFields":
+        return DerivedFields(*[self.field(i) for i in range(12)])
+
+    def __getattr__(self, name):
+        if name in DerivedFields._fields:
+            return self.field(DerivedFields._fields.index(name))
+        raise AttributeError(name)
+
+
 def derived_fields(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                    alevel: jax.Array, blevel: jax.Array,
                    xmapr: jax.Array, ymapr: jax.Array,
@@ -121,17 +147,27 @@ def derived_fields_isobaric(tk: Field, q: Field, u: Field, v: Field,
     program; the interpolation's level reductions fuse with the
     elementwise suite under XLA.
 
-    ``fused=True`` runs the derived-field tail through the single-pass
-    Pallas kernel instead of the jnp ops: the constant-pressure surfaces
-    are expressible in the kernel's hybrid law as ``alevel = plevels,
+    ``fused=True`` runs both stages through Pallas: the interpolation via
+    the one-pass multi-variable column kernel
+    (ops/vertical_fused.hlevel_to_plevel_fused — reads each level stack
+    once instead of once per target), and the derived-field tail through
+    the single-pass pipeline kernel — the constant-pressure surfaces are
+    expressible in the kernel's hybrid law as ``alevel = plevels,
     blevel = 0`` with an all-defined surface-pressure field."""
     from ..ops import hlevel_to_plevel
 
     nlev = tk.values.shape[0]
-    tki = hlevel_to_plevel(tk, ps, alevel, blevel, plevels)
-    qi = hlevel_to_plevel(q, ps, alevel, blevel, plevels)
-    ui = hlevel_to_plevel(u, ps, alevel, blevel, plevels)
-    vi = hlevel_to_plevel(v, ps, alevel, blevel, plevels)
+    plevels = tuple(float(t) for t in plevels)
+    if fused:
+        from ..ops.vertical_fused import hlevel_to_plevel_fused
+        tki, qi, ui, vi = hlevel_to_plevel_fused(
+            (tk, q, u, v), ps, alevel, blevel, plevels,
+            interpret=jax.devices()[0].platform != "tpu")
+    else:
+        tki = hlevel_to_plevel(tk, ps, alevel, blevel, plevels)
+        qi = hlevel_to_plevel(q, ps, alevel, blevel, plevels)
+        ui = hlevel_to_plevel(u, ps, alevel, blevel, plevels)
+        vi = hlevel_to_plevel(v, ps, alevel, blevel, plevels)
     np_ = len(plevels)
     if fused:
         from ..ops.fused import derived_fields_fused

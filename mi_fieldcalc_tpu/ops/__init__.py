@@ -37,3 +37,6 @@ from .icing import (  # noqa: F401
 from .vertical import (  # noqa: F401
     plevel_interp, hlevel_to_plevel,
 )
+from .vertical_fused import (  # noqa: F401
+    hlevel_to_plevel_fused,
+)

@@ -84,6 +84,80 @@ def test_hlevel_to_plevel_matches_manual():
             assert abs(got[y, x] - e) < 5e-5, (y, x, got[y, x], e)
 
 
+@pytest.mark.parametrize("log_p", [True, False])
+def test_fused_interp_matches_jnp(log_p):
+    """Pallas column kernel == vmap one-hot path (masks bitwise, values
+    to f32 round-off), with undefs in both the fields and ps."""
+    from mi_fieldcalc_tpu.ops.vertical_fused import hlevel_to_plevel_fused
+
+    nlev, ny, nx = 13, 21, 37
+    rng = np.random.default_rng(5)
+    alevel = np.sort(rng.uniform(0, 300, nlev)).astype(np.float32)
+    blevel = np.sort(rng.uniform(0, 1, nlev)).astype(np.float32)
+    psv = rng.uniform(900, 1050, (ny, nx)).astype(np.float32)
+    psv[2, 3] = UNDEF
+    ps = from_sentinel(psv)
+    fields = []
+    for s in range(3):
+        fv = rng.normal(280, 10, (nlev, ny, nx)).astype(np.float32)
+        fv[rng.random((nlev, ny, nx)) < 0.15] = UNDEF
+        fields.append(from_sentinel(fv))
+    targets = (1000.0, 925.0, 850.0, 500.0, 100.0, 50.0)
+
+    got = hlevel_to_plevel_fused(tuple(fields), ps, alevel, blevel,
+                                 targets, log_p=log_p, interpret=True)
+    for i, f in enumerate(fields):
+        ref = hlevel_to_plevel(f, ps, alevel, blevel, targets, log_p=log_p)
+        rm, gm = np.asarray(ref.mask), np.asarray(got[i].mask)
+        assert np.array_equal(rm, gm), f"var {i}: mask mismatch"
+        rv = np.asarray(ref.values)[rm]
+        gv = np.asarray(got[i].values)[rm]
+        assert np.allclose(rv, gv, rtol=2e-5, atol=1e-6), f"var {i}: values"
+
+
+def test_fused_interp_single_var_tall_stack():
+    """137-level column stack picks a narrower x chunk; still equivalent."""
+    from mi_fieldcalc_tpu.ops.vertical_fused import (_pick_cx,
+                                                     hlevel_to_plevel_fused)
+
+    assert _pick_cx(137, 929, 4) == 128
+    assert _pick_cx(32, 929, 4) >= 512
+    nlev, ny, nx = 137, 9, 150
+    rng = np.random.default_rng(9)
+    alevel = np.linspace(50.0, 0.0, nlev).astype(np.float32)
+    blevel = np.linspace(0.05, 1.0, nlev).astype(np.float32)
+    ps = from_values(rng.uniform(950, 1030, (ny, nx)).astype(np.float32))
+    f = from_values(rng.normal(0, 1, (nlev, ny, nx)).astype(np.float32))
+    targets = (850.0, 500.0, 70.0)
+    (got,) = hlevel_to_plevel_fused((f,), ps, alevel, blevel, targets,
+                                    interpret=True)
+    ref = hlevel_to_plevel(f, ps, alevel, blevel, targets)
+    assert np.array_equal(np.asarray(ref.mask), np.asarray(got.mask))
+    rm = np.asarray(ref.mask)
+    # At 137 levels the ln(p) brackets are ~0.008 wide, so one ulp of the
+    # f32 log (~4.8e-7 at ln 850) moves the interpolation weight by ~1e-4;
+    # both paths carry that error vs float64 truth, in different
+    # directions.  Assert each against the float64 ground truth.
+    pv64 = (alevel.astype(np.float64)[:, None, None]
+            + blevel.astype(np.float64)[:, None, None]
+            * np.asarray(ps.values, np.float64))
+    fv64 = np.asarray(f.values, np.float64)
+    for t, tgt in enumerate(targets):
+        cnt = (pv64 <= tgt).sum(axis=0)
+        k = np.clip(cnt - 1, 0, nlev - 2)
+        p0 = np.take_along_axis(pv64, k[None], 0)[0]
+        p1 = np.take_along_axis(pv64, k[None] + 1, 0)[0]
+        w = (np.log(tgt) - np.log(p0)) / (np.log(p1) - np.log(p0))
+        f0 = np.take_along_axis(fv64, k[None], 0)[0]
+        f1 = np.take_along_axis(fv64, k[None] + 1, 0)[0]
+        truth = f0 + (f1 - f0) * w
+        if not rm[t].any():     # 70 hPa sits above the model top
+            continue
+        for name, arr in (("jnp", ref.values), ("pallas", got.values)):
+            err = np.abs(np.asarray(arr)[t] - truth)[rm[t]]
+            assert err.max() < 1e-3, (name, t, err.max())
+
+
 def test_isobaric_pipeline_runs_and_masks():
     nlev, ny, nx = 12, 16, 20
     rng = np.random.default_rng(7)
