@@ -9,6 +9,9 @@ between operators instead of round-tripping HBM per op.
 """
 
 from .pipeline import (  # noqa: F401
-    DerivedFields, derived_fields, derived_fields_plevel,
-    derived_fields_isobaric, STANDARD_PLEVELS,
+    DerivedFields, DerivedFieldsStacked, derived_fields,
+    derived_fields_plevel, derived_fields_isobaric, STANDARD_PLEVELS,
+)
+from .ensemble import (  # noqa: F401
+    EnsembleSummary, ensemble_derived_summary,
 )

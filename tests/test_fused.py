@@ -73,3 +73,22 @@ def test_fused_supported_bounds():
     assert not fused_supported(2, 64)      # ny < 3
     assert not fused_supported(64, 2)      # nx < 3
     assert fused_supported(719, 929)
+
+
+def test_fused_stacked_matches_per_field():
+    """stacked=True writes the same values/masks into the (12, ...) SoA
+    layout, and the lazy accessors recover each Field bitwise."""
+    args = _inputs(2, 37, 61, seed=5, undefs=True)
+    ref = derived_fields_fused(*args, interpret=True)
+    got = derived_fields_fused(*args, interpret=True, stacked=True)
+    assert got.values.shape == (12, 2, 37, 61)
+    assert got.masks.dtype == np.bool_
+    fields = got.as_fields()
+    for i, name in enumerate(ref._fields):
+        fa, fb, fc = ref[i], got.field(i), getattr(got, name)
+        ma = np.asarray(fa.mask)
+        assert np.array_equal(ma, np.asarray(fb.mask)), name
+        assert np.array_equal(np.asarray(fa.values)[ma],
+                              np.asarray(fb.values)[ma]), name
+        assert np.array_equal(np.asarray(fc.values)[ma],
+                              np.asarray(fields[i].values)[ma]), name
