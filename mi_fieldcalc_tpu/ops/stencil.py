@@ -372,21 +372,30 @@ def shapiro2_filter(f: Field, all_defined=None,
     reproduced as-is.  The output is force-marked all-defined (cc:2176),
     so undefined inputs propagate as sentinel *values*.
 
-    ``all_defined`` selects the path statically; if None, it is derived
-    from the mask (host sync).
+    ``all_defined`` selects the path statically (True/False); if None the
+    choice is a traced ``lax.cond`` on the mask, so the op stays jittable
+    and fuses into pipelines with no host sync.
     """
-    if all_defined is None:
-        all_defined = bool(jnp.all(f.mask))
     ny, nx = f.shape[-2], f.shape[-1]
     require(nx >= 3 and ny >= 3, "shapiro2_filter: grid must be at least 3x3")
 
+    if all_defined is None:
+        return jax.lax.cond(jnp.all(f.mask), _shapiro_all,
+                            lambda ff: _shapiro_undef(ff, undef), f)
     if all_defined:
-        f1 = f.values
-        for s in (_f32(0.25), _f32(-0.25)):
-            f2 = _shapiro_x_pass(f1, s)
-            f1 = _shapiro_y_pass(f2, s)
-        return Field(f1, jnp.ones(f.shape, bool))
+        return _shapiro_all(f)
+    return _shapiro_undef(f, undef)
 
+
+def _shapiro_all(f: Field) -> Field:
+    f1 = f.values
+    for s in (_f32(0.25), _f32(-0.25)):
+        f2 = _shapiro_x_pass(f1, s)
+        f1 = _shapiro_y_pass(f2, s)
+    return Field(f1, jnp.ones(f.shape, bool))
+
+
+def _shapiro_undef(f: Field, undef: float) -> Field:
     # undef-aware path: arithmetic runs on sentinel-materialized values
     f1 = f.to_sentinel(undef)
     m = f.mask

@@ -2,6 +2,7 @@
 ``Neighbour`` cross-validation (FieldCalculationsTest.cc:307-451) plus
 direct finite-difference checks for the stencil family."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -138,3 +139,24 @@ def test_momentum_coordinates_use_grid_indices():
     y, x = 2, 6
     assert abs(float(mx.values[y, x]) - (x + v[y, x] * xm[y, x] / 1e-4)) < 1e-5
     assert abs(float(my.values[y, x]) - (y - u[y, x] * ym[y, x] / 1e-4)) < 1e-5
+
+
+def test_shapiro_jittable_traced_cond():
+    """all_defined=None picks the path with a traced lax.cond - the op
+    must be jittable and agree with the static paths on both branches."""
+    rng = np.random.default_rng(21)
+    v = rng.normal(0, 1, (12, 14)).astype(np.float32)
+    jitted = jax.jit(lambda f: ops.shapiro2_filter(f))
+
+    fa = from_values(v)
+    out = jitted(fa)
+    ref = ops.shapiro2_filter(fa, all_defined=True)
+    assert np.allclose(np.asarray(out.values), np.asarray(ref.values))
+
+    vu = v.copy()
+    vu[5, 6] = UNDEF
+    fu = from_sentinel(vu)
+    out_u = jitted(fu)
+    ref_u = ops.shapiro2_filter(fu, all_defined=False)
+    assert np.array_equal(np.asarray(out_u.values), np.asarray(ref_u.values),
+                          equal_nan=True)
