@@ -142,6 +142,18 @@ def _fill(a, gy0, nyg, cx0, nxg):
     return _rowfix(_colfix(a, cx0, nxg), gy0, nyg)
 
 
+def put_ref(ref, v):
+    """Store ``v`` into an output ref, coercing mask data (int32/bool
+    lanes in-kernel) to the ref's boundary dtype (bool, or int8 when the
+    wrapper routes masks as int8 to avoid the i1->i32 DMA blowup)."""
+    if ref.dtype == v.dtype:
+        ref[0] = v
+    elif ref.dtype == jnp.bool_:
+        ref[0] = v != 0
+    else:
+        ref[0] = (v != 0).astype(ref.dtype)
+
+
 def _edge_store(ref, value, gy0, cx0, nyg, nxg, TY, nx):
     """Write output block ``value`` with fillEdges applied: columns via a
     full-tile select (Mosaic cannot address single lanes dynamically),
@@ -152,11 +164,15 @@ def _edge_store(ref, value, gy0, cx0, nyg, nxg, TY, nx):
     Conditions are global-coordinate predicates, so on sharded runs
     interior blocks patch nothing and seams stay untouched."""
     def put(v):
-        ref[0] = (v != 0) if (ref.dtype == jnp.bool_
-                              and v.dtype != jnp.bool_) else v
+        put_ref(ref, v)
 
     if _V("MF_FUSED_NO_FILLS"):
         put(value)
+        return
+    if ref.dtype == jnp.int8:
+        # i8 tiling cannot prove dynamic row offsets; use the full-tile
+        # roll+select row patch instead of the 2 conditional row stores
+        put(_fill(value, gy0, nyg, cx0, nxg))
         return
     put(_colfix(value, cx0, nxg))
 
@@ -232,16 +248,20 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked,
             tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n, q_c,
             tkm_c, tkm_p, tkm_n, um_c, um_p, um_n, vm_c, qm_c,
             ps, psm, xm_c, xm_p, xm_n, ym_c, ym_p, ym_n, tab_ref,
-            # outputs: 12 values then 12 masks (24 refs, or 2 stacked refs)
+            # outputs: 12 values then the masks (2 stacked refs, or 12
+            # values + 9 deduplicated masks - td/duc/dv share rh/the/vo)
             *out_refs):
     if stacked:
         ov_ref, om_ref = out_refs
-        out_refs = tuple([_StackedSlot(ov_ref, k) for k in range(12)]
-                         + [_StackedSlot(om_ref, k) for k in range(12)])
-    (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
-     o_gt, o_tf,
-     m_p, m_th, m_rh, m_td, m_the, m_duc, m_ws, m_vo, m_dv, m_ad,
-     m_gt, m_tf) = out_refs
+        (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
+         o_gt, o_tf) = [_StackedSlot(ov_ref, k) for k in range(12)]
+        (m_p, m_th, m_rh, m_td, m_the, m_duc, m_ws, m_vo, m_dv, m_ad,
+         m_gt, m_tf) = [_StackedSlot(om_ref, k) for k in range(12)]
+    else:
+        (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
+         o_gt, o_tf,
+         m_p, m_th, m_rh, m_the, m_ws, m_vo, m_ad, m_gt, m_tf) = out_refs
+        m_td = m_duc = m_dv = None   # bitwise-identical twins, not written
     j = pl.program_id(0)
     lev = pl.program_id(1)
     # global coordinates of this block's first row / first lane: offsets
@@ -282,40 +302,43 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked,
     b = blev_ref[lev]
     p_raw = a + b * psv
     o_p[0] = p_raw
-    m_p[0] = psvm != 0
+    put_ref(m_p, psvm)
 
     pidcp = jnp.power(p_raw * p0inv, kappa)
     o_th[0] = tkv / pidcp
-    m_th[0] = (tkm & psvm) != 0
+    put_ref(m_th, tkm & psvm)
 
     if _V("MF_FUSED_NO_THERMO"):
         for o in (o_rh, o_td, o_the, o_duc):
             o[0] = tkv / pidcp
         for m in (m_rh, m_td, m_the, m_duc):
-            m[0] = (tkm & psvm) != 0
+            if m is not None:
+                put_ref(m, tkm & psvm)
     else:
         p_sent = jnp.where(psvm != 0, p_raw, _f32(UNDEF))  # alevelhum gate
         et, ok, l = _esat(tab_ref, tkv)
         qsat = eps * et / p_sent
         o_rh[0] = _f32(100.0) * qv / qsat
-        m_rh[0] = (tkm & qm & ok) != 0
+        put_ref(m_rh, (tkm & qm) * ok)
 
         rhc = jnp.clip(qv / qsat, rhmin, rhmax)
         if _V("MF_FUSED_NO_TD"):
             o_td[0] = rhc
         else:
             o_td[0] = _ewt_inverse(tab_ref, rhc * et, l) + t0
-        m_td[0] = (tkm & qm & ok) != 0
+        if m_td is not None:            # else shares m_rh's plane
+            put_ref(m_td, (tkm & qm) * ok)
 
         o_the[0] = (tkv * cp + qv * xlh) / (cp * pidcp)
-        m_the[0] = (tkm & qm & psvm) != 0
+        put_ref(m_the, tkm & qm & psvm)
 
         o_duc[0] = (_f32(77.6) * (p_raw / tkv)
                     + _f32(373000.0) * (qv * p_raw) / (eps * tkv * tkv))
-        m_duc[0] = (tkm & qm & psvm) != 0
+        if m_duc is not None:           # else shares m_the's plane
+            put_ref(m_duc, tkm & qm & psvm)
 
     o_ws[0] = jnp.sqrt(uv * uv + vv * vv)
-    m_ws[0] = (um & vm) != 0
+    put_ref(m_ws, um & vm)
 
     # ---- radius-1 stencils (stencil.py formulas) --------------------------
     # extended-tile row slices: index k of an "e" array is global row
@@ -334,7 +357,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked,
         for o in (o_vo, o_dv, o_ad, o_gt, o_tf):
             o[0] = ws
         for m in (m_vo, m_dv, m_ad, m_gt, m_tf):
-            m[0] = (um & vm) != 0
+            if m is not None:
+                put_ref(m, um & vm)
         return
 
     half = _f32(0.5)
@@ -347,9 +371,11 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked,
            + vv * half * ymv * (yp1(tke) - ym1(tke))) * _f32(-3600.0)
     adv_m = (um & vm & _xshift(tkm, -1) & _xshift(tkm, 1)
              & ym1(tkme) & yp1(tkme))
-    for ref, val in ((o_vo, vort), (m_vo, vort_m), (o_dv, dive),
-                     (m_dv, vort_m),   # reference quirk: vort's inputs
-                     (o_ad, adv), (m_ad, adv_m)):
+    stores = [(o_vo, vort), (m_vo, vort_m), (o_dv, dive), (o_ad, adv),
+              (m_ad, adv_m)]
+    if m_dv is not None:               # reference quirk: vort's inputs
+        stores.insert(3, (m_dv, vort_m))
+    for ref, val in stores:
         _edge_store(ref, val, gy0, cx0, nyg, nxg, TY, nx)
 
     # ---- |grad T| on the TY+2-row window, then TFP ------------------------
@@ -365,7 +391,7 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked,
     absd_m = _fill(absd_m, gy0 - 1, nyg, cx0, nxg)
 
     o_gt[0] = absd[1:TY + 1]
-    m_gt[0] = absd_m[1:TY + 1] != 0
+    put_ref(m_gt, absd_m[1:TY + 1])
 
     a_c = absd[1:TY + 1]
     dadx = half * xmv * (_xshift(a_c, 1) - _xshift(a_c, -1))
@@ -412,13 +438,13 @@ def fused_supported(ny: int, nx: int) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "global_shape", "halo_rows",
-                                    "ty", "stacked"))
+                                    "ty", "stacked", "mask8"))
 def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                          alevel, blevel, xmapr, ymapr, fcoriolis,
                          interpret: bool = False,
                          global_shape=None, grid_offsets=None,
                          halo_rows: int = 2, ty: int | None = None,
-                         stacked: bool = False):
+                         stacked: bool = False, mask8: bool = True):
     """Fused single-pass equivalent of
     :func:`mi_fieldcalc_tpu.models.derived_fields` (same signature, same
     :class:`DerivedFields` result).
@@ -506,8 +532,16 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         out_shape = (jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.float32),
                      jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.bool_))
     else:
-        out_specs = tuple([c3() for _ in range(24)])
-        out_shape = tuple([f32_3d] * 12 + [b_3d] * 12)
+        # 12 values + 9 masks: td/duc/dv reuse rh/the/vo's mask planes
+        # (bitwise-identical by construction), saving 3 mask writes/step.
+        # mask8 routes the mask planes through the boundary as int8 -
+        # Pallas lowers i1 operands/results to i32 buffers with
+        # materialized convert passes on both sides (4x the DMA bytes plus
+        # two extra HBM round-trips per mask); int8 keeps them 1 byte.
+        mdt = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int8) if mask8 \
+            else b_3d
+        out_specs = tuple([c3() for _ in range(21)])
+        out_shape = tuple([f32_3d] * 12 + [mdt] * 9)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(jy, nlev),
@@ -515,6 +549,11 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         out_specs=out_specs,
     )
 
+    if mask8 and not stacked:
+        tkm, um, vm, qm, psm = [m.astype(jnp.int8) for m in
+                                (tk.mask, u.mask, v.mask, q.mask, ps.mask)]
+    else:
+        tkm, um, vm, qm, psm = tk.mask, u.mask, v.mask, q.mask, ps.mask
     xm2 = jnp.broadcast_to(jnp.asarray(xmapr, jnp.float32), (ny, nx))
     ym2 = jnp.broadcast_to(jnp.asarray(ymapr, jnp.float32), (ny, nx))
     del fcoriolis  # unused by the 12 pipeline outputs
@@ -530,12 +569,17 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
       offs,
       tk.values, tk.values, tk.values, u.values, u.values, u.values,
       v.values, v.values, v.values, q.values,
-      tk.mask, tk.mask, tk.mask, u.mask, u.mask, u.mask, v.mask, q.mask,
-      ps.values, ps.mask, xm2, xm2, xm2, ym2, ym2, ym2,
+      tkm, tkm, tkm, um, um, um, vm, qm,
+      ps.values, psm, xm2, xm2, xm2, ym2, ym2, ym2,
       jnp.asarray(_TAB128))
 
     if stacked:
         from ..models.pipeline import DerivedFieldsStacked
         return DerivedFieldsStacked(values=outs[0], masks=outs[1])
-    vals, masks = outs[:12], outs[12:]
+    vals, m9 = outs[:12], outs[12:]
+    if mask8:
+        m9 = [m != 0 for m in m9]
+    # expand 9 written masks to the 12-field order (shared buffers for
+    # the twins: td<-rh, duc<-the, dv<-vo)
+    masks = [m9[i] for i in (0, 1, 2, 2, 3, 3, 4, 5, 5, 6, 7, 8)]
     return DerivedFields(*[Field(v, m) for v, m in zip(vals, masks)])

@@ -114,14 +114,20 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p,
     base = in_range & psm & (denom != 0).astype(jnp.int32)
     for v in range(nvar):
         outs[v][...] = f0s[v] + (f1s[v] - f0s[v]) * w
-        omasks[v][...] = (base & ms[v]) != 0
+        om = (base & ms[v]) != 0
+        omasks[v][...] = om if omasks[v].dtype == jnp.bool_ \
+            else om.astype(omasks[v].dtype)
 
 
-def _pick_cx(nlev: int, nx: int, nvar: int) -> int:
-    """Largest 128-multiple x chunk keeping the double-buffered variable
-    stacks + carries within a ~8 MB VMEM input budget."""
-    budget = 8 * 2 ** 20
-    per_lane = 2 * nvar * nlev * 8 * 5      # 2 buffers, f32+i8, TY=8 rows
+def _pick_cx(nlev: int, nx: int, nvar: int, nt: int) -> int:
+    """Largest 128-multiple x chunk keeping the whole block set — the
+    double-buffered input stacks, the double-buffered outputs, and the
+    fori carries — inside the 16 MB scoped-VMEM limit (13 MB budget; the
+    first real compile at CX=768 measured 16.12 MB and OOMed)."""
+    budget = 13 * 2 ** 20
+    per_lane = (2 * nvar * nlev * 8 * 5          # inputs, f32 + i8
+                + 2 * nvar * nt * 8 * 5          # outputs, f32 + i8
+                + (5 + 3 * nvar) * nt * 8 * 4)   # carries + temps, i32/f32
     cx = (budget // per_lane) // 128 * 128
     return int(max(128, min(cx, -(-nx // 128) * 128, 1024)))
 
@@ -155,7 +161,7 @@ def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
     require(nt >= 1, "hlevel_to_plevel_fused: no targets")
 
     TY = 8
-    CX = _pick_cx(nlev, nx, nvar)
+    CX = _pick_cx(nlev, nx, nvar, nt)
     jy, jx = -(-ny // TY), -(-nx // CX)
 
     xt = np.asarray(targets, np.float32)
@@ -177,16 +183,19 @@ def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
         out_specs=tuple([out3] * (2 * nvar)),
     )
     f32_o = jax.ShapeDtypeStruct((nt, ny, nx), jnp.float32)
-    b_o = jax.ShapeDtypeStruct((nt, ny, nx), jnp.bool_)
+    # masks cross the Pallas boundary as int8: i1 operands/results lower
+    # to i32 buffers with materialized converts on both sides (4x DMA)
+    i8_o = jax.ShapeDtypeStruct((nt, ny, nx), jnp.int8)
 
     outs = pl.pallas_call(
         functools.partial(_interp_kernel, nlev, nt, nvar, TY, CX, log_p),
         grid_spec=grid_spec,
-        out_shape=tuple([f32_o] * nvar + [b_o] * nvar),
+        out_shape=tuple([f32_o] * nvar + [i8_o] * nvar),
         interpret=interpret,
     )(jnp.asarray(alevel, _f32), jnp.asarray(blevel, _f32),
       jnp.asarray(xt),
-      *[f.values for f in fields], *[f.mask for f in fields],
-      ps.values, ps.mask)
+      *[f.values for f in fields],
+      *[f.mask.astype(jnp.int8) for f in fields],
+      ps.values, ps.mask.astype(jnp.int8))
 
-    return tuple(Field(outs[v], outs[nvar + v]) for v in range(nvar))
+    return tuple(Field(outs[v], outs[nvar + v] != 0) for v in range(nvar))

@@ -120,8 +120,8 @@ def test_fused_interp_single_var_tall_stack():
     from mi_fieldcalc_tpu.ops.vertical_fused import (_pick_cx,
                                                      hlevel_to_plevel_fused)
 
-    assert _pick_cx(137, 929, 4) == 128
-    assert _pick_cx(32, 929, 4) >= 512
+    assert _pick_cx(137, 929, 4, 11) <= 256   # tall stacks chunk narrower
+    assert _pick_cx(32, 929, 4, 11) >= 384
     nlev, ny, nx = 137, 9, 150
     rng = np.random.default_rng(9)
     alevel = np.linspace(50.0, 0.0, nlev).astype(np.float32)
