@@ -17,11 +17,15 @@ The reference publishes no benchmark numbers (BASELINE.md), so
 ``vs_baseline`` reports the north-star target instead: the fraction of
 this device's *measured* streaming roofline.  The pipeline is
 elementwise/stencil work with trivial arithmetic intensity, so
-speed-of-light is streaming every input once and every output once at the
-bandwidth the chip actually delivers — measured in the same run with a
-simple ``x+1`` kernel over the same-size array (the shared/tunneled chip's
-effective bandwidth varies run to run; calibrating in-run keeps the
-fraction meaningful).
+speed-of-light is one program dispatch plus streaming every input once
+and every output once at the bandwidth the chip actually delivers.
+Calibration runs ``x+1`` streams at two sizes in the same run and fits
+``time = overhead + bytes / BW`` — on this tunneled chip the fixed
+dispatch overhead is ~0.9 ms, so a single same-size ``x+1`` wildly
+understates the marginal bandwidth (a 21 M-point stream looks like
+160 GB/s when the marginal rate is ~520 GB/s).  The roofline time is
+``overhead + intrinsic_bytes / BW``; ``vs_baseline`` is the ratio of
+that to the measured step time.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "points/s", "vs_baseline": N}
@@ -71,12 +75,18 @@ def main():
         probe(out)
         return (time.perf_counter() - t0) / iters
 
-    # measured streaming roofline: x+1 over the same-size f32 array
-    xcal = args[0].values
+    # measured streaming roofline: x+1 at two sizes -> overhead + BW fit
     add1 = jax.jit(lambda x: x + 1.0)
-    cal_dt = min(qtime(lambda: add1(xcal), lambda o: float(o[0, 0, 0]), 30)
-                 for _ in range(2))
-    stream_bw = 2 * 4 * NLEV * NY * NX / cal_dt      # bytes/s
+    big = args[0].values                          # nlev x ny x nx f32
+    small = big[: max(NLEV // 4, 1)]
+    t_big = min(qtime(lambda: add1(big), lambda o: float(o[0, 0, 0]), 30)
+                for _ in range(2))
+    t_small = min(qtime(lambda: add1(small), lambda o: float(o[0, 0, 0]), 30)
+                  for _ in range(2))
+    b_big = 2 * 4 * big.size
+    b_small = 2 * 4 * small.size
+    bw = (b_big - b_small) / max(t_big - t_small, 1e-9)   # marginal bytes/s
+    overhead = max(t_big - b_big / bw, 0.0)               # fixed dispatch s
 
     dt = min(qtime(lambda: step(*args),
                    lambda o: float(o.tfp.values[0, 0, 0]), 30)
@@ -84,12 +94,12 @@ def main():
 
     points = NLEV * NY * NX
     pts_per_sec = points / dt
-    roofline_pts = stream_bw / (_hbm_bytes_per_step(NLEV, NY, NX) / points)
+    roofline_t = overhead + _hbm_bytes_per_step(NLEV, NY, NX) / bw
     print(json.dumps({
         "metric": "derived_field_pipeline_points_per_sec",
         "value": round(pts_per_sec, 1),
         "unit": "points/s",
-        "vs_baseline": round(pts_per_sec / roofline_pts, 4),
+        "vs_baseline": round(roofline_t / dt, 4),
     }))
 
 

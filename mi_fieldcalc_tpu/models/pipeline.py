@@ -75,7 +75,8 @@ class DerivedFieldsStacked(NamedTuple):
     masks: jax.Array
 
     def field(self, i: int) -> Field:
-        return Field(self.values[i], self.masks[i])
+        m = self.masks[i]
+        return Field(self.values[i], m if m.dtype == jnp.bool_ else m != 0)
 
     def as_fields(self) -> "DerivedFields":
         return DerivedFields(*[self.field(i) for i in range(12)])

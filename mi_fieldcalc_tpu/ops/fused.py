@@ -242,26 +242,46 @@ class _StackedSlot:
         return self._ref[self._at(idx)]
 
 
-def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked,
-            alev_ref, blev_ref, off_ref,
-            # inputs
-            tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n, q_c,
-            tkm_c, tkm_p, tkm_n, um_c, um_p, um_n, vm_c, qm_c,
-            ps, psm, xm_c, xm_p, xm_n, ym_c, ym_p, ym_n, tab_ref,
-            # outputs: 12 values then the masks (2 stacked refs, or 12
-            # values + 9 deduplicated masks - td/duc/dv share rh/the/vo)
-            *out_refs):
+def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked, part, *refs):
+    """Kernel body for all three layouts: ``part`` = "all" (monolith),
+    "elementwise" (no halos, no stencils - bigger row tiles), or
+    "stencil" (halo blocks + the 5 derivative outputs).  The split
+    halves the DMA-descriptor count per step, which is what bounds this
+    kernel on v5e (~0.65 us per buffer per grid step; see PERF.md)."""
+    alev_ref, blev_ref, off_ref = refs[:3]
+    r = refs[3:]
+    if part == "all":
+        (tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n, q_c,
+         tkm_c, tkm_p, tkm_n, um_c, um_p, um_n, vm_c, qm_c,
+         ps, psm, xm_c, xm_p, xm_n, ym_c, ym_p, ym_n, tab_ref) = r[:27]
+        out_refs = r[27:]
+    elif part == "elementwise":
+        (tk_c, u_c, v_c, q_c, tkm_c, um_c, vm_c, qm_c, ps, psm,
+         tab_ref) = r[:11]
+        out_refs = r[11:]
+    else:   # "stencil"
+        (tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n,
+         tkm_c, tkm_p, tkm_n, um_c, um_p, um_n, vm_c,
+         xm_c, xm_p, xm_n, ym_c, ym_p, ym_n) = r[:22]
+        out_refs = r[22:]
+
+    o_p = o_vo = None
+    m_td = m_duc = m_dv = None
     if stacked:
         ov_ref, om_ref = out_refs
         (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
          o_gt, o_tf) = [_StackedSlot(ov_ref, k) for k in range(12)]
         (m_p, m_th, m_rh, m_td, m_the, m_duc, m_ws, m_vo, m_dv, m_ad,
          m_gt, m_tf) = [_StackedSlot(om_ref, k) for k in range(12)]
-    else:
+    elif part == "all":
         (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
          o_gt, o_tf,
          m_p, m_th, m_rh, m_the, m_ws, m_vo, m_ad, m_gt, m_tf) = out_refs
-        m_td = m_duc = m_dv = None   # bitwise-identical twins, not written
+    elif part == "elementwise":
+        (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws,
+         m_p, m_th, m_rh, m_the, m_ws) = out_refs
+    else:
+        (o_vo, o_dv, o_ad, o_gt, o_tf, m_vo, m_ad, m_gt, m_tf) = out_refs
     j = pl.program_id(0)
     lev = pl.program_id(1)
     # global coordinates of this block's first row / first lane: offsets
@@ -283,6 +303,61 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked,
         # mask lanes ride as int32: Mosaic cannot rotate/select i1 vectors
         return x.astype(jnp.int32)
 
+    tkv = tk_c[0]
+    uv, vv = u_c[0], v_c[0]
+    tkm, um, vm = _b(tkm_c[0]), _b(um_c[0]), _b(vm_c[0])
+
+    if o_p is not None:
+        # ---- elementwise family (levels.py formulas) ----------------------
+        qv, qm = q_c[0], _b(qm_c[0])
+        psv, psvm = ps[...], _b(psm[...])
+        a = alev_ref[lev]
+        b = blev_ref[lev]
+        p_raw = a + b * psv
+        o_p[0] = p_raw
+        put_ref(m_p, psvm)
+
+        pidcp = jnp.power(p_raw * p0inv, kappa)
+        o_th[0] = tkv / pidcp
+        put_ref(m_th, tkm & psvm)
+
+        if _V("MF_FUSED_NO_THERMO"):
+            for o in (o_rh, o_td, o_the, o_duc):
+                o[0] = tkv / pidcp
+            for m in (m_rh, m_td, m_the, m_duc):
+                if m is not None:
+                    put_ref(m, tkm & psvm)
+        else:
+            p_sent = jnp.where(psvm != 0, p_raw, _f32(UNDEF))  # alevelhum
+            et, ok, l = _esat(tab_ref, tkv)
+            qsat = eps * et / p_sent
+            o_rh[0] = _f32(100.0) * qv / qsat
+            put_ref(m_rh, (tkm & qm) * ok)
+
+            rhc = jnp.clip(qv / qsat, rhmin, rhmax)
+            if _V("MF_FUSED_NO_TD"):
+                o_td[0] = rhc
+            else:
+                o_td[0] = _ewt_inverse(tab_ref, rhc * et, l) + t0
+            if m_td is not None:        # else shares m_rh's plane
+                put_ref(m_td, (tkm & qm) * ok)
+
+            o_the[0] = (tkv * cp + qv * xlh) / (cp * pidcp)
+            put_ref(m_the, tkm & qm & psvm)
+
+            o_duc[0] = (_f32(77.6) * (p_raw / tkv)
+                        + _f32(373000.0) * (qv * p_raw)
+                        / (eps * tkv * tkv))
+            if m_duc is not None:       # else shares m_the's plane
+                put_ref(m_duc, tkm & qm & psvm)
+
+        o_ws[0] = jnp.sqrt(uv * uv + vv * vv)
+        put_ref(m_ws, um & vm)
+
+    if o_vo is None:
+        return
+
+    # ---- radius-1 stencils (stencil.py formulas) --------------------------
     tke, ue, ve = (ext(tk_c[...], tk_p[...], tk_n[...]),
                    ext(u_c[...], u_p[...], u_n[...]),
                    ext(v_c[...], v_p[...], v_n[...]))
@@ -290,57 +365,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked,
     ume = ext(_b(um_c[...]), _b(um_p[...]), _b(um_n[...]))
     xme = ext2d(xm_c[...], xm_p[...], xm_n[...])
     yme = ext2d(ym_c[...], ym_p[...], ym_n[...])
-
-    tkv, qv = tk_c[0], q_c[0]
-    uv, vv = u_c[0], v_c[0]
-    tkm, qm, um, vm = _b(tkm_c[0]), _b(qm_c[0]), _b(um_c[0]), _b(vm_c[0])
-    psv, psvm = ps[...], _b(psm[...])
     xmv, ymv = xm_c[...], ym_c[...]
 
-    # ---- elementwise family (levels.py formulas) --------------------------
-    a = alev_ref[lev]
-    b = blev_ref[lev]
-    p_raw = a + b * psv
-    o_p[0] = p_raw
-    put_ref(m_p, psvm)
-
-    pidcp = jnp.power(p_raw * p0inv, kappa)
-    o_th[0] = tkv / pidcp
-    put_ref(m_th, tkm & psvm)
-
-    if _V("MF_FUSED_NO_THERMO"):
-        for o in (o_rh, o_td, o_the, o_duc):
-            o[0] = tkv / pidcp
-        for m in (m_rh, m_td, m_the, m_duc):
-            if m is not None:
-                put_ref(m, tkm & psvm)
-    else:
-        p_sent = jnp.where(psvm != 0, p_raw, _f32(UNDEF))  # alevelhum gate
-        et, ok, l = _esat(tab_ref, tkv)
-        qsat = eps * et / p_sent
-        o_rh[0] = _f32(100.0) * qv / qsat
-        put_ref(m_rh, (tkm & qm) * ok)
-
-        rhc = jnp.clip(qv / qsat, rhmin, rhmax)
-        if _V("MF_FUSED_NO_TD"):
-            o_td[0] = rhc
-        else:
-            o_td[0] = _ewt_inverse(tab_ref, rhc * et, l) + t0
-        if m_td is not None:            # else shares m_rh's plane
-            put_ref(m_td, (tkm & qm) * ok)
-
-        o_the[0] = (tkv * cp + qv * xlh) / (cp * pidcp)
-        put_ref(m_the, tkm & qm & psvm)
-
-        o_duc[0] = (_f32(77.6) * (p_raw / tkv)
-                    + _f32(373000.0) * (qv * p_raw) / (eps * tkv * tkv))
-        if m_duc is not None:           # else shares m_the's plane
-            put_ref(m_duc, tkm & qm & psvm)
-
-    o_ws[0] = jnp.sqrt(uv * uv + vv * vv)
-    put_ref(m_ws, um & vm)
-
-    # ---- radius-1 stencils (stencil.py formulas) --------------------------
     # extended-tile row slices: index k of an "e" array is global row
     # gy0-2+k; center rows are [2, TY+2).
     def c_(e):   # center rows
@@ -438,13 +464,15 @@ def fused_supported(ny: int, nx: int) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "global_shape", "halo_rows",
-                                    "ty", "stacked", "mask8"))
+                                    "ty", "stacked", "mask8", "split",
+                                    "ty_ew"))
 def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                          alevel, blevel, xmapr, ymapr, fcoriolis,
                          interpret: bool = False,
                          global_shape=None, grid_offsets=None,
                          halo_rows: int = 2, ty: int | None = None,
-                         stacked: bool = False, mask8: bool = True):
+                         stacked: bool = False, mask8: bool = True,
+                         split: bool = False, ty_ew: int | None = None):
     """Fused single-pass equivalent of
     :func:`mi_fieldcalc_tpu.models.derived_fields` (same signature, same
     :class:`DerivedFields` result).
@@ -457,6 +485,11 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
     many of the trailing local rows are halo (used only to keep the
     bottom-shard fill-source row inside one tile); pass 0 for the
     overlap path's unpadded interior block.
+
+    ``split=True`` issues TWO pallas_calls instead of the monolith: an
+    elementwise kernel (no halo blocks → ``ty_ew`` rows/tile, no fill
+    constraint) and a stencil kernel.  Descriptor cost per output row
+    drops from 48/TY to 23/ty_ew + 31/TY; see PERF.md for measurements.
     """
     from ..models.pipeline import DerivedFields
 
@@ -470,86 +503,14 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         raise ValueError("derived_fields_fused: unsupported grid size")
     if ty is not None and (ty % 8 != 0 or last_local % ty == 0):
         raise ValueError("derived_fields_fused: bad ty override")
-    jy = -(-ny // TY)
-    nb8 = -(-ny // 8)
-    r8 = TY // 8
+    if stacked and split:
+        raise ValueError("derived_fields_fused: stacked+split unsupported")
+    # elementwise tile: no halos, no fills -> any multiple of 8
+    TY_E = ty_ew if ty_ew is not None else min(-(-ny // 8) * 8, 96)
+    if TY_E % 8 != 0 or TY_E <= 0:
+        raise ValueError("derived_fields_fused: bad ty_ew override")
 
-    f32_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.float32)
-    b_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.bool_)
-
-    def im_c(j, lev, *_):
-        return (lev, j, 0)
-
-    def im_p8(j, lev, *_):
-        return (lev, jnp.maximum(j * r8 - 1, 0), 0)
-
-    def im_n8(j, lev, *_):
-        return (lev, jnp.minimum((j + 1) * r8, nb8 - 1), 0)
-
-    def im2_c(j, lev, *_):
-        return (j, 0)
-
-    def im2_p8(j, lev, *_):
-        return (jnp.maximum(j * r8 - 1, 0), 0)
-
-    def im2_n8(j, lev, *_):
-        return (jnp.minimum((j + 1) * r8, nb8 - 1), 0)
-
-    def c3(dt=None):
-        return pl.BlockSpec((1, TY, nx), im_c, memory_space=pltpu.VMEM)
-
-    def p83():
-        return pl.BlockSpec((1, 8, nx), im_p8, memory_space=pltpu.VMEM)
-
-    def n83():
-        return pl.BlockSpec((1, 8, nx), im_n8, memory_space=pltpu.VMEM)
-
-    in_specs = [
-        c3(), p83(), n83(),           # tk
-        c3(), p83(), n83(),           # u
-        c3(), p83(), n83(),           # v
-        c3(),                         # q
-        c3(), p83(), n83(),           # tk mask
-        c3(), p83(), n83(),           # u mask
-        c3(), c3(),                   # v mask, q mask
-        pl.BlockSpec((TY, nx), im2_c, memory_space=pltpu.VMEM),    # ps
-        pl.BlockSpec((TY, nx), im2_c, memory_space=pltpu.VMEM),    # ps mask
-        pl.BlockSpec((TY, nx), im2_c, memory_space=pltpu.VMEM),    # xmapr
-        pl.BlockSpec((8, nx), im2_p8, memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, nx), im2_n8, memory_space=pltpu.VMEM),
-        pl.BlockSpec((TY, nx), im2_c, memory_space=pltpu.VMEM),    # ymapr
-        pl.BlockSpec((8, nx), im2_p8, memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, nx), im2_n8, memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),                     # table
-    ]
-    if stacked:
-        def im4(j, lev, *_):
-            return (0, lev, j, 0)
-
-        out_specs = tuple(
-            pl.BlockSpec((12, 1, TY, nx), im4, memory_space=pltpu.VMEM)
-            for _ in range(2))
-        out_shape = (jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.float32),
-                     jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.bool_))
-    else:
-        # 12 values + 9 masks: td/duc/dv reuse rh/the/vo's mask planes
-        # (bitwise-identical by construction), saving 3 mask writes/step.
-        # mask8 routes the mask planes through the boundary as int8 -
-        # Pallas lowers i1 operands/results to i32 buffers with
-        # materialized convert passes on both sides (4x the DMA bytes plus
-        # two extra HBM round-trips per mask); int8 keeps them 1 byte.
-        mdt = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int8) if mask8 \
-            else b_3d
-        out_specs = tuple([c3() for _ in range(21)])
-        out_shape = tuple([f32_3d] * 12 + [mdt] * 9)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(jy, nlev),
-        in_specs=in_specs,
-        out_specs=out_specs,
-    )
-
-    if mask8 and not stacked:
+    if mask8:
         tkm, um, vm, qm, psm = [m.astype(jnp.int8) for m in
                                 (tk.mask, u.mask, v.mask, q.mask, ps.mask)]
     else:
@@ -559,24 +520,127 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
     del fcoriolis  # unused by the 12 pipeline outputs
     offs = (jnp.zeros(2, jnp.int32) if grid_offsets is None
             else jnp.asarray(grid_offsets, jnp.int32))
+    scalars = (jnp.asarray(alevel, jnp.float32),
+               jnp.asarray(blevel, jnp.float32), offs)
+    tab = jnp.asarray(_TAB128)
 
-    outs = pl.pallas_call(
-        functools.partial(_kernel, ny, nx, TY, nlev, nyg, nxg, stacked),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(jnp.asarray(alevel, jnp.float32), jnp.asarray(blevel, jnp.float32),
-      offs,
-      tk.values, tk.values, tk.values, u.values, u.values, u.values,
-      v.values, v.values, v.values, q.values,
-      tkm, tkm, tkm, um, um, um, vm, qm,
-      ps.values, psm, xm2, xm2, xm2, ym2, ym2, ym2,
-      jnp.asarray(_TAB128))
+    f32_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.float32)
+    mdt = (jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int8) if mask8
+           else jax.ShapeDtypeStruct((nlev, ny, nx), jnp.bool_))
 
-    if stacked:
-        from ..models.pipeline import DerivedFieldsStacked
-        return DerivedFieldsStacked(values=outs[0], masks=outs[1])
-    vals, m9 = outs[:12], outs[12:]
+    def run(part, TY):
+        jy = -(-ny // TY)
+        nb8 = -(-ny // 8)
+        r8 = TY // 8
+
+        def im_c(j, lev, *_):
+            return (lev, j, 0)
+
+        def im_p8(j, lev, *_):
+            return (lev, jnp.maximum(j * r8 - 1, 0), 0)
+
+        def im_n8(j, lev, *_):
+            return (lev, jnp.minimum((j + 1) * r8, nb8 - 1), 0)
+
+        def im2_c(j, lev, *_):
+            return (j, 0)
+
+        def im2_p8(j, lev, *_):
+            return (jnp.maximum(j * r8 - 1, 0), 0)
+
+        def im2_n8(j, lev, *_):
+            return (jnp.minimum((j + 1) * r8, nb8 - 1), 0)
+
+        def c3():
+            return pl.BlockSpec((1, TY, nx), im_c, memory_space=pltpu.VMEM)
+
+        def p83():
+            return pl.BlockSpec((1, 8, nx), im_p8, memory_space=pltpu.VMEM)
+
+        def n83():
+            return pl.BlockSpec((1, 8, nx), im_n8, memory_space=pltpu.VMEM)
+
+        def c2():
+            return pl.BlockSpec((TY, nx), im2_c, memory_space=pltpu.VMEM)
+
+        tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        if part == "all":
+            in_specs = ([c3(), p83(), n83()] * 3 + [c3()]          # tk,u,v,q
+                        + [c3(), p83(), n83()] * 2 + [c3(), c3()]  # masks
+                        + [c2(), c2()]                             # ps(+m)
+                        + [c2(), pl.BlockSpec((8, nx), im2_p8,
+                                              memory_space=pltpu.VMEM),
+                           pl.BlockSpec((8, nx), im2_n8,
+                                        memory_space=pltpu.VMEM)] * 2
+                        + [tabspec])
+            operands = (tk.values, tk.values, tk.values,
+                        u.values, u.values, u.values,
+                        v.values, v.values, v.values, q.values,
+                        tkm, tkm, tkm, um, um, um, vm, qm,
+                        ps.values, psm, xm2, xm2, xm2, ym2, ym2, ym2, tab)
+            nv, nm = 12, 9
+        elif part == "elementwise":
+            in_specs = [c3()] * 8 + [c2(), c2(), tabspec]
+            operands = (tk.values, u.values, v.values, q.values,
+                        tkm, um, vm, qm, ps.values, psm, tab)
+            nv, nm = 7, 5
+        else:   # "stencil"
+            in_specs = ([c3(), p83(), n83()] * 5 + [c3()]
+                        + [c2(), pl.BlockSpec((8, nx), im2_p8,
+                                              memory_space=pltpu.VMEM),
+                           pl.BlockSpec((8, nx), im2_n8,
+                                        memory_space=pltpu.VMEM)] * 2)
+            operands = (tk.values, tk.values, tk.values,
+                        u.values, u.values, u.values,
+                        v.values, v.values, v.values,
+                        tkm, tkm, tkm, um, um, um, vm,
+                        xm2, xm2, xm2, ym2, ym2, ym2)
+            nv, nm = 5, 4
+        if stacked:
+            def im4(j, lev, *_):
+                return (0, lev, j, 0)
+
+            out_specs = tuple(
+                pl.BlockSpec((12, 1, TY, nx), im4, memory_space=pltpu.VMEM)
+                for _ in range(2))
+            sdt = jnp.int8 if mask8 else jnp.bool_
+            out_shape = (
+                jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.float32),
+                jax.ShapeDtypeStruct((12, nlev, ny, nx), sdt))
+        else:
+            # values + deduplicated masks: td/duc/dv reuse rh/the/vo's
+            # mask planes (bitwise-identical by construction).  mask8
+            # routes mask planes through the boundary as int8 - Pallas
+            # lowers i1 operands/results to i32 buffers with materialized
+            # convert passes on both sides (4x the DMA bytes plus two
+            # extra HBM round-trips per mask); int8 keeps them 1 byte.
+            out_specs = tuple([c3() for _ in range(nv + nm)])
+            out_shape = tuple([f32_3d] * nv + [mdt] * nm)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(jy, nlev),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel, ny, nx, TY, nlev, nyg, nxg,
+                              stacked, part),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*scalars, *operands)
+
+    if split:
+        ev = run("elementwise", TY_E)
+        sv = run("stencil", TY)
+        vals = list(ev[:7]) + list(sv[:5])
+        m9 = list(ev[7:]) + list(sv[5:])
+    else:
+        outs = run("all", TY)
+        if stacked:
+            from ..models.pipeline import DerivedFieldsStacked
+            return DerivedFieldsStacked(values=outs[0], masks=outs[1])
+        vals, m9 = outs[:12], outs[12:]
     if mask8:
         m9 = [m != 0 for m in m9]
     # expand 9 written masks to the 12-field order (shared buffers for

@@ -69,6 +69,24 @@ def test_fused_matches_jnp(nlev, ny, nx, undefs):
                 f"{name}: value mismatch"
 
 
+@pytest.mark.parametrize("nlev,ny,nx", [
+    (3, 37, 61),
+    (2, 64, 256),
+])
+def test_fused_split_matches_monolith(nlev, ny, nx):
+    """split=True (elementwise + stencil kernels) is bitwise-identical to
+    the monolith: same formulas, same per-part unpacking in _kernel."""
+    args = _inputs(nlev, ny, nx, seed=nx, undefs=True)
+    ref = derived_fields_fused(*args, interpret=True)
+    got = derived_fields_fused(*args, interpret=True, split=True)
+    for name in ref._fields:
+        ra, ga = getattr(ref, name), getattr(got, name)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, np.asarray(ga.mask)), name
+        assert np.array_equal(np.asarray(ra.values)[rm],
+                              np.asarray(ga.values)[rm]), name
+
+
 def test_fused_supported_bounds():
     assert not fused_supported(2, 64)      # ny < 3
     assert not fused_supported(64, 2)      # nx < 3
@@ -82,7 +100,8 @@ def test_fused_stacked_matches_per_field():
     ref = derived_fields_fused(*args, interpret=True)
     got = derived_fields_fused(*args, interpret=True, stacked=True)
     assert got.values.shape == (12, 2, 37, 61)
-    assert got.masks.dtype == np.bool_
+    assert got.masks.dtype == np.int8   # boundary dtype; accessors give bool
+    assert got.field(0).mask.dtype == np.bool_
     fields = got.as_fields()
     for i, name in enumerate(ref._fields):
         fa, fb, fc = ref[i], got.field(i), getattr(got, name)
