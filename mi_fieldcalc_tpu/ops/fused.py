@@ -511,7 +511,14 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         raise ValueError("derived_fields_fused: bad ty_ew override")
 
     if mask8:
-        tkm, um, vm, qm, psm = [m.astype(jnp.int8) for m in
+        # bitcast, not convert: XLA:TPU stores bool as one 0/1 byte, so the
+        # reinterpret is traffic-free where astype is a round trip per mask
+        # plane.  Measured a wash end-to-end on this backend (the small
+        # convert programs pipeline behind the kernel); kept for the fewer
+        # logical bytes.  MF_FUSED_MASK_CONVERT=1 restores astype for A/B.
+        cvt = ((lambda m: m.astype(jnp.int8)) if _V("MF_FUSED_MASK_CONVERT")
+               else (lambda m: m.view(jnp.int8)))
+        tkm, um, vm, qm, psm = [cvt(m) for m in
                                 (tk.mask, u.mask, v.mask, q.mask, ps.mask)]
     else:
         tkm, um, vm, qm, psm = tk.mask, u.mask, v.mask, q.mask, ps.mask
@@ -642,7 +649,9 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
             return DerivedFieldsStacked(values=outs[0], masks=outs[1])
         vals, m9 = outs[:12], outs[12:]
     if mask8:
-        m9 = [m != 0 for m in m9]
+        # put_ref stores strictly-0/1 bytes, so a bool view is valid
+        m9 = [m != 0 for m in m9] if _V("MF_FUSED_MASK_CONVERT") else \
+             [m.view(jnp.bool_) for m in m9]
     # expand 9 written masks to the 12-field order (shared buffers for
     # the twins: td<-rh, duc<-the, dv<-vo)
     masks = [m9[i] for i in (0, 1, 2, 2, 3, 3, 4, 5, 5, 6, 7, 8)]
