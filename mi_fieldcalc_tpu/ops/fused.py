@@ -116,13 +116,20 @@ def _lookup(tab_ref, idx):
     return out
 
 
-def _colfix(a, cx0, nxg):
+def _colfix(a, cx0, nxg, full_x=False):
     """fillEdges column patch at *physical* columns 0 / nxg-1; ``cx0`` is
     the global x of lane 0 (0 single-device; a traced shard offset when
-    sharded)."""
+    sharded).  ``full_x`` (static) means the tile spans the whole global
+    x-range, so the fill sources are the static lanes 1 / nxg-2 —
+    broadcast of a static slice instead of two full-tile lane rotations."""
     c = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1) + cx0
-    a = jnp.where(c == 0, _xshift(a, 1), a)
-    return jnp.where(c == nxg - 1, _xshift(a, -1), a)
+    if full_x and not _V("MF_FUSED_DYN_EDGES"):
+        left = jnp.broadcast_to(a[..., 1:2], a.shape)
+        right = jnp.broadcast_to(a[..., nxg - 2:nxg - 1], a.shape)
+    else:
+        left, right = _xshift(a, 1), _xshift(a, -1)
+    a = jnp.where(c == 0, left, a)
+    return jnp.where(c == nxg - 1, right, a)
 
 
 def _rowfix(a, gy0, nyg):
@@ -130,16 +137,21 @@ def _rowfix(a, gy0, nyg):
     tile's first sublane is ``gy0``)."""
     rows = a.shape[0]
     r = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + gy0
-    dn = _roll(a, rows - 1, axis=0)   # row k <- row k+1
-    up = _roll(a, 1, axis=0)          # row k <- row k-1
+    if _V("MF_FUSED_DYN_EDGES"):
+        dn = _roll(a, rows - 1, axis=0)   # row k <- row k+1
+        up = _roll(a, 1, axis=0)          # row k <- row k-1
+    else:
+        # static-slice shifts: no rotation, no i32 round trip for masks
+        dn = jnp.concatenate([a[1:], a[rows - 1:]], axis=0)
+        up = jnp.concatenate([a[:1], a[:rows - 1]], axis=0)
     a = jnp.where(r == 0, dn, a)
     return jnp.where(r == nyg - 1, up, a)
 
 
-def _fill(a, gy0, nyg, cx0, nxg):
+def _fill(a, gy0, nyg, cx0, nxg, full_x=False):
     if _V("MF_FUSED_NO_FILLS"):
         return a
-    return _rowfix(_colfix(a, cx0, nxg), gy0, nyg)
+    return _rowfix(_colfix(a, cx0, nxg, full_x), gy0, nyg)
 
 
 def put_ref(ref, v):
@@ -169,12 +181,13 @@ def _edge_store(ref, value, gy0, cx0, nyg, nxg, TY, nx):
     if _V("MF_FUSED_NO_FILLS"):
         put(value)
         return
+    full_x = nx == nxg    # tile spans global x -> static-lane fill sources
     if ref.dtype == jnp.int8:
         # i8 tiling cannot prove dynamic row offsets; use the full-tile
-        # roll+select row patch instead of the 2 conditional row stores
-        put(_fill(value, gy0, nyg, cx0, nxg))
+        # shift+select row patch instead of the 2 conditional row stores
+        put(_fill(value, gy0, nyg, cx0, nxg, full_x))
         return
-    put(_colfix(value, cx0, nxg))
+    put(_colfix(value, cx0, nxg, full_x))
 
     @pl.when((gy0 <= 0) & (gy0 + TY > 0))
     def _():
@@ -413,8 +426,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked, part, *refs):
     absd = jnp.sqrt(dfdx * dfdx + dfdy * dfdy)
     absd_m = (_xshift(tkme[1:TY + 3], -1) & _xshift(tkme[1:TY + 3], 1)
               & tkme[0:TY + 2] & tkme[2:TY + 4])
-    absd = _fill(absd, gy0 - 1, nyg, cx0, nxg)
-    absd_m = _fill(absd_m, gy0 - 1, nyg, cx0, nxg)
+    absd = _fill(absd, gy0 - 1, nyg, cx0, nxg, nx == nxg)
+    absd_m = _fill(absd_m, gy0 - 1, nyg, cx0, nxg, nx == nxg)
 
     o_gt[0] = absd[1:TY + 1]
     put_ref(m_gt, absd_m[1:TY + 1])
