@@ -262,14 +262,16 @@ def replace_defined(f: Field, value: float, undef: float = UNDEF) -> Field:
     """Substitute a constant at defined points
     (FieldCalculations.cc:2587-2608).  ``value == undef`` undefines all.
 
-    Reference quirk reproduced: for a partially defined input the output is
-    force-flagged ALL_DEFINED while undefined points keep the *sentinel
-    value* (cc:2600-2607); an all-undefined input stays NONE_DEFINED."""
+    Deliberate divergence from a reference quirk: the reference
+    force-flags the output ALL_DEFINED while undefined points keep the
+    *sentinel value* (cc:2600-2607) — flag and data contradict.  We match
+    the data (sentinels stay, conformance-checked bit-for-bit) and keep
+    the honest mask, so our tri-state summary reads SOME_DEFINED where
+    the reference's flag lies."""
     if value == undef:
         return full_undef(f.shape, f.dtype)
     out = jnp.where(f.mask, _f32(value), jnp.asarray(undef, f.dtype))
-    any_def = jnp.any(f.mask)
-    return Field(out, jnp.broadcast_to(any_def, f.shape))
+    return Field(out, f.mask)
 
 
 def field_oper_field(compute: int, f1: Field, f2: Field) -> Field:

@@ -237,6 +237,25 @@ def build_cases() -> List[Case]:
                  {"value": 2.5, "compute": c}))
         add(Case(f"constantOPERfield_c{c}", "constantOPERfield", ["signed"],
                  {"value": 2.5, "compute": c}))
+    add(Case("minvalueFields", "minvalueFields", ["signed", "signed"]))
+    add(Case("maxvalueFields", "maxvalueFields", ["signed", "signed"]))
+    add(Case("minvalueFieldConst", "minvalueFieldConst", ["signed"],
+             {"value": 0.5}))
+    add(Case("maxvalueFieldConst", "maxvalueFieldConst", ["signed"],
+             {"value": -0.5}))
+    add(Case("minvalueFieldConst_undef", "minvalueFieldConst", ["signed"],
+             {"value": UNDEF}))
+    add(Case("absvalueField", "absvalueField", ["signed"]))
+    add(Case("log10Field", "log10Field", ["small"]))
+    add(Case("pow10Field", "pow10Field", ["signed"]))
+    add(Case("logField", "logField", ["small"]))
+    add(Case("expField", "expField", ["signed"]))
+    add(Case("powerField", "powerField", ["small"], {"value": 1.7}))
+    add(Case("replaceUndefined", "replaceUndefined", ["signed"],
+             {"value": -7.0}))
+    add(Case("replaceDefined", "replaceDefined", ["signed"],
+             {"value": 3.25}))
+    add(Case("copy_field", "copy_field", ["signed"]))
 
     # ---- stencils ---------------------------------------------------------
     add(Case("plevelgwind_xcomp", "plevelgwind_xcomp",

@@ -105,6 +105,32 @@ def _native(case, ins):
         return ops.field_oper_constant(s["compute"], F[0], s["value"])
     if op == "constantOPERfield":
         return ops.constant_oper_field(s["compute"], s["value"], F[0])
+    if op == "minvalueFields":
+        return ops.minvalue_fields(F[0], F[1])
+    if op == "maxvalueFields":
+        return ops.maxvalue_fields(F[0], F[1])
+    if op == "minvalueFieldConst":
+        return ops.minvalue_field_const(F[0], s["value"])
+    if op == "maxvalueFieldConst":
+        return ops.maxvalue_field_const(F[0], s["value"])
+    if op == "absvalueField":
+        return ops.absvalue_field(F[0])
+    if op == "log10Field":
+        return ops.log10_field(F[0])
+    if op == "pow10Field":
+        return ops.pow10_field(F[0])
+    if op == "logField":
+        return ops.log_field(F[0])
+    if op == "expField":
+        return ops.exp_field(F[0])
+    if op == "powerField":
+        return ops.power_field(F[0], s["value"])
+    if op == "replaceUndefined":
+        return ops.replace_undefined(F[0], s["value"])
+    if op == "replaceDefined":
+        return ops.replace_defined(F[0], s["value"])
+    if op == "copy_field":
+        return F[0]    # functional identity; reference memcpy (cc:318-322)
     if op == "plevelgwind_xcomp":
         return ops.plevelgwind_xcomp(F[0], F[1], F[2], F[3])
     if op == "plevelgwind_ycomp":

@@ -117,7 +117,9 @@ def test_replace_defined():
     f = from_sentinel(np.array([0.0, 1.0], np.float32), undef=0.0)
     out = ops.replace_defined(f, 5.0, undef=0.0)
     assert np.asarray(out.to_sentinel(0.0)).tolist() == [0.0, 5.0]
-    assert out.defined_state() == ALL
+    # reference force-flags ALL_DEFINED here while keeping the sentinel in
+    # the data (cc:2600-2607); we keep the honest mask (see replace_defined)
+    assert out.defined_state() == SOME
 
     f2 = from_values(np.array([0.0, 1.0], np.float32))
     out = ops.replace_defined(f2, 7.0, undef=-1.0)

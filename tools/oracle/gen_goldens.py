@@ -138,6 +138,14 @@ def run_case(lib, case):
         ok = fn(ci(s["compute"]), *nxny, ptr(ins[0]), cf(s["value"]), *tail)
     elif op == "constantOPERfield":
         ok = fn(ci(s["compute"]), *nxny, cf(s["value"]), ptr(ins[0]), *tail)
+    elif op in ("absvalueField", "log10Field", "pow10Field", "logField",
+                "expField", "copy_field"):
+        ok = fn(*nxny, ptr(ins[0]), *tail)
+    elif op in ("powerField", "replaceUndefined", "replaceDefined",
+                "minvalueFieldConst", "maxvalueFieldConst"):
+        ok = fn(*nxny, ptr(ins[0]), cf(s["value"]), *tail)
+    elif op in ("minvalueFields", "maxvalueFields"):
+        ok = fn(*nxny, ptr(ins[0]), ptr(ins[1]), *tail)
     elif op == "plevelqvector":
         ok = fn(*nxny, *map(ptr, ins), cf(s["p"]), ci(s["compute"]), *tail)
     elif op == "advection":

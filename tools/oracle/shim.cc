@@ -584,4 +584,56 @@ int o_vesselIcingMincog(int nx, int ny, const float* sal, const float* wave,
   return ok;
 }
 
+
+// ---- simple unary/binary field ops (FieldCalculations.cc:2501-2608) ------
+
+#define O_UNARY(NAME)                                                         \
+  int o_##NAME(int nx, int ny, const float* f, float* out, int* fd,           \
+               float undef) {                                                 \
+    ValuesDefined d = vd(*fd);                                                \
+    fc::NAME(nx, ny, f, out, d, undef);                                       \
+    *fd = d;                                                                  \
+    return 1;                                                                 \
+  }
+
+O_UNARY(absvalueField)
+O_UNARY(log10Field)
+O_UNARY(pow10Field)
+O_UNARY(logField)
+O_UNARY(expField)
+
+#define O_UNARY_CONST(NAME)                                                   \
+  int o_##NAME(int nx, int ny, const float* f, float value, float* out,       \
+               int* fd, float undef) {                                        \
+    ValuesDefined d = vd(*fd);                                                \
+    fc::NAME(nx, ny, f, value, out, d, undef);                                \
+    *fd = d;                                                                  \
+    return 1;                                                                 \
+  }
+
+O_UNARY_CONST(powerField)
+O_UNARY_CONST(replaceUndefined)
+O_UNARY_CONST(replaceDefined)
+O_UNARY_CONST(minvalueFieldConst)
+O_UNARY_CONST(maxvalueFieldConst)
+
+#define O_BINARY(NAME)                                                        \
+  int o_##NAME(int nx, int ny, const float* f1, const float* f2, float* out,  \
+               int* fd, float undef) {                                        \
+    ValuesDefined d = vd(*fd);                                                \
+    fc::NAME(nx, ny, f1, f2, out, d, undef);                                  \
+    *fd = d;                                                                  \
+    return 1;                                                                 \
+  }
+
+O_BINARY(minvalueFields)
+O_BINARY(maxvalueFields)
+
+int o_copy_field(int nx, int ny, const float* f, float* out, int* fd,
+                 float undef) {
+  (void)fd; (void)undef;
+  fc::copy_field(out, f, (size_t)nx * (size_t)ny);
+  return 1;
+}
+
 }  // extern "C"
