@@ -59,77 +59,79 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p,
     def p_at(k):
         return a_ref[k] + b_ref[k] * psv
 
-    # ---- pass A: bracket count per target (vertical.py:57-58) ------------
-    def cnt_body(k, cnt):
-        p_k = p_at(k)
-        below = jnp.stack([(p_k <= xt_ref[t]).astype(jnp.int32)
-                           for t in range(nt)])
-        return cnt + below
+    def lx(p_k):
+        if not log_p:
+            return p_k
+        return jnp.log(jnp.where(p_k > 0, p_k, _f32(1.0)))
 
-    cnt = jax.lax.fori_loop(
-        0, nlev, cnt_body, jnp.zeros((nt, TY, CX), jnp.int32))
-    k0 = jnp.clip(cnt - 1, 0, nlev - 2)     # (nt, TY, CX)
-    # mask lanes ride as int32 (Mosaic cannot select/rotate i1 vectors)
-    in_range = ((cnt >= 1) & (cnt <= nlev - 1)).astype(jnp.int32)
-
-    # ---- pass B: select bracketing pressures, values, masks --------------
+    # Single pass over level pairs.  ``p_k`` is monotone in k (hybrid
+    # coordinate), so target t is bracketed by (k, k+1) exactly where
+    # ``p_k <= xt_t < p_{k+1}`` — the bracket test is *local* and the
+    # old count pass (vertical.py:57-58) plus the p0/p1/f0/f1 carry
+    # selects collapse into interpolating in place at the bracketing
+    # iteration.  Out-of-bracket lanes keep their zero init; they are
+    # masked out exactly as vertical.py:82-84 masks them (in-range,
+    # both bracketing levels defined, ps defined, non-degenerate
+    # bracket).  x1 (= ln p_{k+1}) is carried to the next iteration so
+    # each level's log is taken once.
+    xts = [xt_ref[t] for t in range(nt)]
+    lxts = [jnp.log(x) if log_p else x for x in xts]
     zf = jnp.zeros((nt, TY, CX), _f32)
-    ones = jnp.ones((nt, TY, CX), jnp.int32)
-    carry0 = (zf, zf,                        # p0, p1
-              tuple(zf for _ in range(nvar)),      # f0 per var
-              tuple(zf for _ in range(nvar)),      # f1 per var
-              tuple(ones for _ in range(nvar)))    # m[k0]&m[k0+1] per var
+    zi = jnp.zeros((nt, TY, CX), jnp.int32)
+    carry0 = (p_at(0), lx(p_at(0)),
+              tuple(zf for _ in range(nvar)),   # out per var
+              tuple(zi for _ in range(nvar)))   # defined per var (int32)
 
-    def sel_body(k, carry):
-        p0, p1, f0s, f1s, ms = carry
-        p_k = p_at(k)[None]
-        sel0 = k0 == k
-        sel1 = k0 == k - 1
-        sel01 = sel0 | sel1
-        p0 = jnp.where(sel0, p_k, p0)
-        p1 = jnp.where(sel1, p_k, p1)
-        nf0, nf1, nm = [], [], []
+    def body(k, carry):
+        p_k, x0, os_, ms = carry
+        p_k1 = p_at(k + 1)
+        x1 = lx(p_k1)
+        denom = x1 - x0
+        dinv = _f32(1.0) / jnp.where(denom != 0, denom, _f32(1.0))
+        ok = (denom != 0).astype(jnp.int32)[None]
+        # (nt, TY, CX) bracket predicate and weight
+        sel = jnp.stack([(p_k <= t) & (p_k1 > t)
+                         for t in xts])
+        w = jnp.stack([(t - x0) * dinv for t in lxts])
+        no, nm = [], []
         for v in range(nvar):
-            fk = fvals[v][k][None]
-            mk = fmasks[v][k].astype(jnp.int32)[None]
-            nf0.append(jnp.where(sel0, fk, f0s[v]))
-            nf1.append(jnp.where(sel1, fk, f1s[v]))
-            nm.append(ms[v] & jnp.where(sel01, mk, 1))
-        return p0, p1, tuple(nf0), tuple(nf1), tuple(nm)
+            fk = fvals[v][k]
+            dv = fvals[v][k + 1] - fk
+            mk2 = (fmasks[v][k].astype(jnp.int32)
+                   & fmasks[v][k + 1].astype(jnp.int32))[None] & ok
+            no.append(jnp.where(sel, fk[None] + dv[None] * w, os_[v]))
+            nm.append(jnp.where(sel, mk2, ms[v]))
+        return p_k1, x1, tuple(no), tuple(nm)
 
-    p0, p1, f0s, f1s, ms = jax.lax.fori_loop(0, nlev, sel_body, carry0)
+    _, _, os_, ms = jax.lax.fori_loop(0, nlev - 1, body, carry0)
 
-    # ---- weights + outputs (vertical.py:76-84) ----------------------------
-    if log_p:
-        x0 = jnp.log(jnp.where(p0 > 0, p0, _f32(1.0)))
-        x1 = jnp.log(jnp.where(p1 > 0, p1, _f32(1.0)))
-    else:
-        x0, x1 = p0, p1
-    xt = jnp.stack([jnp.full((TY, CX), xt_ref[t], _f32) for t in range(nt)])
-    if log_p:
-        xt = jnp.log(xt)
-    denom = x1 - x0
-    w = (xt - x0) / jnp.where(denom != 0, denom, _f32(1))
+    # mask lanes ride as int32 (Mosaic cannot select/rotate i1 vectors)
     psm = psm_ref[...].astype(jnp.int32)[None]
-    base = in_range & psm & (denom != 0).astype(jnp.int32)
     for v in range(nvar):
-        outs[v][...] = f0s[v] + (f1s[v] - f0s[v]) * w
-        om = (base & ms[v]) != 0
+        outs[v][...] = os_[v]
+        om = (ms[v] & psm) != 0
         omasks[v][...] = om if omasks[v].dtype == jnp.bool_ \
             else om.astype(omasks[v].dtype)
 
 
 def _pick_cx(nlev: int, nx: int, nvar: int, nt: int) -> int:
-    """Largest 128-multiple x chunk keeping the whole block set — the
-    double-buffered input stacks, the double-buffered outputs, and the
-    fori carries — inside the 16 MB scoped-VMEM limit (13 MB budget; the
-    first real compile at CX=768 measured 16.12 MB and OOMed)."""
+    """x chunk minimizing total *processed* lanes, then chunk count,
+    within the 16 MB scoped-VMEM limit (13 MB budget).  Maximizing CX is
+    the wrong objective: nx=929 at CX=640 runs 2x640=1280 lanes/row
+    while CX=512 covers the same row in 2x512=1024 — the per-chunk
+    VPU/select work scales with jx*CX, so CX should be the minimal
+    128-multiple whose chunk count jx keeps jx*CX == ceil(nx/128)*128."""
     budget = 13 * 2 ** 20
-    per_lane = (2 * nvar * nlev * 8 * 5          # inputs, f32 + i8
-                + 2 * nvar * nt * 8 * 5          # outputs, f32 + i8
-                + (5 + 3 * nvar) * nt * 8 * 4)   # carries + temps, i32/f32
-    cx = (budget // per_lane) // 128 * 128
-    return int(max(128, min(cx, -(-nx // 128) * 128, 1024)))
+    per_lane = (2 * nvar * nlev * 8 * 5          # inputs, f32 + i8, 2-buf
+                + 2 * nvar * nt * 8 * 5          # outputs, f32 + i8, 2-buf
+                + (2 * nvar + 4) * nt * 8 * 4    # out/mask carries + temps
+                + 4 * 8 * 4)                     # p/ln-p carries
+    lanes = -(-nx // 128) * 128                  # minimal padded row
+    for jx in range(1, lanes // 128 + 1):
+        cx = -(-lanes // (128 * jx)) * 128
+        if cx * per_lane <= budget and jx * cx == lanes:
+            return int(cx)
+    return 128
 
 
 @functools.partial(jax.jit, static_argnames=("targets", "log_p", "interpret"))
