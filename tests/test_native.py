@@ -1,0 +1,88 @@
+"""Native host codec (native/fieldcodec.cc via mi_fieldcalc_tpu.native).
+
+Checks the compiled path against the numpy fallback formulas and against
+the device-side Field codec, including NaN handling, in the presence of
+all three tri-state regimes (ALL/NONE/SOME defined).
+"""
+
+import numpy as np
+import pytest
+
+from mi_fieldcalc_tpu import native
+from mi_fieldcalc_tpu.field import UNDEF, ValuesDefined, from_sentinel
+
+
+def _sentinel_grid(rng, shape, frac_undef=0.3, with_nan=True):
+    v = rng.normal(size=shape).astype(np.float32)
+    u = rng.uniform(size=shape)
+    v[u < frac_undef] = np.float32(UNDEF)
+    if with_nan:
+        v[u > 1.0 - frac_undef / 4] = np.nan
+    return v
+
+
+def test_native_builds():
+    assert native.available(), "native codec failed to build/load"
+
+
+@pytest.mark.parametrize("shape", [(1,), (7, 13), (719, 929), (3, 64, 64)])
+def test_decode_matches_numpy(shape):
+    rng = np.random.default_rng(0)
+    v = _sentinel_grid(rng, shape)
+    out, mask, n_def = native.decode(v, UNDEF, fill=-1.5)
+    ref_mask = ~np.isnan(v) & (v != np.float32(UNDEF))
+    np.testing.assert_array_equal(mask, ref_mask)
+    np.testing.assert_array_equal(out, np.where(ref_mask, v, np.float32(-1.5)))
+    assert n_def == int(ref_mask.sum())
+
+
+def test_decode_matches_device_codec():
+    rng = np.random.default_rng(1)
+    v = _sentinel_grid(rng, (33, 41))
+    _, mask, _ = native.decode(v)
+    f = from_sentinel(v)
+    np.testing.assert_array_equal(mask, np.asarray(f.mask))
+
+
+def test_encode_roundtrip():
+    rng = np.random.default_rng(2)
+    v = _sentinel_grid(rng, (50, 60), with_nan=False)
+    out, mask, _ = native.decode(v, UNDEF, fill=0.0)
+    back = native.encode(out, mask, UNDEF)
+    np.testing.assert_array_equal(back, v)
+
+
+def test_encode_broadcast_mask():
+    v = np.arange(12, dtype=np.float32).reshape(3, 4)
+    enc = native.encode(v, np.array([True, False, True, False]), UNDEF)
+    assert (enc[:, 1] == np.float32(UNDEF)).all()
+    np.testing.assert_array_equal(enc[:, 0], v[:, 0])
+
+
+@pytest.mark.parametrize("frac,expect", [
+    (0.0, ValuesDefined.ALL_DEFINED),
+    (1.0, ValuesDefined.NONE_DEFINED),
+    (0.5, ValuesDefined.SOME_DEFINED),
+])
+def test_defined_state_host(frac, expect):
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(40, 40)).astype(np.float32)
+    u = rng.uniform(size=v.shape)
+    v[u < frac] = np.float32(UNDEF)
+    if frac == 1.0:
+        v[:] = np.float32(UNDEF)
+    assert native.defined_state_host(v, UNDEF) == expect
+    assert native.count_defined(v, UNDEF) == int(
+        (~np.isnan(v) & (v != np.float32(UNDEF))).sum())
+
+
+def test_large_threaded_consistency():
+    # crosses every thread-count threshold (1e3/1e4/1e5 points)
+    rng = np.random.default_rng(4)
+    for n in (999, 1001, 10001, 100001, 500000):
+        v = _sentinel_grid(rng, (n,))
+        out, mask, n_def = native.decode(v)
+        assert n_def == int((~np.isnan(v) & (v != np.float32(UNDEF))).sum())
+        assert (out[~mask] == 0.0).all()
+        nan_free = np.nan_to_num(v, nan=np.float32(UNDEF))
+        np.testing.assert_array_equal(out[mask], nan_free[mask])
