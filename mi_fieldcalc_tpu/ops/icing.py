@@ -25,6 +25,7 @@ emulated and ~100x slower; the formulas are condition-number benign).
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -259,18 +260,37 @@ _BISECT_A, _BISECT_B = -0.5, 1.3
 _BISECT_ITERS = min(int(math.log2((_BISECT_B - _BISECT_A) / 1e-5)), 100)
 
 
-def _freeze_frac_zero(n, sw, ta, ha, he, ea, rh, rw, tsp, lwdown, swdown):
-    """MINCOG heat-balance residual (VI:339-361)."""
+def _freeze_frac_zero(n, sw, ta, ha, he, ea, rh, rw, tsp, lwdown, swdown,
+                      with_grad: bool = False):
+    """MINCOG heat-balance residual (VI:339-361); optionally also its
+    analytic d(residual)/dn for the safeguarded-Newton solver."""
     lfs = _f32(3.33e5 * 0.7)
-    sb = sw / (_f32(1.0) - n * _f32(0.7))
-    ts = _f32(-54.1126) * (sb / (_f32(1000.0) - sb))
+    inv07 = _f32(1.0) - n * _f32(0.7)
+    sb = sw / inv07
+    den = _f32(1000.0) - sb
+    ts = _f32(-54.1126) * (sb / den)
     es = _f32(10.0) * _icing_f1(ts)
     qc = ha * (ts - ta)
     qe = he * (es - rh * ea)
     qd = rw * _f32(4000.0) * (ts - tsp)
     qr = _kt4(ts) - lwdown - _f32(0.44) * swdown
     ri = (_f32(1.0) / lfs) * (qc + qe + qd + qr)
-    return ri / rw - n
+    res = ri / rw - n
+    if not with_grad:
+        return res
+    # chain rule: dts/dn = dts/dsb * dsb/dn
+    dsb_dn = _f32(0.7) * sb / inv07
+    dts_dsb = _f32(-54.1126) * _f32(1000.0) / (den * den)
+    dts_dn = dts_dsb * dsb_dn
+    # d(qsum)/dts: Magnus derivative f1' = f1 * 17.67*243.5/(ts+243.5)^2,
+    # Stefan-Boltzmann derivative 4*sigma*(ts+t0)^3
+    tp = ts + _f32(243.5)
+    des_dts = es * _f32(17.67 * 243.5) / (tp * tp)
+    tk = ts + t0
+    dqr_dts = _f32(4.0 * 5.67e-8) * tk * tk * tk
+    dq_dts = ha + he * des_dts + rw * _f32(4000.0) + dqr_dts
+    dres = dq_dts * dts_dn / (lfs * rw) - _f32(1.0)
+    return res, dres
 
 
 def _bisection_lanes(fn, shape, a0: float, b0: float):
@@ -300,6 +320,95 @@ def _bisection_lanes(fn, shape, a0: float, b0: float):
     a, b, c, ffa, frozen = jax.lax.fori_loop(
         0, _BISECT_ITERS, body, (a, b, c, ffa, frozen))
     return jnp.where(no_root, _f32(0.0), c)
+
+
+def _freeze_frac_ts(ts, sw, ta, ha, he, ea, rh, rw, tsp, lwdown, swdown):
+    """MINCOG heat-balance residual in brine-temperature space.
+
+    The reference bisects on the freezing fraction N (VI:381-415), which
+    reaches the brine temperature through ``sb = sw/(1-0.7N)``,
+    ``ts = -54.1126*sb/(1000-sb)`` (VI:344-346) — a map with a pole at
+    N = 10/7, so for small spray flux ``rw`` the N-space residual is
+    near-vertical at its root and Newton steps degenerate to bisection.
+    Solving the same equation ``qsum(ts)/(lfs*rw) = N(ts)`` in ts-space
+    keeps both sides smooth and near-linear over the whole bracket for
+    every physical lane.  Returns ``(residual, d(residual)/dts, N(ts))``.
+    """
+    lfs = _f32(3.33e5 * 0.7)
+    den = ts - _f32(54.1126)
+    sb = _f32(1000.0) * ts / den
+    sb_safe = jnp.where(sb == 0, _f32(1.0), sb)
+    n = (_f32(1.0) - sw / sb_safe) * _f32(1.0 / 0.7)
+    es = _f32(10.0) * _icing_f1(ts)
+    qsum = (ha * (ts - ta) + he * (es - rh * ea)
+            + rw * _f32(4000.0) * (ts - tsp)
+            + _kt4(ts) - lwdown - _f32(0.44) * swdown)
+    res = qsum / (lfs * rw) - n
+    # derivatives: dsb/dts = -54112.6/(ts-54.1126)^2; dn/dts via sw/sb^2
+    dsb_dts = _f32(-54112.6) / (den * den)
+    dn_dts = (sw / (sb_safe * sb_safe)) * _f32(1.0 / 0.7) * dsb_dts
+    tp = ts + _f32(243.5)
+    des_dts = es * _f32(17.67 * 243.5) / (tp * tp)
+    tk = ts + t0
+    dq_dts = ha + he * des_dts + rw * _f32(4000.0) \
+        + _f32(4.0 * 5.67e-8) * tk * tk * tk
+    dres = dq_dts / (lfs * rw) - dn_dts
+    return res, dres, n
+
+
+def _ts_of_n(n, sw):
+    """The reference's N -> brine-temperature map (VI:344-346)."""
+    sb = sw / (_f32(1.0) - _f32(0.7) * _f32(n))
+    return _f32(-54.1126) * sb / (_f32(1000.0) - sb)
+
+
+_NEWTON_ITERS = 8
+
+
+def _rtsafe_lanes(fn_grad, a, b, iters: int = _NEWTON_ITERS):
+    """Bracket-safeguarded Newton root find, vectorized over lanes.
+
+    Solves the same roots as :func:`_bisection_lanes` (the reference's
+    ``bisection``, VI:381-415) in ~8 residual evaluations instead of 19:
+    ``fn_grad`` returns ``(f, df/dx)``; each step takes the Newton update
+    when it lands inside the current sign-change bracket (closed: a lane
+    whose Newton step underflows to zero has converged to f32 precision
+    and must HOLD its root — a strict-interior test would evict it to the
+    midpoint of a still-wide bracket and force it to re-converge) and the
+    bracket midpoint otherwise, so worst-case lanes degrade to plain
+    bisection.  ``a``/``b`` are per-lane bracket arrays (``a < b`` not
+    required in sign — only ``a <= b`` ordering).  No-sign-change lanes
+    return ``nan`` for the caller to overwrite (the reference returns 0).
+    """
+    fa, _ = fn_grad(a)
+    fb, _ = fn_grad(b)
+    no_root = (fa > 0) == (fb > 0)
+    sa = fa > 0
+    # secant initial guess (clipped into the bracket interior)
+    denom = jnp.where(fb == fa, _f32(1.0), fb - fa)
+    x0 = a - fa * (b - a) / denom
+    eps = _f32(1e-6) * (b - a)
+    x = jnp.clip(x0, a + eps, b - eps)
+
+    def body(_, state):
+        a, b, x = state
+        f, df = fn_grad(x)
+        # shrink the bracket with x's sign
+        same = (f > 0) == sa
+        a = jnp.where(same, x, a)
+        b = jnp.where(same, b, x)
+        step = f / jnp.where(df == 0, _f32(1.0), df)
+        xn = x - step
+        # xn == x: the Newton step underflowed — the lane is converged to
+        # f32 precision and must HOLD (after the bracket update above one
+        # endpoint IS x, so the strict-interior test below would evict it)
+        ok = ((xn > a) & (xn < b) & jnp.isfinite(xn) & (df != 0)) | (xn == x)
+        x = jnp.where(f == 0, x,
+                      jnp.where(ok, xn, (a + b) * _f32(0.5)))
+        return a, b, x
+
+    a, b, x = jax.lax.fori_loop(0, iters, body, (a, b, x))
+    return jnp.where(no_root, _f32(jnp.nan), x)
 
 
 def _mincog_point(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw, depth,
@@ -402,16 +511,44 @@ def _mincog_point(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw, depth,
     decay = jnp.asarray([math.exp(-0.55 * (zmin + 0.5 * k))
                          for k in range(number)], _f32)
 
+    use_bisect = os.environ.get("MF_MINCOG_BISECT", "") == "1"
+    # ts-space bracket (per lane: depends only on salinity, not height)
+    ts_hi = _ts_of_n(_BISECT_A, sal)   # N = -0.5 (ts closest to 0)
+    ts_lo = _ts_of_n(_BISECT_B, sal)   # N = 1.3 (coldest)
+    sw0 = sal <= 0
+
     def height_body(counter, icing):
         lwc = lwc0 * jax.lax.dynamic_index_in_dim(
             decay, counter, keepdims=False)
         rw = lwc * vdcomp * nf * tdur
 
-        def ffz(n):
-            return _freeze_frac_zero(n, sal, airtemp, ha, he, ea, rh, rw,
-                                     tsp, lwdown, swdown)
+        if use_bisect:
+            def ffz(n):
+                return _freeze_frac_zero(n, sal, airtemp, ha, he, ea, rh,
+                                         rw, tsp, lwdown, swdown)
 
-        n = _bisection_lanes(ffz, v.shape, _BISECT_A, _BISECT_B)
+            n = _bisection_lanes(ffz, v.shape, _BISECT_A, _BISECT_B)
+        else:
+            def fg(ts):
+                r, dr, _ = _freeze_frac_ts(ts, sal, airtemp, ha, he, ea,
+                                           rh, rw, tsp, lwdown, swdown)
+                return r, dr
+
+            ts_root = _rtsafe_lanes(fg, ts_lo, ts_hi)
+            _, _, n_ts = _freeze_frac_ts(ts_root, sal, airtemp, ha, he,
+                                         ea, rh, rw, tsp, lwdown, swdown)
+            # sal == 0 collapses ts to 0 for every N: the residual is
+            # linear in N and the root is closed-form (reference lanes
+            # solve the same degenerate equation by bisection)
+            r0, _, _ = _freeze_frac_ts(jnp.zeros_like(rw), sal, airtemp,
+                                       ha, he, ea, rh, rw, tsp, lwdown,
+                                       swdown)
+            k_lin = r0 + _f32(1.0 / 0.7)   # res|sw=0 = K - 1/0.7 (sb_safe)
+            lin_root = ((k_lin - _f32(_BISECT_A) > 0)
+                        != (k_lin - _f32(_BISECT_B) > 0))
+            n_lin = jnp.where(lin_root, k_lin, _f32(0.0))
+            n = jnp.where(sw0, n_lin,
+                          jnp.where(jnp.isnan(n_ts), _f32(0.0), n_ts))
         return icing + rw * jnp.clip(n, _f32(0.0), _f32(1.0))
 
     icing = jax.lax.fori_loop(0, number, height_body, jnp.zeros_like(v))
