@@ -11,12 +11,17 @@ ALL variables to ALL targets in one pass over column blocks:
   touches HBM — it is rebuilt per level from the ``[nlev]`` coefficient
   vectors (SMEM scalars) and the surface-pressure tile already in VMEM,
   so the bracket search is shared by every variable,
-* two ``lax.fori_loop`` passes over levels: pass A counts
-  ``cnt_t = #{k : p_k <= target_t}`` (the bracket index, exactly as
-  vertical.py:57-61), pass B selects the bracketing values/masks and
-  pressures with ``k == k_t`` / ``k == k_t+1`` lane selects — no gathers
-  (Mosaic sublane gathers are unsupported), no unrolling (compiles in
-  seconds),
+* ONE ``lax.fori_loop`` pass over level pairs: ``p_k`` is monotone in k,
+  so the bracket test ``p_k <= t < p_{k+1}`` is *local* and each target
+  interpolates in place at its bracketing iteration — no gathers (Mosaic
+  sublane gathers are unsupported), no counting pass, no unrolling
+  (compiles in seconds),
+* the kernel is VPU-bound, and the binding constraint is fori-loop CARRY
+  traffic, not vector-op count: the default ``variant="packed"`` packs
+  the nvar per-target defined bits into ONE int32 carry plane (7.8 ->
+  6.2 ms on the 4-var operational stack; ``carrysel``, which halves the
+  selects but carries 3 more planes, measured *slower* — see
+  tools/perf_lab_vinterp.py),
 * each variable's ``[nlev, TY, CX]`` block is read once and its
   ``[ntarget, TY, CX]`` outputs written once — intrinsic traffic,
 * mask semantics identical to vertical.py:82-84: defined where in-range,
@@ -46,7 +51,7 @@ __all__ = ["hlevel_to_plevel_fused"]
 _f32 = jnp.float32
 
 
-def _interp_kernel(nlev, nt, nvar, TY, CX, log_p,
+def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant,
                    a_ref, b_ref, xt_ref, *refs):
     fvals = refs[:nvar]
     fmasks = refs[nvar:2 * nvar]
@@ -78,38 +83,121 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p,
     lxts = [jnp.log(x) if log_p else x for x in xts]
     zf = jnp.zeros((nt, TY, CX), _f32)
     zi = jnp.zeros((nt, TY, CX), jnp.int32)
-    carry0 = (p_at(0), lx(p_at(0)),
-              tuple(zf for _ in range(nvar)),   # out per var
-              tuple(zi for _ in range(nvar)))   # defined per var (int32)
 
-    def body(k, carry):
-        p_k, x0, os_, ms = carry
-        p_k1 = p_at(k + 1)
-        x1 = lx(p_k1)
-        denom = x1 - x0
-        dinv = _f32(1.0) / jnp.where(denom != 0, denom, _f32(1.0))
-        ok = (denom != 0).astype(jnp.int32)[None]
-        # (nt, TY, CX) bracket predicate and weight
-        sel = jnp.stack([(p_k <= t) & (p_k1 > t)
-                         for t in xts])
-        w = jnp.stack([(t - x0) * dinv for t in lxts])
-        no, nm = [], []
-        for v in range(nvar):
-            fk = fvals[v][k]
-            dv = fvals[v][k + 1] - fk
-            mk2 = (fmasks[v][k].astype(jnp.int32)
-                   & fmasks[v][k + 1].astype(jnp.int32))[None] & ok
-            no.append(jnp.where(sel, fk[None] + dv[None] * w, os_[v]))
-            nm.append(jnp.where(sel, mk2, ms[v]))
-        return p_k1, x1, tuple(no), tuple(nm)
+    if variant == "inplace":
+        # interpolate at the bracketing iteration; carry per-var results
+        carry0 = (p_at(0), lx(p_at(0)),
+                  tuple(zf for _ in range(nvar)),   # out per var
+                  tuple(zi for _ in range(nvar)))   # defined per var (i32)
 
-    _, _, os_, ms = jax.lax.fori_loop(0, nlev - 1, body, carry0)
+        def body(k, carry):
+            p_k, x0, os_, ms = carry
+            p_k1 = p_at(k + 1)
+            x1 = lx(p_k1)
+            denom = x1 - x0
+            dinv = _f32(1.0) / jnp.where(denom != 0, denom, _f32(1.0))
+            ok = (denom != 0).astype(jnp.int32)[None]
+            # (nt, TY, CX) bracket predicate and weight
+            sel = jnp.stack([(p_k <= t) & (p_k1 > t)
+                             for t in xts])
+            w = jnp.stack([(t - x0) * dinv for t in lxts])
+            no, nm = [], []
+            for v in range(nvar):
+                fk = fvals[v][k]
+                dv = fvals[v][k + 1] - fk
+                mk2 = (fmasks[v][k].astype(jnp.int32)
+                       & fmasks[v][k + 1].astype(jnp.int32))[None] & ok
+                no.append(jnp.where(sel, fk[None] + dv[None] * w, os_[v]))
+                nm.append(jnp.where(sel, mk2, ms[v]))
+            return p_k1, x1, tuple(no), tuple(nm)
+
+        _, _, os_, ms = jax.lax.fori_loop(0, nlev - 1, body, carry0)
+        mbit = [(m, 1) for m in ms]
+    elif variant == "packed":
+        # in-place interpolation, but the nvar mask planes are packed
+        # into ONE int32 carry plane (bit v = var v defined & ok): the
+        # per-target mask selects collapse nvar -> 1 and the loop carry
+        # shrinks from 2*nvar+2 planes to nvar+3.
+        carry0 = (p_at(0), lx(p_at(0)),
+                  tuple(zf for _ in range(nvar)), zi)
+
+        def body(k, carry):
+            p_k, x0, os_, mp = carry
+            p_k1 = p_at(k + 1)
+            x1 = lx(p_k1)
+            denom = x1 - x0
+            dinv = _f32(1.0) / jnp.where(denom != 0, denom, _f32(1.0))
+            okm = -(denom != 0).astype(jnp.int32)      # 0 or all-ones
+            packed = jnp.zeros((TY, CX), jnp.int32)
+            for v in range(nvar):
+                mk2 = (fmasks[v][k].astype(jnp.int32)
+                       & fmasks[v][k + 1].astype(jnp.int32))
+                packed = packed | (mk2 << v)
+            packed = packed & okm
+            sel = jnp.stack([(p_k <= t) & (p_k1 > t) for t in xts])
+            w = jnp.stack([(t - x0) * dinv for t in lxts])
+            no = tuple(
+                jnp.where(sel, fvals[v][k][None]
+                          + (fvals[v][k + 1] - fvals[v][k])[None] * w,
+                          os_[v])
+                for v in range(nvar))
+            return p_k1, x1, no, jnp.where(sel, packed[None], mp)
+
+        _, _, os_, mp = jax.lax.fori_loop(0, nlev - 1, body, carry0)
+        mbit = [(mp, 1 << v) for v in range(nvar)]
+    else:
+        # carry-select: the loop only *selects* the bracket quantities
+        # (f0, f1, x0, 1/denom, and the nvar defined bits packed into ONE
+        # int32 plane); the interpolation itself happens once after the
+        # loop.  Per (level, target) work drops from
+        # nvar*(FMA+select)+select to nvar*2+3 selects and the mask
+        # selects collapse nvar -> 1, ~35% fewer vector ops per iteration
+        # (the kernel is VPU-bound, PERF.md) while the bracket arithmetic
+        # stays bit-identical: the post-loop w/out use exactly the floats
+        # the in-place variant would have used at the bracket iteration.
+        carry0 = (p_at(0), lx(p_at(0)),
+                  tuple(zf for _ in range(nvar)),   # f0 per var
+                  tuple(zf for _ in range(nvar)),   # f1 per var
+                  zf, zf, zi)                       # x0_t, dinv_t, packed m
+
+        def body(k, carry):
+            p_k, x0, f0s, f1s, x0t, dvt, mp = carry
+            p_k1 = p_at(k + 1)
+            x1 = lx(p_k1)
+            denom = x1 - x0
+            # 0 where degenerate -> w=0 -> out=f0 (masked: ok bit below)
+            dinv = jnp.where(denom != 0, _f32(1.0) / denom, _f32(0.0))
+            okm = -(denom != 0).astype(jnp.int32)      # 0 or all-ones
+            # pack per-var defined bits (shared across targets), AND ok
+            packed = jnp.zeros((TY, CX), jnp.int32)
+            for v in range(nvar):
+                mk2 = (fmasks[v][k].astype(jnp.int32)
+                       & fmasks[v][k + 1].astype(jnp.int32))
+                packed = packed | (mk2 << v)
+            packed = packed & okm
+            sel = jnp.stack([(p_k <= t) & (p_k1 > t) for t in xts])
+            nf0 = tuple(jnp.where(sel, fvals[v][k][None], f0s[v])
+                        for v in range(nvar))
+            nf1 = tuple(jnp.where(sel, fvals[v][k + 1][None], f1s[v])
+                        for v in range(nvar))
+            nx0 = jnp.where(sel, x0[None], x0t)
+            ndv = jnp.where(sel, dinv[None], dvt)
+            nmp = jnp.where(sel, packed[None], mp)
+            return p_k1, x1, nf0, nf1, nx0, ndv, nmp
+
+        _, _, f0s, f1s, x0t, dvt, mp = jax.lax.fori_loop(
+            0, nlev - 1, body, carry0)
+        lxt = jnp.stack([jnp.full((TY, CX), t, _f32) for t in lxts])
+        w = (lxt - x0t) * dvt
+        os_ = [f0s[v] + (f1s[v] - f0s[v]) * w for v in range(nvar)]
+        mbit = [(mp, 1 << v) for v in range(nvar)]
 
     # mask lanes ride as int32 (Mosaic cannot select/rotate i1 vectors)
     psm = psm_ref[...].astype(jnp.int32)[None]
     for v in range(nvar):
         outs[v][...] = os_[v]
-        om = (ms[v] & psm) != 0
+        m, bit = mbit[v]
+        om = ((m & bit) != 0) & (psm != 0)
         omasks[v][...] = om if omasks[v].dtype == jnp.bool_ \
             else om.astype(omasks[v].dtype)
 
@@ -134,11 +222,13 @@ def _pick_cx(nlev: int, nx: int, nvar: int, nt: int) -> int:
     return 128
 
 
-@functools.partial(jax.jit, static_argnames=("targets", "log_p", "interpret"))
+@functools.partial(jax.jit, static_argnames=("targets", "log_p", "interpret",
+                                             "variant"))
 def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
                            alevel, blevel, targets: Sequence[float],
                            log_p: bool = True,
-                           interpret: bool = False) -> Tuple[Field, ...]:
+                           interpret: bool = False,
+                           variant: str = "packed") -> Tuple[Field, ...]:
     """Interpolate several hybrid-level Fields to constant-pressure
     surfaces in one fused pass (equivalent to
     :func:`..ops.vertical.hlevel_to_plevel` per field, same masks).
@@ -189,8 +279,11 @@ def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
     # to i32 buffers with materialized converts on both sides (4x DMA)
     i8_o = jax.ShapeDtypeStruct((nt, ny, nx), jnp.int8)
 
+    if variant not in ("carrysel", "inplace", "packed"):
+        raise ValueError(f"hlevel_to_plevel_fused: bad variant {variant!r}")
     outs = pl.pallas_call(
-        functools.partial(_interp_kernel, nlev, nt, nvar, TY, CX, log_p),
+        functools.partial(_interp_kernel, nlev, nt, nvar, TY, CX, log_p,
+                          variant),
         grid_spec=grid_spec,
         out_shape=tuple([f32_o] * nvar + [i8_o] * nvar),
         interpret=interpret,

@@ -84,10 +84,12 @@ def test_hlevel_to_plevel_matches_manual():
             assert abs(got[y, x] - e) < 5e-5, (y, x, got[y, x], e)
 
 
+@pytest.mark.parametrize("variant", ["packed", "inplace", "carrysel"])
 @pytest.mark.parametrize("log_p", [True, False])
-def test_fused_interp_matches_jnp(log_p):
+def test_fused_interp_matches_jnp(log_p, variant):
     """Pallas column kernel == vmap one-hot path (masks bitwise, values
-    to f32 round-off), with undefs in both the fields and ps."""
+    to f32 round-off), with undefs in both the fields and ps — for every
+    kernel variant (tools/perf_lab_vinterp.py picks the default)."""
     from mi_fieldcalc_tpu.ops.vertical_fused import hlevel_to_plevel_fused
 
     nlev, ny, nx = 13, 21, 37
@@ -105,7 +107,8 @@ def test_fused_interp_matches_jnp(log_p):
     targets = (1000.0, 925.0, 850.0, 500.0, 100.0, 50.0)
 
     got = hlevel_to_plevel_fused(tuple(fields), ps, alevel, blevel,
-                                 targets, log_p=log_p, interpret=True)
+                                 targets, log_p=log_p, interpret=True,
+                                 variant=variant)
     for i, f in enumerate(fields):
         ref = hlevel_to_plevel(f, ps, alevel, blevel, targets, log_p=log_p)
         rm, gm = np.asarray(ref.mask), np.asarray(got[i].mask)
