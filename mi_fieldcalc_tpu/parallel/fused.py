@@ -35,7 +35,7 @@ from ..ops.fused import derived_fields_fused
 from .halo import halo_exchange
 from .mesh import partition_spec
 
-__all__ = ["derived_fields_fused_sharded"]
+__all__ = ["derived_fields_fused_sharded", "derived_fields_isobaric_sharded"]
 
 #: Composed stencil radius of the pipeline (TFP through |grad T|).
 RADIUS = 2
@@ -125,6 +125,93 @@ def _sharded_fn(mesh: Mesh, global_shape, interpret: bool):
 _TREEDEF = jax.tree_util.tree_structure(
     (Field(0, 0), Field(0, 0), Field(0, 0), Field(0, 0), Field(0, 0),
      0, 0, 0, 0, 0))
+
+
+def derived_fields_isobaric_sharded(mesh: Mesh, tk: Field, q: Field,
+                                    u: Field, v: Field, ps: Field,
+                                    alevel, blevel, xmapr, ymapr, fcoriolis,
+                                    plevels, interpret: bool = False):
+    """Sharded 3-D isobaric pipeline (BASELINE config 5's per-host program):
+    hybrid -> pressure-level interpolation followed by the 12-output
+    derived-field kernel, domain-decomposed over ``mesh``.
+
+    The column interpolation is local to each shard (columns never cross
+    the (gy, gx) decomposition), so the ONLY communication is the
+    radius-2 halo ring on the 4 *interpolated* stacks — exchanged on the
+    (ntarget, ny, nx) fields, which is cheaper than exchanging the
+    (nlev, ny, nx) inputs whenever ntarget < nlev (11 vs 137 on the
+    north-star stack).  Level parallelism does not apply (columns span
+    all levels): the mesh must have ``lev == 1``.
+
+    Arguments as :func:`..models.pipeline.derived_fields_isobaric`;
+    ``xmapr``/``ymapr``/``fcoriolis`` must be ``(ny, nx)`` arrays.
+    Returns a sharded :class:`DerivedFields` on the ``plevels`` stack.
+    """
+    if dict(mesh.shape).get("lev", 1) != 1:
+        raise ValueError("isobaric sharding needs lev == 1 (columns span "
+                         "all model levels)")
+    nyg, nxg = tk.values.shape[-2:]
+    plevels = tuple(float(t) for t in plevels)
+    args = (tk, q, u, v, ps, jnp.asarray(alevel, jnp.float32),
+            jnp.asarray(blevel, jnp.float32),
+            jnp.asarray(xmapr, jnp.float32), jnp.asarray(ymapr, jnp.float32),
+            jnp.asarray(fcoriolis, jnp.float32))
+    leaves = tuple(jax.tree_util.tree_flatten(args)[0])
+    fn = _isobaric_sharded_fn(mesh, (nyg, nxg), plevels, bool(interpret))
+    return fn(leaves)
+
+
+@functools.lru_cache(maxsize=64)
+def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool):
+    from ..ops.vertical_fused import hlevel_to_plevel_fused
+
+    nyg, nxg = global_shape
+    names = mesh.axis_names
+    np_ = len(plevels)
+
+    def body(leaves):
+        tk, q, u, v, ps, al, bl, xm, ym, fc = \
+            jax.tree_util.tree_unflatten(_TREEDEF, leaves)
+
+        # local column interpolation (no communication)
+        tki, qi, ui, vi = hlevel_to_plevel_fused(
+            (tk, q, u, v), ps, al, bl, plevels, interpret=interpret)
+
+        def padf(f):
+            m = halo_exchange(f.mask.astype(jnp.int8), RADIUS, mesh) != 0
+            return Field(halo_exchange(f.values, RADIUS, mesh), m)
+
+        tkp, qp, up, vp = map(padf, (tki, qi, ui, vi))
+        xmp = halo_exchange(xm, RADIUS, mesh)
+        ymp = halo_exchange(ym, RADIUS, mesh)
+        fcp = halo_exchange(fc, RADIUS, mesh)
+
+        ny_loc, nx_loc = tk.values.shape[-2:]
+        ny_p, nx_p = ny_loc + 2 * RADIUS, nx_loc + 2 * RADIUS
+        # constant-pressure surfaces: alevel = plevels, blevel = 0, ps = 0
+        # defined everywhere (models/pipeline.py derived_fields_isobaric)
+        ps1 = Field(jnp.zeros((ny_p, nx_p), jnp.float32),
+                    jnp.ones((ny_p, nx_p), bool))
+        iy = lax.axis_index("gy") if "gy" in names else 0
+        ix = lax.axis_index("gx") if "gx" in names else 0
+        offs = jnp.stack([iy * ny_loc - RADIUS, ix * nx_loc - RADIUS]
+                         ).astype(jnp.int32)
+
+        out = derived_fields_fused(
+            tkp, qp, up, vp, ps1,
+            jnp.asarray(plevels, jnp.float32), jnp.zeros(np_, jnp.float32),
+            xmp, ymp, fcp, interpret=interpret,
+            global_shape=(nyg, nxg), grid_offsets=offs)
+        return jax.tree_util.tree_map(
+            lambda a: a[..., RADIUS:-RADIUS, RADIUS:-RADIUS], out)
+
+    from ..models.pipeline import DerivedFields
+    out_spec = partition_spec(3, mesh)
+    out_specs = DerivedFields(*[Field(out_spec, out_spec)] * 12)
+    in_specs = tuple(partition_spec(nd, mesh)
+                     for nd in [3] * 8 + [2] * 2 + [1] * 2 + [2] * 3)
+    return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
+                             out_specs=out_specs, check_vma=False))
 
 
 @functools.lru_cache(maxsize=64)

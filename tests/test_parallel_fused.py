@@ -48,3 +48,56 @@ def test_sharded_fused_matches_unsharded(mesh_shape, nlev, ny, nx, overlap):
         with np.errstate(all="ignore"):
             assert np.allclose(rv[w], gv[w], rtol=2e-5, atol=1e-30), \
                 f"{name}: value mismatch"
+
+
+@pytest.mark.parametrize("mesh_shape,nlev,ny,nx", [
+    ((1, 2, 2), 10, 48, 64),
+    ((1, 4, 1), 8, 64, 96),
+    ((1, 1, 4), 8, 32, 128),
+])
+def test_sharded_isobaric_matches_unsharded(mesh_shape, nlev, ny, nx):
+    """Config-5 per-host program: per-shard column interpolation + halo
+    exchange on the interpolated stack + per-shard pipeline kernel equals
+    the unsharded fused isobaric pipeline (masks bit-for-bit)."""
+    import numpy as _np
+
+    from mi_fieldcalc_tpu.models.pipeline import derived_fields_isobaric
+    from mi_fieldcalc_tpu.parallel.fused import (
+        derived_fields_isobaric_sharded)
+
+    ndev = int(np.prod(mesh_shape))
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mesh = grid_mesh(mesh_shape, devices=jax.devices()[:ndev])
+    args = list(_inputs(nlev, ny, nx, seed=7 * ny + nx, undefs=True))
+    # monotone-increasing hybrid columns (model top first, surface last)
+    import jax.numpy as jnp
+    args[5] = jnp.asarray(_np.linspace(50, 300, nlev), jnp.float32)
+    args[6] = jnp.asarray(_np.linspace(0.0, 0.7, nlev) ** 1.5, jnp.float32)
+    plv = (925.0, 850.0, 700.0, 500.0, 300.0)
+
+    ref = derived_fields_isobaric(*args, plevels=plv, fused=True)
+    got = derived_fields_isobaric_sharded(mesh, *args, plevels=plv,
+                                          interpret=True)
+    for name in ref._fields:
+        rv = np.asarray(getattr(ref, name).values)
+        rm = np.asarray(getattr(ref, name).mask)
+        gv = np.asarray(getattr(got, name).values)
+        gm = np.asarray(getattr(got, name).mask)
+        assert np.array_equal(rm, gm), f"{name}: mask mismatch"
+        with np.errstate(all="ignore"):
+            assert np.allclose(rv[rm], gv[rm], rtol=2e-5, atol=1e-30), \
+                f"{name}: value mismatch"
+
+
+def test_sharded_isobaric_rejects_lev_mesh():
+    from mi_fieldcalc_tpu.parallel.fused import (
+        derived_fields_isobaric_sharded)
+
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+    mesh = grid_mesh((2, 1, 1), devices=jax.devices()[:2])
+    args = _inputs(4, 16, 32)
+    with pytest.raises(ValueError, match="lev == 1"):
+        derived_fields_isobaric_sharded(mesh, *args, plevels=(900.0,),
+                                        interpret=True)
