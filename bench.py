@@ -60,11 +60,23 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        from mi_fieldcalc_tpu.ops.fused import derived_fields_fused as step
+        # canonical padded layout (layout.py): grids tile-aligned on
+        # device, edge fills at the logical (NY, NX) boundary; ragged
+        # grids pay ~2x in DMA bandwidth (tools/perf_lab_pad.py)
+        import functools
+        from mi_fieldcalc_tpu import pad_array, pad_field
+        from mi_fieldcalc_tpu.field import Field
+        from mi_fieldcalc_tpu.ops.fused import derived_fields_fused
+        step = functools.partial(derived_fields_fused,
+                                 global_shape=(NY, NX))
+        raw = _example_inputs(NLEV, NY, NX)
+        args = jax.device_put(tuple(
+            pad_field(a) if isinstance(a, Field) else
+            (pad_array(a) if a.ndim == 2 else a)
+            for a in raw))
     else:
         step = jax.jit(derived_fields)
-
-    args = jax.device_put(_example_inputs(NLEV, NY, NX))
+        args = jax.device_put(_example_inputs(NLEV, NY, NX))
 
     def qtime(fn, probe, iters):
         out = fn()

@@ -26,6 +26,9 @@ from .field import (  # noqa: F401
     UNDEF, Field, ValuesDefined, combine_defined, defined_counts, defined_state,
     from_sentinel, from_values, full_undef,
 )
+from .layout import (  # noqa: F401
+    padded_shape, pad_field, pad_array, trim_field, trim_array,
+)
 from . import constants  # noqa: F401
 from . import ops  # noqa: F401
 from . import parallel  # noqa: F401

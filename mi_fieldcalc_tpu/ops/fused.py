@@ -181,7 +181,9 @@ def _edge_store(ref, value, gy0, cx0, nyg, nxg, TY, nx):
     if _V("MF_FUSED_NO_FILLS"):
         put(value)
         return
-    full_x = nx == nxg    # tile spans global x -> static-lane fill sources
+    # tile spans the whole logical x-range (nx > nxg when lanes are
+    # padded to the canonical layout) -> static-lane fill sources
+    full_x = nx >= nxg
     if ref.dtype == jnp.int8:
         # i8 tiling cannot prove dynamic row offsets; use the full-tile
         # shift+select row patch instead of the 2 conditional row stores
@@ -426,8 +428,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked, part, *refs):
     absd = jnp.sqrt(dfdx * dfdx + dfdy * dfdy)
     absd_m = (_xshift(tkme[1:TY + 3], -1) & _xshift(tkme[1:TY + 3], 1)
               & tkme[0:TY + 2] & tkme[2:TY + 4])
-    absd = _fill(absd, gy0 - 1, nyg, cx0, nxg, nx == nxg)
-    absd_m = _fill(absd_m, gy0 - 1, nyg, cx0, nxg, nx == nxg)
+    absd = _fill(absd, gy0 - 1, nyg, cx0, nxg, nx >= nxg)
+    absd_m = _fill(absd_m, gy0 - 1, nyg, cx0, nxg, nx >= nxg)
 
     o_gt[0] = absd[1:TY + 1]
     put_ref(m_gt, absd_m[1:TY + 1])
@@ -499,6 +501,13 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
     bottom-shard fill-source row inside one tile); pass 0 for the
     overlap path's unpadded interior block.
 
+    For the canonical padded layout (layout.py): pass tile-aligned
+    inputs (masks ``False`` on dead rows/lanes) with ``global_shape``
+    set to the *logical* ``(ny, nx)`` and no ``grid_offsets`` — edge
+    fills fire at the logical boundary and outputs come back padded
+    (trim with ``layout.trim_field`` at the host boundary).  Ragged
+    grids take a ~2x DMA bandwidth penalty (tools/perf_lab_pad.py).
+
     ``split=True`` issues TWO pallas_calls instead of the monolith: an
     elementwise kernel (no halo blocks → ``ty_ew`` rows/tile, no fill
     constraint) and a stencil kernel.  Descriptor cost per output row
@@ -509,8 +518,15 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
     nlev, ny, nx = tk.values.shape
     nyg, nxg = global_shape if global_shape is not None else (ny, nx)
     # local row that receives the "row nyg-1 <- nyg-2" fill: for a bottom
-    # shard, global nyg-1 sits `halo_rows` above the local end
-    last_local = ny - 1 if global_shape is None else ny - 1 - halo_rows
+    # shard, global nyg-1 sits `halo_rows` above the local end; for the
+    # canonical padded layout (global_shape logical, no offsets) it is
+    # simply logical row nyg-1
+    if global_shape is None:
+        last_local = ny - 1
+    elif grid_offsets is None:
+        last_local = nyg - 1
+    else:
+        last_local = ny - 1 - halo_rows
     TY = ty if ty is not None else _pick_ty(ny, last_local)
     if TY == 0:
         raise ValueError("derived_fields_fused: unsupported grid size")

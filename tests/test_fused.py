@@ -87,6 +87,34 @@ def test_fused_split_matches_monolith(nlev, ny, nx):
                               np.asarray(ga.values)[rm]), name
 
 
+@pytest.mark.parametrize("nlev,ny,nx", [
+    (3, 37, 61),      # pads to (40, 128)
+    (2, 33, 135),     # pads to (40, 256)
+    (2, 48, 256),     # already aligned (pad is a no-op)
+])
+def test_fused_padded_layout_matches(nlev, ny, nx):
+    """Canonical padded layout (layout.py): tile-aligned inputs +
+    logical global_shape give bitwise-identical logical outputs, with
+    edge fills at the logical boundary, not the padded one."""
+    from mi_fieldcalc_tpu.layout import pad_array, pad_field, trim_field
+
+    args = _inputs(nlev, ny, nx, seed=3 * ny + nx, undefs=True)
+    ref = derived_fields_fused(*args, interpret=True)
+    pargs = tuple(
+        pad_field(a) if hasattr(a, "mask") else
+        (pad_array(a) if a.ndim == 2 else a)
+        for a in args)
+    got = derived_fields_fused(*pargs, interpret=True,
+                               global_shape=(ny, nx))
+    for name in ref._fields:
+        ra = getattr(ref, name)
+        ga = trim_field(getattr(got, name), ny, nx)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, np.asarray(ga.mask)), name
+        assert np.array_equal(np.asarray(ra.values)[rm],
+                              np.asarray(ga.values)[rm]), name
+
+
 def test_fused_supported_bounds():
     assert not fused_supported(2, 64)      # ny < 3
     assert not fused_supported(64, 2)      # nx < 3
