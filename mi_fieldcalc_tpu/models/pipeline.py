@@ -140,7 +140,8 @@ def derived_fields_isobaric(tk: Field, q: Field, u: Field, v: Field,
                             xmapr: jax.Array, ymapr: jax.Array,
                             fcoriolis: jax.Array,
                             plevels=STANDARD_PLEVELS,
-                            fused: bool = False) -> DerivedFields:
+                            fused: bool = False,
+                            global_shape=None) -> DerivedFields:
     """The 3-D vertical pipeline (BASELINE.json config 4): interpolate the
     prognostic fields from hybrid model levels to standard isobaric
     surfaces (log-p linear, mask-aware — ops/vertical.py), then run the
@@ -154,9 +155,16 @@ def derived_fields_isobaric(tk: Field, q: Field, u: Field, v: Field,
     once instead of once per target), and the derived-field tail through
     the single-pass pipeline kernel — the constant-pressure surfaces are
     expressible in the kernel's hybrid law as ``alevel = plevels,
-    blevel = 0`` with an all-defined surface-pressure field."""
+    blevel = 0`` with an all-defined surface-pressure field.
+
+    ``global_shape`` (fused path only): the logical ``(ny, nx)`` when
+    the inputs are in the canonical padded layout (layout.py) — edge
+    fills fire at the logical boundary; outputs come back padded."""
     from ..ops import hlevel_to_plevel
 
+    if global_shape is not None and not fused:
+        raise ValueError("derived_fields_isobaric: global_shape requires "
+                         "fused=True (the jnp path takes logical grids)")
     nlev = tk.values.shape[0]
     plevels = tuple(float(t) for t in plevels)
     if fused:
@@ -179,7 +187,8 @@ def derived_fields_isobaric(tk: Field, q: Field, u: Field, v: Field,
             tki, qi, ui, vi, ps1,
             jnp.asarray(plevels, jnp.float32), jnp.zeros(np_, jnp.float32),
             xmapr, ymapr, fcoriolis,
-            interpret=jax.devices()[0].platform != "tpu")
+            interpret=jax.devices()[0].platform != "tpu",
+            global_shape=global_shape)
     # constant-pressure "field" per target level; defined everywhere
     pvals = jnp.asarray(plevels, jnp.float32).reshape(np_, 1, 1)
     p = Field(jnp.broadcast_to(pvals, tki.values.shape),

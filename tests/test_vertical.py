@@ -220,3 +220,46 @@ def test_isobaric_fused_matches_jnp():
             # absolute noise on near-zero results under reassociation
             assert np.allclose(rv[rm], gv[rm], rtol=2e-5, atol=5e-6), \
                 f"{name}: values"
+
+
+def test_isobaric_fused_padded_layout_matches():
+    """Canonical padded layout through the WHOLE isobaric pipeline:
+    tile-aligned inputs + logical global_shape give the same logical
+    outputs as the unpadded fused path, bitwise (same kernels, dead
+    lanes masked out by construction)."""
+    from mi_fieldcalc_tpu.layout import pad_array, pad_field, trim_field
+
+    nlev, ny, nx = 6, 24, 40     # pads to (24, 128)
+    rng = np.random.default_rng(13)
+    tk = rng.normal(275, 10, (nlev, ny, nx)).astype(np.float32)
+    q = rng.uniform(1e-4, 1e-2, (nlev, ny, nx)).astype(np.float32)
+    u = rng.normal(0, 10, (nlev, ny, nx)).astype(np.float32)
+    v = rng.normal(0, 10, (nlev, ny, nx)).astype(np.float32)
+    ps = rng.uniform(980, 1030, (ny, nx)).astype(np.float32)
+    tk[2, 5, 5] = UNDEF
+    ps[3, 3] = UNDEF
+    args = (from_sentinel(tk), from_sentinel(q), from_sentinel(u),
+            from_sentinel(v), from_sentinel(ps),
+            jnp.linspace(30.0, 0.0, nlev).astype(jnp.float32),
+            jnp.linspace(0.02, 1.0, nlev).astype(jnp.float32),
+            jnp.full((ny, nx), 4e-7, jnp.float32),
+            jnp.full((ny, nx), 4e-7, jnp.float32),
+            jnp.full((ny, nx), 1.2e-4, jnp.float32))
+    plv = (850.0, 700.0)
+    ref = derived_fields_isobaric(*args, plevels=plv, fused=True)
+    pargs = tuple(
+        pad_field(a) if hasattr(a, "mask") else
+        (pad_array(a) if a.ndim == 2 else a)
+        for a in args)
+    got = derived_fields_isobaric(*pargs, plevels=plv, fused=True,
+                                  global_shape=(ny, nx))
+    for name in ref._fields:
+        ra = getattr(ref, name)
+        ga = trim_field(getattr(got, name), ny, nx)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, np.asarray(ga.mask)), name
+        assert np.array_equal(np.asarray(ra.values)[rm],
+                              np.asarray(ga.values)[rm]), name
+    with pytest.raises(ValueError):
+        derived_fields_isobaric(*pargs, plevels=plv, fused=False,
+                                global_shape=(ny, nx))

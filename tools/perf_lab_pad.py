@@ -67,13 +67,14 @@ def main():
           f"({2*4*NLEV*NY*NX/cal/1e9:.0f} GB/s)")
 
     variants = [("929x719 (status quo)", args, None)]
-    for ny_p, nx_p in ((728, 1024), (736, 1024), (720, 1024), (768, 1152)):
+    for ny_p, nx_p in ((720, 1024),):
         pa = jax.device_put(pad_args(args, ny_p, nx_p))
         variants.append((f"{nx_p}x{ny_p} padded", pa, (ny_p, nx_p)))
 
     for tag, a, shp in variants:
         try:
-            fn = lambda: derived_fields_fused(*a)
+            gs = (NY, NX) if shp is not None else None
+            fn = lambda: derived_fields_fused(*a, global_shape=gs)
             dt = qtime(fn, lambda o: float(o.tfp.values[0, 0, 0]))
             print(f"{tag:24s}: {dt*1e3:.3f} ms")
         except Exception as e:
@@ -83,6 +84,21 @@ def main():
     dt = qtime(lambda: derived_fields_fused(*args),
                lambda o: float(o.tfp.values[0, 0, 0]))
     print(f"{'status quo recheck':24s}: {dt*1e3:.3f} ms")
+
+    # ---- isobaric pipeline (config 4): interp kernel + fused tail -----
+    from functools import partial
+
+    from mi_fieldcalc_tpu.models.pipeline import derived_fields_isobaric
+
+    iso = jax.jit(partial(derived_fields_isobaric, fused=True))
+    dt = qtime(lambda: iso(*args), lambda o: float(o.tfp.values[0, 0, 0]))
+    print(f"{'isobaric 929x719':24s}: {dt*1e3:.3f} ms")
+
+    pa = jax.device_put(pad_args(args, 720, 1024))
+    iso_p = jax.jit(partial(derived_fields_isobaric, fused=True,
+                            global_shape=(NY, NX)))
+    dt = qtime(lambda: iso_p(*pa), lambda o: float(o.tfp.values[0, 0, 0]))
+    print(f"{'isobaric 1024x720 padded':24s}: {dt*1e3:.3f} ms")
 
     cal2 = qtime(lambda: add1(xcal), lambda o: float(o[0, 0, 0]))
     print(f"x+1 recheck: {cal2*1e3:.3f} ms "
