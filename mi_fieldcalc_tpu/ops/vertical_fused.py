@@ -202,7 +202,7 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant,
             else om.astype(omasks[v].dtype)
 
 
-def _pick_cx(nlev: int, nx: int, nvar: int, nt: int) -> int:
+def _pick_cx(nlev: int, nx: int, nvar: int, nt: int, ty: int = 8) -> int:
     """x chunk minimizing total *processed* lanes, then chunk count,
     within the 16 MB scoped-VMEM limit (13 MB budget).  Maximizing CX is
     the wrong objective: nx=929 at CX=640 runs 2x640=1280 lanes/row
@@ -210,10 +210,10 @@ def _pick_cx(nlev: int, nx: int, nvar: int, nt: int) -> int:
     VPU/select work scales with jx*CX, so CX should be the minimal
     128-multiple whose chunk count jx keeps jx*CX == ceil(nx/128)*128."""
     budget = 13 * 2 ** 20
-    per_lane = (2 * nvar * nlev * 8 * 5          # inputs, f32 + i8, 2-buf
-                + 2 * nvar * nt * 8 * 5          # outputs, f32 + i8, 2-buf
-                + (2 * nvar + 4) * nt * 8 * 4    # out/mask carries + temps
-                + 4 * 8 * 4)                     # p/ln-p carries
+    per_lane = (2 * nvar * nlev * ty * 5         # inputs, f32 + i8, 2-buf
+                + 2 * nvar * nt * ty * 5         # outputs, f32 + i8, 2-buf
+                + (2 * nvar + 4) * nt * ty * 4   # out/mask carries + temps
+                + 4 * ty * 4)                    # p/ln-p carries
     lanes = -(-nx // 128) * 128                  # minimal padded row
     for jx in range(1, lanes // 128 + 1):
         cx = -(-lanes // (128 * jx)) * 128
@@ -223,12 +223,13 @@ def _pick_cx(nlev: int, nx: int, nvar: int, nt: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("targets", "log_p", "interpret",
-                                             "variant"))
+                                             "variant", "ty"))
 def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
                            alevel, blevel, targets: Sequence[float],
                            log_p: bool = True,
                            interpret: bool = False,
-                           variant: str = "packed") -> Tuple[Field, ...]:
+                           variant: str = "packed",
+                           ty: int = 8) -> Tuple[Field, ...]:
     """Interpolate several hybrid-level Fields to constant-pressure
     surfaces in one fused pass (equivalent to
     :func:`..ops.vertical.hlevel_to_plevel` per field, same masks).
@@ -252,8 +253,13 @@ def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
     nt = len(targets)
     require(nt >= 1, "hlevel_to_plevel_fused: no targets")
 
-    TY = 8
-    CX = _pick_cx(nlev, nx, nvar, nt)
+    require(ty > 0 and ty % 8 == 0, "hlevel_to_plevel_fused: bad ty")
+    # ty=8 default: taller tiles would cut i8 mask sublane padding (8-row
+    # blocks move 32 rows) but measured slower — the kernel is VPU/carry
+    # bound, and 8/16/32 gave 4.50/4.57/4.75 ms on the padded operational
+    # stack (tile-aligned inputs; 6.0/6.1/6.3 ms ragged)
+    TY = min(ty, -(-ny // 8) * 8)
+    CX = _pick_cx(nlev, nx, nvar, nt, TY)
     jy, jx = -(-ny // TY), -(-nx // CX)
 
     xt = np.asarray(targets, np.float32)
