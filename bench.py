@@ -67,8 +67,10 @@ def main():
         from mi_fieldcalc_tpu import pad_array, pad_field
         from mi_fieldcalc_tpu.field import Field
         from mi_fieldcalc_tpu.ops.fused import derived_fields_fused
+        # stacked SoA outputs (DerivedFieldsStacked): 2 output buffers
+        # instead of 21; 4.6 vs 5.3 ms on the padded layout
         step = functools.partial(derived_fields_fused,
-                                 global_shape=(NY, NX))
+                                 global_shape=(NY, NX), stacked=True)
         raw = _example_inputs(NLEV, NY, NX)
         args = jax.device_put(tuple(
             pad_field(a) if isinstance(a, Field) else
