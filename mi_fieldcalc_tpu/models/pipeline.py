@@ -141,7 +141,8 @@ def derived_fields_isobaric(tk: Field, q: Field, u: Field, v: Field,
                             fcoriolis: jax.Array,
                             plevels=STANDARD_PLEVELS,
                             fused: bool = False,
-                            global_shape=None) -> DerivedFields:
+                            global_shape=None,
+                            stacked: bool = False) -> DerivedFields:
     """The 3-D vertical pipeline (BASELINE.json config 4): interpolate the
     prognostic fields from hybrid model levels to standard isobaric
     surfaces (log-p linear, mask-aware — ops/vertical.py), then run the
@@ -162,9 +163,9 @@ def derived_fields_isobaric(tk: Field, q: Field, u: Field, v: Field,
     fills fire at the logical boundary; outputs come back padded."""
     from ..ops import hlevel_to_plevel
 
-    if global_shape is not None and not fused:
-        raise ValueError("derived_fields_isobaric: global_shape requires "
-                         "fused=True (the jnp path takes logical grids)")
+    if (global_shape is not None or stacked) and not fused:
+        raise ValueError("derived_fields_isobaric: global_shape/stacked "
+                         "require fused=True")
     nlev = tk.values.shape[0]
     plevels = tuple(float(t) for t in plevels)
     if fused:
@@ -188,7 +189,7 @@ def derived_fields_isobaric(tk: Field, q: Field, u: Field, v: Field,
             jnp.asarray(plevels, jnp.float32), jnp.zeros(np_, jnp.float32),
             xmapr, ymapr, fcoriolis,
             interpret=jax.devices()[0].platform != "tpu",
-            global_shape=global_shape)
+            global_shape=global_shape, stacked=stacked)
     # constant-pressure "field" per target level; defined everywhere
     pvals = jnp.asarray(plevels, jnp.float32).reshape(np_, 1, 1)
     p = Field(jnp.broadcast_to(pvals, tki.values.shape),

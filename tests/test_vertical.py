@@ -263,3 +263,13 @@ def test_isobaric_fused_padded_layout_matches():
     with pytest.raises(ValueError):
         derived_fields_isobaric(*pargs, plevels=plv, fused=False,
                                 global_shape=(ny, nx))
+    # stacked SoA output through the isobaric pipeline
+    stk = derived_fields_isobaric(*pargs, plevels=plv, fused=True,
+                                  global_shape=(ny, nx), stacked=True)
+    for i, name in enumerate(ref._fields):
+        ra = getattr(ref, name)
+        ga = trim_field(stk.field(i), ny, nx)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, np.asarray(ga.mask)), name
+        assert np.array_equal(np.asarray(ra.values)[rm],
+                              np.asarray(ga.values)[rm]), name
