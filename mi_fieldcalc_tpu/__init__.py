@@ -27,7 +27,8 @@ from .field import (  # noqa: F401
     from_sentinel, from_values, full_undef,
 )
 from .layout import (  # noqa: F401
-    padded_shape, pad_field, pad_array, trim_field, trim_array,
+    padded_shape, padded_shape_sharded, pad_field, pad_array, trim_field,
+    trim_array,
 )
 from . import constants  # noqa: F401
 from . import ops  # noqa: F401

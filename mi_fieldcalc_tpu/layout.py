@@ -33,8 +33,8 @@ import jax.numpy as jnp
 
 from .field import Field
 
-__all__ = ["ROW_TILE", "LANE_TILE", "padded_shape", "pad_field",
-           "pad_array", "trim_field", "trim_array"]
+__all__ = ["ROW_TILE", "LANE_TILE", "padded_shape", "padded_shape_sharded",
+           "pad_field", "pad_array", "trim_field", "trim_array"]
 
 #: f32 sublane / lane tile extents on current TPUs.
 ROW_TILE = 8
@@ -69,6 +69,19 @@ def pad_field(f: Field, ny_p: int | None = None,
     """Pad a Field to the canonical layout: values 0, mask ``False``."""
     return Field(pad_array(f.values, ny_p, nx_p),
                  pad_array(f.mask, ny_p, nx_p))
+
+
+def padded_shape_sharded(ny: int, nx: int, gy: int = 1,
+                         gx: int = 1) -> tuple[int, int]:
+    """Global padded extent for a ``(gy, gx)``-decomposed grid such that
+    every shard's *local* block is tile-aligned: ``ny_p/gy % 8 == 0`` and
+    ``nx_p/gx % 128 == 0``.  The sharded fused pipeline exchanges 8-row
+    y-halos (one row tile) and no x-halo when ``gx == 1``, so local
+    alignment makes every per-shard Pallas transfer tile-aligned too.
+    With ``gx > 1`` the 2-lane x-halos still leave local lanes ragged —
+    prefer (lev, gy) decompositions on TPU (lanes are the scarce axis)."""
+    return (_up(-(-ny // gy), ROW_TILE) * gy,
+            _up(-(-nx // gx), LANE_TILE) * gx)
 
 
 def trim_array(a, ny: int, nx: int):

@@ -166,7 +166,7 @@ def put_ref(ref, v):
         ref[0] = (v != 0).astype(ref.dtype)
 
 
-def _edge_store(ref, value, gy0, cx0, nyg, nxg, TY, nx):
+def _edge_store(ref, value, gy0, cx0, nyg, nxg, TY, nx, full_x):
     """Write output block ``value`` with fillEdges applied: columns via a
     full-tile select (Mosaic cannot address single lanes dynamically),
     rows via 2 conditional dynamic-row stores — the physical row patch
@@ -181,9 +181,6 @@ def _edge_store(ref, value, gy0, cx0, nyg, nxg, TY, nx):
     if _V("MF_FUSED_NO_FILLS"):
         put(value)
         return
-    # tile spans the whole logical x-range (nx > nxg when lanes are
-    # padded to the canonical layout) -> static-lane fill sources
-    full_x = nx >= nxg
     if ref.dtype == jnp.int8:
         # i8 tiling cannot prove dynamic row offsets; use the full-tile
         # shift+select row patch instead of the 2 conditional row stores
@@ -257,7 +254,7 @@ class _StackedSlot:
         return self._ref[self._at(idx)]
 
 
-def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked, part, *refs):
+def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
     """Kernel body for all three layouts: ``part`` = "all" (monolith),
     "elementwise" (no halos, no stencils - bigger row tiles), or
     "stencil" (halo blocks + the 5 derivative outputs).  The split
@@ -417,7 +414,7 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked, part, *refs):
     if m_dv is not None:               # reference quirk: vort's inputs
         stores.insert(3, (m_dv, vort_m))
     for ref, val in stores:
-        _edge_store(ref, val, gy0, cx0, nyg, nxg, TY, nx)
+        _edge_store(ref, val, gy0, cx0, nyg, nxg, TY, nx, full_x)
 
     # ---- |grad T| on the TY+2-row window, then TFP ------------------------
     # absd index k is global row gy0-1+k.
@@ -428,8 +425,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked, part, *refs):
     absd = jnp.sqrt(dfdx * dfdx + dfdy * dfdy)
     absd_m = (_xshift(tkme[1:TY + 3], -1) & _xshift(tkme[1:TY + 3], 1)
               & tkme[0:TY + 2] & tkme[2:TY + 4])
-    absd = _fill(absd, gy0 - 1, nyg, cx0, nxg, nx >= nxg)
-    absd_m = _fill(absd_m, gy0 - 1, nyg, cx0, nxg, nx >= nxg)
+    absd = _fill(absd, gy0 - 1, nyg, cx0, nxg, full_x)
+    absd_m = _fill(absd_m, gy0 - 1, nyg, cx0, nxg, full_x)
 
     o_gt[0] = absd[1:TY + 1]
     put_ref(m_gt, absd_m[1:TY + 1])
@@ -446,8 +443,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, stacked, part, *refs):
     tfp_m = (ym1(tkme) & _xshift(tkm, 1) & _xshift(tkm, -1) & yp1(tkme)
              & absd_m[0:TY] & _xshift(am_c, 1) & am_c & _xshift(am_c, -1)
              & absd_m[2:TY + 2] & nonzero.astype(jnp.int32))
-    _edge_store(o_tf, tfp, gy0, cx0, nyg, nxg, TY, nx)
-    _edge_store(m_tf, tfp_m, gy0, cx0, nyg, nxg, TY, nx)
+    _edge_store(o_tf, tfp, gy0, cx0, nyg, nxg, TY, nx, full_x)
+    _edge_store(m_tf, tfp_m, gy0, cx0, nyg, nxg, TY, nx, full_x)
 
 
 # ---------------------------------------------------------------------------
@@ -527,6 +524,10 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         last_local = nyg - 1
     else:
         last_local = ny - 1 - halo_rows
+    # static-lane fill sources are valid only when lane 0 IS global
+    # column 0 and the tile covers every logical lane — i.e. unsharded
+    # (possibly lane-padded) grids; sharded tiles have traced offsets
+    full_x = grid_offsets is None and nx >= nxg
     TY = ty if ty is not None else _pick_ty(ny, last_local)
     if TY == 0:
         raise ValueError("derived_fields_fused: unsupported grid size")
@@ -660,7 +661,7 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         )
         return pl.pallas_call(
             functools.partial(_kernel, ny, nx, TY, nlev, nyg, nxg,
-                              stacked, part),
+                              full_x, stacked, part),
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,

@@ -32,7 +32,6 @@ except ImportError:  # pragma: no cover
 
 from ..field import Field
 from ..ops.fused import derived_fields_fused
-from .halo import halo_exchange
 from .mesh import partition_spec
 
 __all__ = ["derived_fields_fused_sharded", "derived_fields_isobaric_sharded"]
@@ -45,7 +44,8 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
                                  v: Field, ps: Field, alevel, blevel,
                                  xmapr, ymapr, fcoriolis,
                                  interpret: bool = False,
-                                 overlap: bool = False):
+                                 overlap: bool = False,
+                                 global_shape=None):
     """Run the fused pipeline kernel per-shard over ``mesh``.
 
     Arguments as :func:`..models.pipeline.derived_fields`; ``xmapr`` /
@@ -58,8 +58,16 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
     with the 2-row ``ppermute`` strips, and only the 2 seam rows per side
     are recomputed from 8-row strip kernels and patched in — the interior
     pass has no data dependence on the collective, so XLA overlaps them.
+
+    ``global_shape`` is the logical ``(ny, nx)`` when the global arrays
+    are padded to :func:`..layout.padded_shape_sharded` extents (masks
+    ``False`` on dead rows/lanes).  Tile-aligned locals avoid the ~2x
+    ragged-DMA penalty (layout.py); y-halos are one 8-row tile wide and
+    ``gx == 1`` meshes exchange no x-halo, so every per-shard transfer
+    stays aligned.  Outputs come back padded (trim at the host boundary).
     """
-    nyg, nxg = tk.values.shape[-2:]
+    nyg, nxg = (tk.values.shape[-2:] if global_shape is None
+                else global_shape)
     args = (tk, q, u, v, ps, jnp.asarray(alevel, jnp.float32),
             jnp.asarray(blevel, jnp.float32),
             jnp.asarray(xmapr, jnp.float32), jnp.asarray(ymapr, jnp.float32),
@@ -76,39 +84,69 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
     return fn(leaves)
 
 
+def _halo_widths(mesh: Mesh):
+    """(HY, HX): y-halos are one 8-row tile (keeps tile-aligned locals
+    aligned after the halo concat; the seam strips ride ICI either way),
+    x-halos the minimal stencil radius, and none where the mesh does not
+    decompose that axis (lane rolls + logical-edge fills already handle
+    the physical boundary exactly like the single-device kernel)."""
+    names = mesh.axis_names
+    gy = mesh.shape["gy"] if "gy" in names else 1
+    gx = mesh.shape["gx"] if "gx" in names else 1
+    return (8 if gy > 1 else 0), (RADIUS if gx > 1 else 0)
+
+
+def _exchange(a, mesh: Mesh, hy: int, hx: int):
+    """halo_exchange with independent per-axis widths (0 = skip)."""
+    from .halo import _exchange_1d
+    names = mesh.axis_names
+    if hy:
+        a = _exchange_1d(a, hy, a.ndim - 2, "gy", mesh.shape["gy"])
+    if hx:
+        a = _exchange_1d(a, hx, a.ndim - 1, "gx", mesh.shape["gx"])
+    return a
+
+
 @functools.lru_cache(maxsize=64)
 def _sharded_fn(mesh: Mesh, global_shape, interpret: bool):
-    """One jitted shard_map program per (mesh, global grid) — repeat calls
-    dispatch the cached executable instead of re-tracing."""
+    """One jitted shard_map program per (mesh, logical grid) — repeat
+    calls dispatch the cached executable instead of re-tracing."""
     nyg, nxg = global_shape
     names = mesh.axis_names
+    HY, HX = _halo_widths(mesh)
 
     def body(leaves):
         tk, q, u, v, ps, al, bl, xm, ym, fc = \
             jax.tree_util.tree_unflatten(_TREEDEF, leaves)
 
+        def pada(a):
+            return _exchange(a, mesh, HY, HX)
+
         def padf(f):
             # mask rides through int8: bool ppermute support varies
-            m = halo_exchange(f.mask.astype(jnp.int8), RADIUS, mesh) != 0
-            return Field(halo_exchange(f.values, RADIUS, mesh), m)
+            m = pada(f.mask.astype(jnp.int8)) != 0
+            return Field(pada(f.values), m)
 
         tkp, qp, up, vp, psp = map(padf, (tk, q, u, v, ps))
-        xmp = halo_exchange(xm, RADIUS, mesh)
-        ymp = halo_exchange(ym, RADIUS, mesh)
-        fcp = halo_exchange(fc, RADIUS, mesh)
+        xmp, ymp, fcp = map(pada, (xm, ym, fc))
 
         ny_loc, nx_loc = tk.values.shape[-2:]
+        gy = mesh.shape["gy"] if "gy" in names else 1
+        # trailing local rows that are not logical interior: the halo
+        # plus (bottom shard) the global padding's dead rows
+        dead = ny_loc * gy - nyg
         iy = lax.axis_index("gy") if "gy" in names else 0
         ix = lax.axis_index("gx") if "gx" in names else 0
-        offs = jnp.stack([iy * ny_loc - RADIUS, ix * nx_loc - RADIUS]
+        offs = jnp.stack([iy * ny_loc - HY, ix * nx_loc - HX]
                          ).astype(jnp.int32)
 
         out = derived_fields_fused(tkp, qp, up, vp, psp, al, bl, xmp, ymp,
                                    fcp, interpret=interpret,
                                    global_shape=(nyg, nxg),
-                                   grid_offsets=offs)
+                                   grid_offsets=offs,
+                                   halo_rows=HY + dead)
         return jax.tree_util.tree_map(
-            lambda a: a[..., RADIUS:-RADIUS, RADIUS:-RADIUS], out)
+            lambda a: a[..., HY:HY + ny_loc, HX:HX + nx_loc], out)
 
     from ..models.pipeline import DerivedFields
     out_spec = partition_spec(3, mesh)
@@ -130,7 +168,8 @@ _TREEDEF = jax.tree_util.tree_structure(
 def derived_fields_isobaric_sharded(mesh: Mesh, tk: Field, q: Field,
                                     u: Field, v: Field, ps: Field,
                                     alevel, blevel, xmapr, ymapr, fcoriolis,
-                                    plevels, interpret: bool = False):
+                                    plevels, interpret: bool = False,
+                                    global_shape=None):
     """Sharded 3-D isobaric pipeline (BASELINE config 5's per-host program):
     hybrid -> pressure-level interpolation followed by the 12-output
     derived-field kernel, domain-decomposed over ``mesh``.
@@ -150,7 +189,8 @@ def derived_fields_isobaric_sharded(mesh: Mesh, tk: Field, q: Field,
     if dict(mesh.shape).get("lev", 1) != 1:
         raise ValueError("isobaric sharding needs lev == 1 (columns span "
                          "all model levels)")
-    nyg, nxg = tk.values.shape[-2:]
+    nyg, nxg = (tk.values.shape[-2:] if global_shape is None
+                else global_shape)
     plevels = tuple(float(t) for t in plevels)
     args = (tk, q, u, v, ps, jnp.asarray(alevel, jnp.float32),
             jnp.asarray(blevel, jnp.float32),
@@ -168,6 +208,7 @@ def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool):
     nyg, nxg = global_shape
     names = mesh.axis_names
     np_ = len(plevels)
+    HY, HX = _halo_widths(mesh)
 
     def body(leaves):
         tk, q, u, v, ps, al, bl, xm, ym, fc = \
@@ -177,33 +218,37 @@ def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool):
         tki, qi, ui, vi = hlevel_to_plevel_fused(
             (tk, q, u, v), ps, al, bl, plevels, interpret=interpret)
 
+        def pada(a):
+            return _exchange(a, mesh, HY, HX)
+
         def padf(f):
-            m = halo_exchange(f.mask.astype(jnp.int8), RADIUS, mesh) != 0
-            return Field(halo_exchange(f.values, RADIUS, mesh), m)
+            m = pada(f.mask.astype(jnp.int8)) != 0
+            return Field(pada(f.values), m)
 
         tkp, qp, up, vp = map(padf, (tki, qi, ui, vi))
-        xmp = halo_exchange(xm, RADIUS, mesh)
-        ymp = halo_exchange(ym, RADIUS, mesh)
-        fcp = halo_exchange(fc, RADIUS, mesh)
+        xmp, ymp, fcp = map(pada, (xm, ym, fc))
 
         ny_loc, nx_loc = tk.values.shape[-2:]
-        ny_p, nx_p = ny_loc + 2 * RADIUS, nx_loc + 2 * RADIUS
+        gy = mesh.shape["gy"] if "gy" in names else 1
+        dead = ny_loc * gy - nyg
+        ny_h, nx_h = ny_loc + 2 * HY, nx_loc + 2 * HX
         # constant-pressure surfaces: alevel = plevels, blevel = 0, ps = 0
         # defined everywhere (models/pipeline.py derived_fields_isobaric)
-        ps1 = Field(jnp.zeros((ny_p, nx_p), jnp.float32),
-                    jnp.ones((ny_p, nx_p), bool))
+        ps1 = Field(jnp.zeros((ny_h, nx_h), jnp.float32),
+                    jnp.ones((ny_h, nx_h), bool))
         iy = lax.axis_index("gy") if "gy" in names else 0
         ix = lax.axis_index("gx") if "gx" in names else 0
-        offs = jnp.stack([iy * ny_loc - RADIUS, ix * nx_loc - RADIUS]
+        offs = jnp.stack([iy * ny_loc - HY, ix * nx_loc - HX]
                          ).astype(jnp.int32)
 
         out = derived_fields_fused(
             tkp, qp, up, vp, ps1,
             jnp.asarray(plevels, jnp.float32), jnp.zeros(np_, jnp.float32),
             xmp, ymp, fcp, interpret=interpret,
-            global_shape=(nyg, nxg), grid_offsets=offs)
+            global_shape=(nyg, nxg), grid_offsets=offs,
+            halo_rows=HY + dead)
         return jax.tree_util.tree_map(
-            lambda a: a[..., RADIUS:-RADIUS, RADIUS:-RADIUS], out)
+            lambda a: a[..., HY:HY + ny_loc, HX:HX + nx_loc], out)
 
     from ..models.pipeline import DerivedFields
     out_spec = partition_spec(3, mesh)
@@ -228,6 +273,7 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
         ny_loc = tk.values.shape[-2]
         if ny_loc < 8:
             raise ValueError("overlap mode needs >= 8 local rows")
+        dead = ny_loc * gy - nyg     # bottom shard's global-padding rows
         iy = lax.axis_index("gy")
         row0 = iy * ny_loc
 
@@ -261,7 +307,7 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
         offs0 = jnp.stack([row0, 0]).astype(jnp.int32)
         interior = derived_fields_fused(
             tk, q, u, v, ps, al, bl, xm, ym, fc, interpret=interpret,
-            global_shape=(nyg, nxg), grid_offsets=offs0, halo_rows=0)
+            global_shape=(nyg, nxg), grid_offsets=offs0, halo_rows=dead)
 
         ax = tk.values.ndim - 2
 

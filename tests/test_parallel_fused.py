@@ -101,3 +101,84 @@ def test_sharded_isobaric_rejects_lev_mesh():
     with pytest.raises(ValueError, match="lev == 1"):
         derived_fields_isobaric_sharded(mesh, *args, plevels=(900.0,),
                                         interpret=True)
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+@pytest.mark.parametrize("mesh_shape,nlev,ny,nx", [
+    ((1, 2, 1), 2, 45, 130),    # pads to (48, 256): dead rows + lanes
+    ((2, 2, 1), 2, 41, 96),     # lev-sharded, pads to (48, 128)
+    ((1, 2, 2), 2, 45, 140),    # gx > 1: ragged locals allowed, still exact
+])
+def test_sharded_padded_layout_matches(mesh_shape, nlev, ny, nx, overlap):
+    """Shard-aligned padded layout (layout.padded_shape_sharded): padded
+    global + logical global_shape gives logical outputs identical to the
+    unsharded jnp pipeline; dead rows/lanes stay masked and fills fire at
+    logical edges only."""
+    from mi_fieldcalc_tpu.layout import (pad_array, pad_field,
+                                         padded_shape_sharded, trim_field)
+
+    ndev = int(np.prod(mesh_shape))
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    if overlap and mesh_shape[2] > 1:
+        pytest.skip("overlap mode is gy-only")
+    mesh = grid_mesh(mesh_shape, devices=jax.devices()[:ndev])
+    args = _inputs(nlev, ny, nx, seed=5 * ny + nx, undefs=True)
+    ref = jax.jit(derived_fields)(*args)
+
+    ny_p, nx_p = padded_shape_sharded(ny, nx, mesh_shape[1], mesh_shape[2])
+    assert (ny_p, nx_p) != (ny, nx)
+    pargs = tuple(
+        pad_field(a, ny_p, nx_p) if hasattr(a, "mask") else
+        (pad_array(a, ny_p, nx_p) if a.ndim == 2 else a)
+        for a in args)
+    got = derived_fields_fused_sharded(mesh, *pargs, interpret=True,
+                                       overlap=overlap,
+                                       global_shape=(ny, nx))
+    for name in ref._fields:
+        ra = getattr(ref, name)
+        ga = trim_field(getattr(got, name), ny, nx)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, np.asarray(ga.mask)), name
+        rv, gv = np.asarray(ra.values), np.asarray(ga.values)
+        with np.errstate(all="ignore"):
+            assert np.allclose(rv[rm], gv[rm], rtol=2e-5, atol=1e-30), name
+
+
+def test_sharded_isobaric_padded_layout_matches():
+    from mi_fieldcalc_tpu.layout import (pad_array, pad_field,
+                                         padded_shape_sharded, trim_field)
+    from mi_fieldcalc_tpu.models.pipeline import derived_fields_isobaric
+    from mi_fieldcalc_tpu.parallel.fused import (
+        derived_fields_isobaric_sharded)
+    import jax.numpy as jnp
+
+    mesh_shape, nlev, ny, nx = (1, 4, 1), 8, 60, 96
+    ndev = int(np.prod(mesh_shape))
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mesh = grid_mesh(mesh_shape, devices=jax.devices()[:ndev])
+    args = list(_inputs(nlev, ny, nx, seed=13, undefs=True))
+    args[5] = jnp.asarray(np.linspace(50, 300, nlev), jnp.float32)
+    args[6] = jnp.asarray(np.linspace(0.0, 0.7, nlev) ** 1.5, jnp.float32)
+    plv = (925.0, 850.0, 700.0, 500.0)
+    ref = derived_fields_isobaric(*args, plevels=plv, fused=True)
+
+    ny_p, nx_p = padded_shape_sharded(ny, nx, mesh_shape[1], mesh_shape[2])
+    assert ny_p == 64 and nx_p == 128
+    pargs = tuple(
+        pad_field(a, ny_p, nx_p) if hasattr(a, "mask") else
+        (pad_array(a, ny_p, nx_p) if hasattr(a, "ndim") and a.ndim == 2
+         else a)
+        for a in args)
+    got = derived_fields_isobaric_sharded(mesh, *pargs, plevels=plv,
+                                          interpret=True,
+                                          global_shape=(ny, nx))
+    for name in ref._fields:
+        ra = getattr(ref, name)
+        ga = trim_field(getattr(got, name), ny, nx)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, np.asarray(ga.mask)), name
+        rv, gv = np.asarray(ra.values), np.asarray(ga.values)
+        with np.errstate(all="ignore"):
+            assert np.allclose(rv[rm], gv[rm], rtol=2e-5, atol=5e-6), name
