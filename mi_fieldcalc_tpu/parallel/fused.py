@@ -96,15 +96,20 @@ def _halo_widths(mesh: Mesh):
     return (8 if gy > 1 else 0), (RADIUS if gx > 1 else 0)
 
 
-def _exchange(a, mesh: Mesh, hy: int, hx: int):
-    """halo_exchange with independent per-axis widths (0 = skip)."""
-    from .halo import _exchange_1d
-    names = mesh.axis_names
+def _exchange_all(arrays, mesh: Mesh, hy: int, hx: int):
+    """Halo-exchange MANY arrays with independent per-axis widths
+    (0 = skip).  The y-leg packs every array into one ppermute per
+    (direction, dtype) — 4 collectives for the whole 13-array pipeline
+    step instead of 26 (halo.packed_strip_exchange); the x-leg (gx > 1
+    meshes only) stays per-array.  Masks must already ride as int8."""
+    from .halo import _exchange_1d, packed_exchange_rows
+    arrays = list(arrays)
     if hy:
-        a = _exchange_1d(a, hy, a.ndim - 2, "gy", mesh.shape["gy"])
+        arrays = packed_exchange_rows(arrays, hy, mesh)
     if hx:
-        a = _exchange_1d(a, hx, a.ndim - 1, "gx", mesh.shape["gx"])
-    return a
+        arrays = [_exchange_1d(a, hx, a.ndim - 1, "gx", mesh.shape["gx"])
+                  for a in arrays]
+    return arrays
 
 
 @functools.lru_cache(maxsize=64)
@@ -119,16 +124,15 @@ def _sharded_fn(mesh: Mesh, global_shape, interpret: bool):
         tk, q, u, v, ps, al, bl, xm, ym, fc = \
             jax.tree_util.tree_unflatten(_TREEDEF, leaves)
 
-        def pada(a):
-            return _exchange(a, mesh, HY, HX)
-
-        def padf(f):
-            # mask rides through int8: bool ppermute support varies
-            m = pada(f.mask.astype(jnp.int8)) != 0
-            return Field(pada(f.values), m)
-
-        tkp, qp, up, vp, psp = map(padf, (tk, q, u, v, ps))
-        xmp, ymp, fcp = map(pada, (xm, ym, fc))
+        # masks ride through int8: bool ppermute support varies
+        flat = []
+        for f in (tk, q, u, v, ps):
+            flat += [f.values, f.mask.astype(jnp.int8)]
+        flat += [xm, ym, fc]
+        flat = _exchange_all(flat, mesh, HY, HX)
+        tkp, qp, up, vp, psp = (Field(flat[2 * i], flat[2 * i + 1] != 0)
+                                for i in range(5))
+        xmp, ymp, fcp = flat[10:]
 
         ny_loc, nx_loc = tk.values.shape[-2:]
         gy = mesh.shape["gy"] if "gy" in names else 1
@@ -218,15 +222,14 @@ def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool):
         tki, qi, ui, vi = hlevel_to_plevel_fused(
             (tk, q, u, v), ps, al, bl, plevels, interpret=interpret)
 
-        def pada(a):
-            return _exchange(a, mesh, HY, HX)
-
-        def padf(f):
-            m = pada(f.mask.astype(jnp.int8)) != 0
-            return Field(pada(f.values), m)
-
-        tkp, qp, up, vp = map(padf, (tki, qi, ui, vi))
-        xmp, ymp, fcp = map(pada, (xm, ym, fc))
+        flat = []
+        for f in (tki, qi, ui, vi):
+            flat += [f.values, f.mask.astype(jnp.int8)]
+        flat += [xm, ym, fc]
+        flat = _exchange_all(flat, mesh, HY, HX)
+        tkp, qp, up, vp = (Field(flat[2 * i], flat[2 * i + 1] != 0)
+                           for i in range(4))
+        xmp, ymp, fcp = flat[8:]
 
         ny_loc, nx_loc = tk.values.shape[-2:]
         gy = mesh.shape["gy"] if "gy" in names else 1
@@ -277,31 +280,22 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
         iy = lax.axis_index("gy")
         row0 = iy * ny_loc
 
-        fwd = [(i, i + 1) for i in range(gy - 1)]
-        bwd = [(i + 1, i) for i in range(gy - 1)]
-
-        def strips(a):
-            """(rows from the shard above, rows from the shard below)."""
-            a8 = a.astype(jnp.int8) if a.dtype == jnp.bool_ else a
-            lo = lax.slice_in_dim(a8, 0, RADIUS, axis=a.ndim - 2)
-            hi = lax.slice_in_dim(a8, ny_loc - RADIUS, ny_loc,
-                                  axis=a.ndim - 2)
-            top = lax.ppermute(hi, "gy", fwd)
-            bot = lax.ppermute(lo, "gy", bwd)
-            if a.dtype == jnp.bool_:
-                return top != 0, bot != 0
-            return top, bot
-
-        def fstrips(f):
-            tv, bv = strips(f.values)
-            tm, bm = strips(f.mask)
-            return (tv, tm), (bv, bm)
-
-        (tk_t, tk_b), (q_t, q_b), (u_t, u_b), (v_t, v_b), (ps_t, ps_b) = \
-            [fstrips(f) for f in (tk, q, u, v, ps)]
-        xm_t, xm_b = strips(xm)
-        ym_t, ym_b = strips(ym)
-        fc_t, fc_b = strips(fc)
+        # one packed ppermute per (direction, dtype): 4 collectives for
+        # all 13 seam strips instead of 26 — the scheduled v5e HLO
+        # showed only the first in-flight wave hiding behind the
+        # interior kernel, the rest serializing on launch latency
+        from .halo import packed_strip_exchange
+        flat = []
+        for f in (tk, q, u, v, ps):
+            flat += [f.values, f.mask]
+        flat += [xm, ym, fc]
+        tops, bots = packed_strip_exchange(flat, RADIUS, "gy", gy)
+        tk_t, q_t, u_t, v_t, ps_t = ((tops[2 * i], tops[2 * i + 1])
+                                     for i in range(5))
+        tk_b, q_b, u_b, v_b, ps_b = ((bots[2 * i], bots[2 * i + 1])
+                                     for i in range(5))
+        xm_t, ym_t, fc_t = tops[10:]
+        xm_b, ym_b, fc_b = bots[10:]
 
         # interior: no halo, no dependence on the ppermutes above
         offs0 = jnp.stack([row0, 0]).astype(jnp.int32)
