@@ -1,0 +1,112 @@
+"""AOT-compile the north-star workload for multi-chip v5e topologies.
+
+BASELINE.json config 5: the full isobaric pipeline (hybrid->pressure
+interpolation + 12-output derived-field kernel) on a global 0.25-degree,
+137-level grid, domain-decomposed over N chips.  No multi-chip hardware
+is attached here, so this tool compiles the exact production program
+ahead-of-time for real TPU topologies (`jax.experimental.topologies`)
+and reports what the optimized executable looks like: collective count
+and placement, per-chip HBM footprint, and compile health.  Execution
+on hardware needs only `jax.jit`'s normal path — the program is the
+same one tests/test_parallel_fused.py validates numerically on the
+8-device CPU mesh.
+
+Grid: 721 x 1440 global, padded per layout.padded_shape_sharded so each
+shard's local block is (8,128)-tile aligned; 137 hybrid levels onto 13
+standard pressure levels.
+
+Usage::
+
+    python tools/northstar_aot.py [--topology v5e:4x4] [--gy 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+NLEV = 137
+NY, NX = 721, 1440          # global 0.25 deg
+PLEVELS = (1000.0, 925.0, 850.0, 700.0, 600.0, 500.0, 400.0, 300.0,
+           250.0, 200.0, 150.0, 100.0, 50.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--topology", default="v5e:4x4")
+    ap.add_argument("--gy", type=int, default=0,
+                    help="devices on the gy axis (default: all)")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding
+    from mi_fieldcalc_tpu.layout import padded_shape_sharded
+    from mi_fieldcalc_tpu.parallel.fused import _isobaric_sharded_fn
+    from mi_fieldcalc_tpu.parallel.mesh import partition_spec
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name=args.topology)
+    gy = args.gy or len(topo.devices)
+    devs = np.asarray(topo.devices[:gy]).reshape(1, gy, 1)
+    mesh = Mesh(devs, ("lev", "gy", "gx"))
+
+    ny_p, nx_p = padded_shape_sharded(NY, NX, gy, 1)
+    fn = _isobaric_sharded_fn(mesh, (NY, NX), PLEVELS, False)
+
+    def sds(shape, dtype, ndim):
+        return jax.ShapeDtypeStruct(
+            shape, dtype,
+            sharding=NamedSharding(mesh, partition_spec(ndim, mesh)))
+
+    f32 = np.float32
+    g3, g2 = (NLEV, ny_p, nx_p), (ny_p, nx_p)
+    leaves = []
+    for _ in range(4):                       # tk, q, u, v
+        leaves += [sds(g3, f32, 3), sds(g3, np.bool_, 3)]
+    leaves += [sds(g2, f32, 2), sds(g2, np.bool_, 2)]        # ps
+    leaves += [sds((NLEV,), f32, 1), sds((NLEV,), f32, 1)]   # a/b level
+    leaves += [sds(g2, f32, 2)] * 3                          # maps, coriolis
+    leaves = tuple(leaves)
+
+    import time
+    t0 = time.perf_counter()
+    compiled = fn.lower(leaves).compile()
+    dt = time.perf_counter() - t0
+    hlo = compiled.as_text()
+
+    starts = len(re.findall(r"collective-permute-start\(", hlo))
+    sync_cp = len(re.findall(r"collective-permute\(", hlo))
+    kernels = len(re.findall(r'custom_call_target="tpu_custom_call"', hlo))
+    ag = len(re.findall(r"all-gather(?:-start)?\(", hlo))
+    mem = getattr(compiled, "memory_analysis", lambda: None)()
+    per_chip = {}
+    if mem is not None:
+        per_chip = {
+            "argument_mb": round(mem.argument_size_in_bytes / 2**20, 1),
+            "output_mb": round(mem.output_size_in_bytes / 2**20, 1),
+            "temp_mb": round(mem.temp_size_in_bytes / 2**20, 1),
+        }
+    print(json.dumps({
+        "workload": "config5_isobaric_global_0.25deg_137L",
+        "topology": args.topology, "mesh": [1, gy, 1],
+        "global_grid": [NLEV, NY, NX], "padded": [ny_p, nx_p],
+        "plevels": len(PLEVELS),
+        "compile_s": round(dt, 1),
+        "collective_permutes_async": starts,
+        "collective_permutes_sync": sync_cp, "all_gathers": ag,
+        "mosaic_kernels": kernels,
+        "per_chip_memory": per_chip,
+        "ok": bool(kernels >= 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
