@@ -31,15 +31,51 @@ from .field import UNDEF, ValuesDefined
 __all__ = [
     "available",
     "decode",
+    "decode_pad",
     "encode",
+    "encode_trim",
     "count_defined",
     "defined_state_host",
 ]
+
+_ABI = 2
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_REPO, "native", "build", "libmifieldcalc_host.so")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _build() -> bool:
+    script = os.path.join(_REPO, "native", "build.sh")
+    if not os.path.exists(script):
+        return False
+    try:
+        subprocess.run(["sh", script], capture_output=True,
+                       timeout=120, check=True)
+        return True
+    except Exception:
+        return False
+
+
+def _bind(lib: ctypes.CDLL) -> Optional[ctypes.CDLL]:
+    i64, f32p = ctypes.c_int64, ctypes.POINTER(ctypes.c_float)
+    u8p, f32 = ctypes.POINTER(ctypes.c_uint8), ctypes.c_float
+    lib.mf_decode.restype = i64
+    lib.mf_decode.argtypes = [f32p, i64, f32, f32, f32p, u8p]
+    lib.mf_encode.restype = None
+    lib.mf_encode.argtypes = [f32p, u8p, i64, f32, f32p]
+    lib.mf_count_defined.restype = i64
+    lib.mf_count_defined.argtypes = [f32p, i64, f32]
+    lib.mf_count_mask.restype = i64
+    lib.mf_count_mask.argtypes = [u8p, i64]
+    lib.mf_decode_pad.restype = i64
+    lib.mf_decode_pad.argtypes = [f32p, i64, i64, i64, i64, i64, f32, f32,
+                                  f32p, u8p]
+    lib.mf_encode_trim.restype = None
+    lib.mf_encode_trim.argtypes = [f32p, u8p, i64, i64, i64, i64, i64, f32,
+                                   f32p]
+    return lib
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -48,32 +84,21 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     if not os.path.exists(_SO):
-        script = os.path.join(_REPO, "native", "build.sh")
-        if os.path.exists(script):
-            try:
-                subprocess.run(["sh", script], capture_output=True,
-                               timeout=120, check=True)
-            except Exception:
-                return None
+        _build()
     if not os.path.exists(_SO):
         return None
     try:
         lib = ctypes.CDLL(_SO)
-        i64, f32p = ctypes.c_int64, ctypes.POINTER(ctypes.c_float)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.mf_decode.restype = i64
-        lib.mf_decode.argtypes = [f32p, i64, ctypes.c_float, ctypes.c_float,
-                                  f32p, u8p]
-        lib.mf_encode.restype = None
-        lib.mf_encode.argtypes = [f32p, u8p, i64, ctypes.c_float, f32p]
-        lib.mf_count_defined.restype = i64
-        lib.mf_count_defined.argtypes = [f32p, i64, ctypes.c_float]
-        lib.mf_count_mask.restype = i64
-        lib.mf_count_mask.argtypes = [u8p, i64]
-        if lib.mf_native_abi_version() != 1:
-            return None
-        _lib = lib
-    except OSError:
+        if lib.mf_native_abi_version() != _ABI:
+            # stale build from an older source revision: rebuild once
+            del lib
+            if not _build():
+                return None
+            lib = ctypes.CDLL(_SO)
+            if lib.mf_native_abi_version() != _ABI:
+                return None
+        _lib = _bind(lib)
+    except (OSError, AttributeError):
         return None
     return _lib
 
@@ -110,6 +135,81 @@ def decode(values, undef: float = UNDEF, fill: float = 0.0,
                           ctypes.c_float(undef), ctypes.c_float(fill),
                           out.ctypes.data_as(f32p), mask.ctypes.data_as(u8p))
     return out, mask.view(np.bool_), int(n_def)
+
+
+def decode_pad(values, ny_p: Optional[int] = None,
+               nx_p: Optional[int] = None, undef: float = UNDEF,
+               fill: float = 0.0) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Sentinel array ``[..., ny, nx]`` -> tile-aligned padded
+    ``(values, mask, n_defined)`` in ONE host pass.
+
+    The production device layout keeps grids padded to (8, 128) tiles
+    (layout.padded_shape; ragged trailing dims pay ~2x in Pallas DMA), so
+    the host boundary decodes straight into that layout: logical points
+    are sanitized exactly like :func:`decode`, dead rows/lanes get
+    ``fill`` with mask ``False``, and the defined count covers logical
+    points only.  The result is ready for ``jax.device_put`` with no
+    intermediate numpy pad pass.
+    """
+    from .layout import padded_shape
+    v = _f32c(values)
+    ny, nx = v.shape[-2:]
+    if ny_p is None or nx_p is None:
+        d_ny, d_nx = padded_shape(ny, nx)
+        ny_p = d_ny if ny_p is None else ny_p
+        nx_p = d_nx if nx_p is None else nx_p
+    if ny_p < ny or nx_p < nx:
+        raise ValueError(f"padded shape ({ny_p}, {nx_p}) smaller than "
+                         f"logical ({ny}, {nx})")
+    lead = int(np.prod(v.shape[:-2], dtype=np.int64)) if v.ndim > 2 else 1
+    oshape = v.shape[:-2] + (ny_p, nx_p)
+    lib = _load()
+    if lib is None:
+        mask = ~np.isnan(v) & (v != np.float32(undef))
+        out = np.where(mask, v, np.float32(fill))
+        n_def = int(mask.sum())
+        pad = [(0, 0)] * (v.ndim - 2) + [(0, ny_p - ny), (0, nx_p - nx)]
+        return (np.pad(out, pad, constant_values=np.float32(fill)),
+                np.pad(mask, pad), n_def)
+    out = np.empty(oshape, np.float32)
+    mask = np.empty(oshape, np.uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n_def = lib.mf_decode_pad(v.ctypes.data_as(f32p), lead, ny, nx,
+                              ny_p, nx_p, ctypes.c_float(undef),
+                              ctypes.c_float(fill),
+                              out.ctypes.data_as(f32p),
+                              mask.ctypes.data_as(u8p))
+    return out, mask.view(np.bool_), int(n_def)
+
+
+def encode_trim(values, mask, ny: int, nx: int,
+                undef: float = UNDEF) -> np.ndarray:
+    """Padded device results ``[..., ny_p, nx_p]`` -> logical
+    ``[..., ny, nx]`` sentinel array in one pass (:func:`decode_pad`'s
+    output-side dual)."""
+    v = _f32c(values)
+    ny_p, nx_p = v.shape[-2:]
+    if ny_p < ny or nx_p < nx:
+        raise ValueError(f"padded shape ({ny_p}, {nx_p}) smaller than "
+                         f"logical ({ny}, {nx})")
+    m = np.ascontiguousarray(mask)
+    if m.shape != v.shape:
+        m = np.ascontiguousarray(np.broadcast_to(m, v.shape))
+    m = m.astype(np.uint8, copy=False)
+    lib = _load()
+    if lib is None:
+        trimmed_v = v[..., :ny, :nx]
+        trimmed_m = m[..., :ny, :nx]
+        return np.where(trimmed_m != 0, trimmed_v, np.float32(undef))
+    lead = int(np.prod(v.shape[:-2], dtype=np.int64)) if v.ndim > 2 else 1
+    out = np.empty(v.shape[:-2] + (ny, nx), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.mf_encode_trim(v.ctypes.data_as(f32p), m.ctypes.data_as(u8p),
+                       lead, ny, nx, ny_p, nx_p, ctypes.c_float(undef),
+                       out.ctypes.data_as(f32p))
+    return out
 
 
 def encode(values, mask, undef: float = UNDEF) -> np.ndarray:

@@ -73,7 +73,7 @@ inline bool is_defined(float v, float undef) {
 
 extern "C" {
 
-int mf_native_abi_version() { return 1; }
+int mf_native_abi_version() { return 2; }
 
 // Decode: out[i] = defined ? v[i] : fill; mask[i] = defined.  `out` may
 // alias `v` (in-place sanitize).  Returns the number of defined points.
@@ -111,6 +111,59 @@ int64_t mf_count_defined(const float* v, int64_t n, float undef) {
     n_def.fetch_add(local, std::memory_order_relaxed);
   });
   return n_def.load();
+}
+
+// Fused decode + canonical padded layout (ABI v2).  Reads a contiguous
+// sentinel array [lead, ny, nx] and writes [lead, ny_p, nx_p] values +
+// mask in one pass: logical points decode as mf_decode, dead rows/lanes
+// get `fill` with mask 0, so the result device_puts straight into the
+// tile-aligned production layout (mi_fieldcalc_tpu/layout.py) with no
+// separate numpy pad pass.  Returns the defined count over the logical
+// points only (the tri-state summary ignores padding).
+int64_t mf_decode_pad(const float* v, int64_t lead, int64_t ny, int64_t nx,
+                      int64_t ny_p, int64_t nx_p, float undef, float fill,
+                      float* out, uint8_t* mask) {
+  std::atomic<int64_t> n_def{0};
+  parallel_for(lead * ny_p, [&](int64_t b, int64_t e) {
+    int64_t local = 0;
+    for (int64_t row = b; row < e; ++row) {
+      int64_t l = row / ny_p, r = row % ny_p;
+      float* ov = out + row * nx_p;
+      uint8_t* om = mask + row * nx_p;
+      if (r < ny) {
+        const float* sv = v + (l * ny + r) * nx;
+        for (int64_t i = 0; i < nx; ++i) {
+          bool d = is_defined(sv[i], undef);
+          om[i] = d ? 1 : 0;
+          ov[i] = d ? sv[i] : fill;
+          local += d;
+        }
+        for (int64_t i = nx; i < nx_p; ++i) { om[i] = 0; ov[i] = fill; }
+      } else {
+        for (int64_t i = 0; i < nx_p; ++i) { om[i] = 0; ov[i] = fill; }
+      }
+    }
+    n_def.fetch_add(local, std::memory_order_relaxed);
+  });
+  return n_def.load();
+}
+
+// Trim + encode dual (ABI v2): padded device results [lead, ny_p, nx_p]
+// (values + mask) back to the logical [lead, ny, nx] sentinel array in
+// one pass — the host boundary for production pipelines that keep grids
+// padded on device and only trim when handing arrays back to callers.
+void mf_encode_trim(const float* v, const uint8_t* mask, int64_t lead,
+                    int64_t ny, int64_t nx, int64_t ny_p, int64_t nx_p,
+                    float undef, float* out) {
+  parallel_for(lead * ny, [&](int64_t b, int64_t e) {
+    for (int64_t row = b; row < e; ++row) {
+      int64_t l = row / ny, r = row % ny;
+      const float* sv = v + (l * ny_p + r) * nx_p;
+      const uint8_t* sm = mask + (l * ny_p + r) * nx_p;
+      float* ov = out + row * nx;
+      for (int64_t i = 0; i < nx; ++i) ov[i] = sm[i] ? sv[i] : undef;
+    }
+  });
 }
 
 // Defined count over a mask array (checkDefined(n_undefined, n) dual).

@@ -86,3 +86,55 @@ def test_large_threaded_consistency():
         assert (out[~mask] == 0.0).all()
         nan_free = np.nan_to_num(v, nan=np.float32(UNDEF))
         np.testing.assert_array_equal(out[mask], nan_free[mask])
+
+
+@pytest.mark.parametrize("shape,padded", [
+    ((45, 130), None),            # default canonical padded shape
+    ((3, 45, 130), (48, 256)),    # explicit, 3-D stack
+    ((8, 128), None),             # already aligned: pure decode
+])
+def test_decode_pad(shape, padded):
+    from mi_fieldcalc_tpu.layout import padded_shape
+
+    rng = np.random.default_rng(7)
+    v = _sentinel_grid(rng, shape)
+    ny, nx = shape[-2:]
+    ny_p, nx_p = padded if padded else padded_shape(ny, nx)
+    out, mask, n_def = native.decode_pad(
+        v, *(padded if padded else (None, None)), fill=0.0)
+    assert out.shape == shape[:-2] + (ny_p, nx_p)
+    assert mask.dtype == np.bool_
+    # logical region decodes exactly like decode()
+    ref_out, ref_mask, ref_n = native.decode(v)
+    np.testing.assert_array_equal(out[..., :ny, :nx], ref_out)
+    np.testing.assert_array_equal(mask[..., :ny, :nx], ref_mask)
+    assert n_def == ref_n
+    # dead rows/lanes: mask False, values fill
+    assert not mask[..., ny:, :].any() and not mask[..., :, nx:].any()
+    assert (out[..., ny:, :] == 0.0).all() and (out[..., :, nx:] == 0.0).all()
+
+
+def test_decode_pad_encode_trim_roundtrip():
+    rng = np.random.default_rng(8)
+    v = _sentinel_grid(rng, (5, 41, 200), with_nan=False)
+    out, mask, _ = native.decode_pad(v)
+    back = native.encode_trim(out, mask, 41, 200)
+    np.testing.assert_array_equal(back, v)
+
+
+def test_decode_pad_rejects_too_small():
+    v = np.zeros((16, 200), np.float32)
+    with pytest.raises(ValueError):
+        native.decode_pad(v, 16, 128)
+    with pytest.raises(ValueError):
+        native.encode_trim(v, np.ones_like(v, bool), 32, 200)
+
+
+def test_encode_trim_matches_fallback():
+    rng = np.random.default_rng(9)
+    vp = rng.normal(size=(2, 48, 256)).astype(np.float32)
+    mp = rng.uniform(size=vp.shape) > 0.3
+    got = native.encode_trim(vp, mp, 45, 130)
+    want = np.where(mp[..., :45, :130], vp[..., :45, :130],
+                    np.float32(UNDEF))
+    np.testing.assert_array_equal(got, want)
