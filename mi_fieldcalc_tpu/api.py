@@ -162,10 +162,26 @@ def vesselIcingMertins(airtemp, seatemp, u, v, sal, aice,
                  sal, aice)
 
 
+def _icing_modstall_auto(*args):
+    # fused VMEM solver kernel on TPU, whole-array jnp path elsewhere
+    # (equivalent: tests/test_icing_fused.py)
+    import jax
+    if jax.devices()[0].platform == "tpu":
+        return ops.vessel_icing_modstall_fused(*args)
+    return ops.vessel_icing_modstall(*args)
+
+
+def _icing_mincog_auto(*args):
+    import jax
+    if jax.devices()[0].platform == "tpu":
+        return ops.vessel_icing_mincog_fused(*args)
+    return ops.vessel_icing_mincog(*args)
+
+
 def vesselIcingModStall(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, Pw,
                         aice, depth, vs: float, alpha: float, zmin: float,
                         zmax: float, undef: float = UNDEF):
-    return _wrap(ops.vessel_icing_modstall, undef, sal, wave, x_wind,
+    return _wrap(_icing_modstall_auto, undef, sal, wave, x_wind,
                  y_wind, airtemp, rh, sst, p, Pw, aice, depth,
                  scalars=(vs, alpha, zmin, zmax))
 
@@ -173,7 +189,7 @@ def vesselIcingModStall(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, Pw,
 def vesselIcingMincog(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, Pw,
                       aice, depth, vs: float, alpha: float, zmin: float,
                       zmax: float, alt: int, undef: float = UNDEF):
-    return _wrap(ops.vessel_icing_mincog, undef, sal, wave, x_wind, y_wind,
+    return _wrap(_icing_mincog_auto, undef, sal, wave, x_wind, y_wind,
                  airtemp, rh, sst, p, Pw, aice, depth,
                  scalars=(vs, alpha, zmin, zmax, alt))
 

@@ -34,6 +34,9 @@ from .icing import (  # noqa: F401
     vessel_icing_overland, vessel_icing_mertins, vessel_icing_modstall,
     vessel_icing_mincog,
 )
+from .icing_fused import (  # noqa: F401
+    vessel_icing_mincog_fused, vessel_icing_modstall_fused,
+)
 from .vertical import (  # noqa: F401
     plevel_interp, hlevel_to_plevel,
 )

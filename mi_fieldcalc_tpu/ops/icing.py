@@ -130,13 +130,18 @@ def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float):
     ``needs_iter`` marks lanes in the shallow-water branch; others return
     ``c0`` untouched.  One whole-array while_loop; the trip count is the
     slowest unconverged lane, capped at ``max_iter``.
+
+    Kernel-safe: the ``done`` carry rides as int32 and finiteness tests
+    avoid ``isfinite`` so the SAME function lowers inside a Pallas tile
+    (Mosaic cannot carry/select i1 vectors) — icing_fused.py calls it
+    per tile with per-tile early exit.
     """
     c_init = jnp.where(needs_iter, _f32(1.0), c0)
-    done0 = ~needs_iter
+    done0 = (~needs_iter).astype(jnp.int32)
 
     def cond(state):
-        c_prev, c, err, done, j = state
-        return jnp.logical_and(j < max_iter, jnp.any(~done))
+        c_prev, c, err, done_i, j = state
+        return jnp.logical_and(j < max_iter, ~jnp.all(done_i != 0))
 
     def body(state):
         # Oscillatory fixed point (slope < 0) whose contraction tends to 1
@@ -146,7 +151,8 @@ def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float):
         # cap-hitters get the reference's diverged => 0 (VI:232-235),
         # provable convergers get the Aitken fixed point (the reference's
         # exit iterate is within tol of it).
-        c_prev, c, err, done, j = state
+        c_prev, c, err, done_i, j = state
+        done = done_i != 0
         c_new = c0 * jnp.tanh(a / c)
         err1 = jnp.abs(c_new - c)
         j1 = j + 1
@@ -167,7 +173,7 @@ def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float):
         late = (~done) & (j1 >= 256)
         caps = caps | cyc | late
         root = (c_new - slope * c) / (_f32(1.0) - slope)
-        root = jnp.where(jnp.isfinite(root), root, _f32(0.0))
+        root = jnp.where(jnp.abs(root) < _f32(jnp.inf), root, _f32(0.0))
         fin = geo & ~caps
         forced = (~done) & (j1 >= max_iter)
         c_out = jnp.where(
@@ -176,52 +182,45 @@ def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float):
                       jnp.where(fin, root, c_new)))
         done_out = done | forced | caps | fin | (err1 <= _f32(tol))
         return (jnp.where(done, c_prev, c), c_out,
-                jnp.where(done, err, err1), done_out, j1)
+                jnp.where(done, err, err1), done_out.astype(jnp.int32), j1)
 
-    _, c, _, done, _ = jax.lax.while_loop(
+    _, c, _, done_i, _ = jax.lax.while_loop(
         cond, body, (c_init, c_init, jnp.ones_like(c_init), done0,
                      jnp.int32(0)))
-    return jnp.where(done | ~needs_iter, c, _f32(0.0))
+    return jnp.where((done_i != 0) | ~needs_iter, c, _f32(0.0))
 
 
-def vessel_icing_modstall(sal: Field, wave: Field, x_wind: Field,
-                          y_wind: Field, airtemp: Field, rh: Field,
-                          sst: Field, p: Field, pw: Field, aice: Field,
-                          depth: Field, vs: float, alpha: float,
-                          zmin: float, zmax: float) -> Field:
-    """Modified Stallabrass freezing sea-spray (Henry 1995, Samuelsen 2015;
-    VI:182-337).  ``vs`` ship speed, ``alpha`` relative heading, heights
-    sampled at 0.5 m steps in [zmin, zmax]."""
-    num = zmax - zmin
-    require(zmax >= zmin and math.fmod(num, 1.0) == 0.0,
-            "vesselIcingModStall: bad zmin/zmax")
-    require(vs >= 0 and alpha >= 0 and zmin >= 0 and zmax >= 0,
-            "vesselIcingModStall: negative parameter")
-    number = int(num * 2 + 1)
-
-    mask = and_masks(sal, wave, x_wind, y_wind, airtemp, rh, sst, p,
-                     aice, depth)
-    gate = mask & (aice.values < _f32(0.4))
-
-    # wave phase speed, shallow-water corrected (VI:218-237)
-    pwv = pw.values
+def _modstall_static(sal, wave, x_wind, y_wind, airtemp, rh, p, pw, depth,
+                     gate):
+    """The c-independent ModStall prologue (needs ``pow``, which Mosaic
+    does not lower — stays in XLA for the fused path)."""
+    pwv = pw
     c0 = _f32(9.81 / (2 * math.pi)) * pwv
-    shallow = (depth.values <= c0 * pwv) & (c0 != 0) & gate
-    a = _f32(2 * math.pi) * depth.values / jnp.where(pwv != 0, pwv, _f32(1)) \
+    shallow = (depth <= c0 * pwv) & (c0 != 0) & gate
+    a = _f32(2 * math.pi) * depth / jnp.where(pwv != 0, pwv, _f32(1)) \
         * jnp.where(pwv != 0, _f32(1), _f32(jnp.inf))
-    c = _wave_speed_fixed_point(c0, a, shallow, 10000, 1e-5)
 
-    vr = c - _f32(vs * math.cos(alpha))
-    v = jnp.sqrt(x_wind.values**2 + y_wind.values**2)
-    tf = _stallabrass_tf(sal.values)
-
+    v = jnp.sqrt(x_wind**2 + y_wind**2)
+    tf = _stallabrass_tf(sal)
     ha = _f32(5.17) * jnp.power(v, _f32(0.8))  # VI:248
-    ratio = _f32(89.5 / 5.17)                  # VI:251
     tau = _f32(11.25) - v / _f32(4.0)          # VI:256
+    K = _f32(311000.0) / ((p / _f32(10.0)) * _f32(1005.0))
+    M = _f32(0.2) * airtemp + K * rh * _icing_f1(airtemp)
+    return v, c0, shallow, a, tf, ha, tau, K, M
+
+
+def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
+                   ha, tau, K, M, vsca: float, decay, decay_at=None):
+    """The c-dependent ModStall solve: wave fixed point, droplet RK, and
+    the per-height freezing-fraction fixed point (VI:218-326).  SHARED
+    between the jnp path and the fused Pallas kernel — Mosaic-safe (see
+    :func:`_mincog_core`)."""
+    number = len(decay)
+    c = _wave_speed_fixed_point(c0, a, shallow, 10000, 1e-5)
+    vr = c - _f32(vsca)
+    ratio = _f32(89.5 / 5.17)                  # VI:251
 
     # droplet temperature: inline RK, 50 fixed steps (VI:262-281)
-    K = _f32(311000.0) / ((p.values / _f32(10.0)) * _f32(1005.0))
-    M = _f32(0.2) * airtemp.values + K * rh.values * _icing_f1(airtemp.values)
     h = jnp.where(tau > 0, tau / _f32(50.0), _f32(0.0))
 
     def f10mk(y):
@@ -238,23 +237,25 @@ def vessel_icing_modstall(sal: Field, wave: Field, x_wind: Field,
                         * (((k1 + _f32(2.0) * k2) + _f32(2.0) * k3)
                            + f10mk(y4)))
 
-    td = jax.lax.fori_loop(0, 50, rk_body, sst.values)
-    td = jnp.where(tau > 0, td, sst.values)
+    td = jax.lax.fori_loop(0, 50, rk_body, sst)
+    td = jnp.where(tau > 0, td, sst)
 
     # per-height freezing fraction fixed point (VI:288-326)
-    at = airtemp.values
-    rhv = rh.values
+    at = airtemp
+    rhv = rh
     f1_air = _icing_f1(at)
-    decay = jnp.asarray([math.exp(-0.55 * (zmin + 0.5 * k))
-                         for k in range(number)], _f32)
+    if decay_at is None:
+        decay_arr = jnp.asarray(decay, _f32)
+        decay_at = lambda k: jax.lax.dynamic_index_in_dim(  # noqa: E731
+            decay_arr, k, keepdims=False)
+    rw_base = _f32(6.46e-5) * wave * (vr * vr)
 
     def height_body(counter, ice):
-        rw = _f32(6.46e-5) * wave.values * (vr * vr) \
-            * jax.lax.dynamic_index_in_dim(decay, counter, keepdims=False) * v
+        rw = rw_base * decay_at(counter) * v
 
         def n_cond(state):
-            n_prev, n, err, j, done = state
-            return jnp.logical_and(j < 1001, jnp.any(~done))
+            n_prev, n, err, j, done_i = state
+            return jnp.logical_and(j < 1001, ~jnp.all(done_i != 0))
 
         def n_body(state):
             # The reference fixed point N <- ri(N)/rw (VI:302-315) is
@@ -272,7 +273,8 @@ def vessel_icing_modstall(sal: Field, wave: Field, x_wind: Field,
             # within tol of it, and conformance tolerance is 2e-3).
             # Diverging-in-range lanes (|B| >= 1) keep iterating exactly —
             # their escape side is trajectory-dependent.
-            n_prev, n, err, j, done = state
+            n_prev, n, err, j, done_i = state
+            done = done_i != 0
             ts = (_f32(1.0) + n) * tf
             ri = (_f32(0.012012012) * rw * (ts - td)
                   + (ha / _f32(333000.0))
@@ -307,7 +309,7 @@ def vessel_icing_modstall(sal: Field, wave: Field, x_wind: Field,
             late = (~done) & (j1 >= 256)
             caps = caps | cyc | late
             root = (n1 - slope * n) / (_f32(1.0) - slope)
-            root = jnp.where(jnp.isfinite(root), root, _f32(0.0))
+            root = jnp.where(jnp.abs(root) < _f32(jnp.inf), root, _f32(0.0))
             fin = geo & ~caps
             n_out = jnp.where(
                 done, n,
@@ -316,17 +318,47 @@ def vessel_icing_modstall(sal: Field, wave: Field, x_wind: Field,
             done_out = done | forced | caps | fin | (err1 < _f32(1e-5)) \
                 | (n1 < 0) | (n1 > 1)
             return (jnp.where(done, n_prev, n), n_out,
-                    jnp.where(done, err, err1), j1, done_out)
+                    jnp.where(done, err, err1), j1,
+                    done_out.astype(jnp.int32))
 
         n0 = jnp.zeros_like(v)
         _, n, _, _, _ = jax.lax.while_loop(
             n_cond, n_body,
-            (n0, n0, jnp.ones_like(v), jnp.int32(0), ~gate))
+            (n0, n0, jnp.ones_like(v), jnp.int32(0),
+             (~gate).astype(jnp.int32)))
         n = jnp.clip(n, _f32(0.0), _f32(1.0))
         return ice + n * (rw / _f32(890.0)) * _f32(3600.0) * _f32(100.0)
 
     ice = jax.lax.fori_loop(0, number, height_body, jnp.zeros_like(v))
-    out = jnp.abs(ice / _f32(number))
+    return jnp.abs(ice / _f32(number))
+
+
+def vessel_icing_modstall(sal: Field, wave: Field, x_wind: Field,
+                          y_wind: Field, airtemp: Field, rh: Field,
+                          sst: Field, p: Field, pw: Field, aice: Field,
+                          depth: Field, vs: float, alpha: float,
+                          zmin: float, zmax: float) -> Field:
+    """Modified Stallabrass freezing sea-spray (Henry 1995, Samuelsen 2015;
+    VI:182-337).  ``vs`` ship speed, ``alpha`` relative heading, heights
+    sampled at 0.5 m steps in [zmin, zmax]."""
+    num = zmax - zmin
+    require(zmax >= zmin and math.fmod(num, 1.0) == 0.0,
+            "vesselIcingModStall: bad zmin/zmax")
+    require(vs >= 0 and alpha >= 0 and zmin >= 0 and zmax >= 0,
+            "vesselIcingModStall: negative parameter")
+    number = int(num * 2 + 1)
+
+    mask = and_masks(sal, wave, x_wind, y_wind, airtemp, rh, sst, p,
+                     aice, depth)
+    gate = mask & (aice.values < _f32(0.4))
+
+    v, c0, shallow, a, tf, ha, tau, K, M = _modstall_static(
+        sal.values, wave.values, x_wind.values, y_wind.values,
+        airtemp.values, rh.values, p.values, pw.values, depth.values, gate)
+    out = _modstall_core(c0, a, shallow, gate, wave.values, v, sst.values,
+                         airtemp.values, rh.values, tf, ha, tau, K, M,
+                         float(vs * math.cos(alpha)),
+                         tuple(_mincog_decay(zmin, number)))
     return out_field(out, gate)
 
 
@@ -379,7 +411,9 @@ def _bisection_lanes(fn, shape, a0: float, b0: float):
     b = jnp.full(shape, _f32(b0))
     ffa = fn(a)
     ffb = fn(b)
-    no_root = (ffa > 0) == (ffb > 0)
+    # kernel-safe sign-equality via int32 select (see _rtsafe_lanes)
+    sb0 = (ffb > 0).astype(jnp.int32)
+    no_root = jnp.where(ffa > 0, sb0, 1 - sb0) != 0
     c = jnp.zeros(shape, _f32)
     frozen = jnp.zeros(shape, bool)
 
@@ -389,7 +423,8 @@ def _bisection_lanes(fn, shape, a0: float, b0: float):
         ffc = fn(c_new)
         exact = ffc == 0
         c = jnp.where(frozen, c, c_new)
-        take_b = jnp.logical_not((ffc > 0) == (ffa > 0))
+        sfa = (ffa > 0).astype(jnp.int32)
+        take_b = jnp.where(ffc > 0, 1 - sfa, sfa) != 0
         upd = ~(frozen | exact)
         b = jnp.where(upd & take_b, c_new, b)
         a = jnp.where(upd & ~take_b, c_new, a)
@@ -461,8 +496,12 @@ def _rtsafe_lanes(fn_grad, a, b, iters: int = _NEWTON_ITERS):
     """
     fa, _ = fn_grad(a)
     fb, _ = fn_grad(b)
-    no_root = (fa > 0) == (fb > 0)
-    sa = fa > 0
+    # kernel-safe sign-equality: Mosaic cannot compare i1 vectors, and XLA
+    # folds `cast(p) == cast(q)` straight back to an i1 cmpi — spell
+    # "same sign" as a select on int32 instead (icing_fused.py traces this
+    # function inside the Pallas MINCOG tile)
+    sa = (fa > 0).astype(jnp.int32)
+    no_root = jnp.where(fb > 0, sa, 1 - sa) != 0
     # secant initial guess (clipped into the bracket interior)
     denom = jnp.where(fb == fa, _f32(1.0), fb - fa)
     x0 = a - fa * (b - a) / denom
@@ -473,7 +512,7 @@ def _rtsafe_lanes(fn_grad, a, b, iters: int = _NEWTON_ITERS):
         a, b, x = state
         f, df = fn_grad(x)
         # shrink the bracket with x's sign
-        same = (f > 0) == sa
+        same = jnp.where(f > 0, sa, 1 - sa) != 0
         a = jnp.where(same, x, a)
         b = jnp.where(same, b, x)
         step = f / jnp.where(df == 0, _f32(1.0), df)
@@ -481,7 +520,8 @@ def _rtsafe_lanes(fn_grad, a, b, iters: int = _NEWTON_ITERS):
         # xn == x: the Newton step underflowed — the lane is converged to
         # f32 precision and must HOLD (after the bracket update above one
         # endpoint IS x, so the strict-interior test below would evict it)
-        ok = ((xn > a) & (xn < b) & jnp.isfinite(xn) & (df != 0)) | (xn == x)
+        ok = ((xn > a) & (xn < b) & (jnp.abs(xn) < _f32(jnp.inf))
+              & (df != 0)) | (xn == x)
         x = jnp.where(f == 0, x,
                       jnp.where(ok, xn, (a + b) * _f32(0.5)))
         return a, b, x
@@ -490,25 +530,22 @@ def _rtsafe_lanes(fn_grad, a, b, iters: int = _NEWTON_ITERS):
     return jnp.where(no_root, _f32(jnp.nan), x)
 
 
-def _mincog_point(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw, depth,
-                  vs: float, alpha: float, zmin: float, zmax: float,
-                  alt: int, gate):
-    """Vectorized MINCOG scalar core (VI:465-675); all lanes computed, the
-    caller selects by gate/early-exit masks."""
+def _mincog_static(sal, wave, x_wind, y_wind, airtemp, rh, p, pw, depth,
+                   vs: float, alpha: float, gate):
+    """The c-independent MINCOG prologue: every plane that does NOT feed
+    through the wave-speed fixed point (spray geometry VI:510-576, the
+    heat-transfer and humidity coefficients).  Split out so the fused
+    Pallas path (icing_fused.py) can run it under XLA — it needs
+    arcsin/sin/cos/pow, which stay outside the Mosaic kernel — and hand
+    :func:`_mincog_core` ready-made planes."""
     v = jnp.sqrt(x_wind**2 + y_wind**2)
-    skip = (v < _f32(1.0)) | (wave < _f32(0.1))  # VI:479-482 => icing 0
+    skip0 = (v < _f32(1.0)) | (wave < _f32(0.1))  # VI:479-482 => icing 0
 
-    # wave speed (VI:489-508)
+    # wave-speed setup (VI:489-508)
     c0 = _f32(9.81 / (2 * math.pi)) * pw
-    shallow = (depth <= c0 * pw) & (c0 != 0) & gate & ~skip
+    shallow = (depth <= c0 * pw) & (c0 != 0) & gate & ~skip0
     a = _f32(2 * math.pi) * depth / jnp.where(pw != 0, pw, _f32(1)) \
         * jnp.where(pw != 0, _f32(1), _f32(jnp.inf))
-    c = _wave_speed_fixed_point(c0, a, shallow, 1000, 1e-5)
-
-    cos_alpha = _f32(math.cos(alpha))
-    vr = c - _f32(vs) * cos_alpha
-    tper = jnp.abs(c * pw / vr)
-    skip = skip | (tper <= 0)
 
     beta = alpha
     sin_beta = _f32(math.sin(beta))
@@ -519,10 +556,6 @@ def _mincog_point(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw, depth,
     hax = _f32(6.0617) * jnp.power(wrx, _f32(1.82))
     hay = _f32(4.8496) * jnp.power(wry, _f32(1.8))
     ha = (hax + hay) / (wrx + wry)
-
-    tdur = _f32(0.1230) + _f32(0.7008) * jnp.abs(vr * wave) \
-        / jnp.maximum(v, _f32(5.0))
-    nf = _f32(1.0) / (_f32(4.0) * tper)
 
     # simplified droplet trajectory (VI:539-576)
     beta_r = _f32(math.pi) - jnp.arcsin(v * sin_beta * wr_inv)
@@ -550,6 +583,54 @@ def _mincog_point(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw, depth,
     K = _f32(0.2 * 0.622 * 2.5e6) / (p * _f32(1005.0))
     M = _f32(0.2) * airtemp + K * rh * ea
 
+    vdcomp = wrx * _f32(0.9962) + _f32(6.67) * _f32(0.0872)  # VI:590-591
+    he = ha * _f32(1738.6) / p
+
+    return (v, skip0, c0, shallow, a, ha, tau, ea, K, M, vdcomp, he)
+
+
+def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
+                 airtemp, rh, ha, he, ea, M, K, tau, vd,
+                 vsca: float, alt: int, decay, stack_heights: bool = False,
+                 decay_at=None):
+    """The c-dependent MINCOG solve: wave-speed fixed point, droplet RK,
+    and the per-height Newton sweep (VI:489-675).  SHARED between the jnp
+    path and the fused Pallas kernel (icing_fused.py traces this exact
+    function inside a VMEM tile) — every op here must stay Mosaic-safe:
+    no arcsin/pow, masks carried as int32, sinh spelled with exp.
+
+    ``decay`` is the static tuple of per-height LWC decay factors
+    (:func:`_mincog_decay`).  ``stack_heights`` selects the looping
+    structure for the height sweep: ``False`` (jnp path) iterates one
+    ``fori_loop`` body over heights so whole-array HBM traffic stays one
+    height wide; ``True`` (the VMEM kernel) solves ALL heights as one
+    stacked ``(number, ...)`` Newton problem — the per-height problems
+    are independent (only ``rw`` differs), so stacking turns
+    ``number x iters`` sequential loop steps into ``iters`` and the
+    Mosaic per-step loop overhead stops dominating the kernel
+    (PERF.md "Mincog cost attribution").  Identical arithmetic per lane
+    either way.
+
+    ``MF_MINCOG_ABLATE`` (trace-time env, comma-separated: fp, rk,
+    newton) stubs out solver stages for perf attribution ONLY — outputs
+    are wrong with any ablation active (tools/perf_lab_mincog_fused.py).
+    """
+    number = len(decay)
+    ablate = set(filter(None, os.environ.get(
+        "MF_MINCOG_ABLATE", "").split(",")))
+    if "fp" in ablate:
+        c = jnp.where(shallow, c0 * _f32(0.5), c0)
+    else:
+        c = _wave_speed_fixed_point(c0, a, shallow, 1000, 1e-5)
+
+    vr = c - _f32(vsca)
+    tper = jnp.abs(c * pw / vr)
+    skip = skip0 | (tper <= 0)
+
+    tdur = _f32(0.1230) + _f32(0.7008) * jnp.abs(vr * wave) \
+        / jnp.maximum(v, _f32(5.0))
+    nf = _f32(1.0) / (_f32(4.0) * tper)
+
     # droplet cooling, reference runge_kutta template (VI:450-463)
     def f10mk(t):
         return (M - _f32(0.2) * t) - K * _f32(10.0) * _icing_f1(t)
@@ -564,31 +645,27 @@ def _mincog_point(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw, depth,
         k4 = h2 * f10mk(y + k3)
         return y + (k1 + k2 + k3 + k4) / _f32(3.0)
 
-    td = jax.lax.fori_loop(0, 50, rk_body, sst)
+    if "rk" in ablate:
+        td = sst * _f32(0.99)
+    else:
+        td = jax.lax.fori_loop(0, 50, rk_body, sst)
     tsp = _f32(0.5) * (td + sst)
-
-    vdcomp = wrx * _f32(0.9962) + _f32(6.67) * _f32(0.0872)  # VI:590-591
 
     if alt == 1:
         lwc0 = _f32(6.36e-5) * wave * (vr * vr)
     else:
         lam = c * pw
         dl = _f32(4.0 * math.pi) * depth / lam
-        cg = (c / _f32(2.0)) * (_f32(1.0) + dl / jnp.sinh(dl))
-        vgr = cg - _f32(vs) * cos_alpha
+        # sinh via exp (Mosaic has no sinh); overflow behavior matches:
+        # dl/sinh(dl) -> 0 either way once exp saturates
+        sh = (jnp.exp(dl) - jnp.exp(-dl)) * _f32(0.5)
+        cg = (c / _f32(2.0)) * (_f32(1.0) + dl / sh)
+        vgr = cg - _f32(vsca)
         lwc0 = _f32(9.5205e-4) * (wave * wave) * jnp.sqrt(wave / lam) * vgr
     lwc0 = jnp.abs(lwc0)
 
-    he = ha * _f32(1738.6) / p
     lwdown = _f32(0.7) * _kt4(airtemp)  # eps_atm * kT4 (VI:612-614)
     swdown = jnp.zeros_like(airtemp)    # Swdown_model = 0 (VI:611, 615)
-
-    number = int((zmax - zmin) * 2 + 1)
-    # per-height decay factors, host-evaluated in f64 like the reference's
-    # math.exp then rounded once to f32 (kept outside the device loop so
-    # the graph stays one fori_loop body, not `number` unrolled solvers)
-    decay = jnp.asarray([math.exp(-0.55 * (zmin + 0.5 * k))
-                         for k in range(number)], _f32)
 
     use_bisect = os.environ.get("MF_MINCOG_BISECT", "") == "1"
     # ts-space bracket (per lane: depends only on salinity, not height)
@@ -596,44 +673,89 @@ def _mincog_point(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw, depth,
     ts_lo = _ts_of_n(_BISECT_B, sal)   # N = 1.3 (coldest)
     sw0 = sal <= 0
 
-    def height_body(counter, icing):
-        lwc = lwc0 * jax.lax.dynamic_index_in_dim(
-            decay, counter, keepdims=False)
-        rw = lwc * vdcomp * nf * tdur
-
+    def solve_n(rw):
+        """Freezing fraction for spray flux ``rw`` — any shape that
+        broadcasts against the lane planes (``(...,)`` per height, or
+        ``(number, ...)`` stacked)."""
+        if "newton" in ablate:
+            return jnp.clip(rw, _f32(0.0), _f32(1.0))
         if use_bisect:
             def ffz(n):
                 return _freeze_frac_zero(n, sal, airtemp, ha, he, ea, rh,
                                          rw, tsp, lwdown, swdown)
 
-            n = _bisection_lanes(ffz, v.shape, _BISECT_A, _BISECT_B)
-        else:
-            def fg(ts):
-                r, dr, _ = _freeze_frac_ts(ts, sal, airtemp, ha, he, ea,
-                                           rh, rw, tsp, lwdown, swdown)
-                return r, dr
+            return _bisection_lanes(ffz, rw.shape, _BISECT_A, _BISECT_B)
 
-            ts_root = _rtsafe_lanes(fg, ts_lo, ts_hi)
-            _, _, n_ts = _freeze_frac_ts(ts_root, sal, airtemp, ha, he,
-                                         ea, rh, rw, tsp, lwdown, swdown)
-            # sal == 0 collapses ts to 0 for every N: the residual is
-            # linear in N and the root is closed-form (reference lanes
-            # solve the same degenerate equation by bisection)
-            r0, _, _ = _freeze_frac_ts(jnp.zeros_like(rw), sal, airtemp,
-                                       ha, he, ea, rh, rw, tsp, lwdown,
-                                       swdown)
-            k_lin = r0 + _f32(1.0 / 0.7)   # res|sw=0 = K - 1/0.7 (sb_safe)
-            lin_root = ((k_lin - _f32(_BISECT_A) > 0)
-                        != (k_lin - _f32(_BISECT_B) > 0))
-            n_lin = jnp.where(lin_root, k_lin, _f32(0.0))
-            n = jnp.where(sw0, n_lin,
-                          jnp.where(jnp.isnan(n_ts), _f32(0.0), n_ts))
-        return icing + rw * jnp.clip(n, _f32(0.0), _f32(1.0))
+        def fg(ts):
+            r, dr, _ = _freeze_frac_ts(ts, sal, airtemp, ha, he, ea,
+                                       rh, rw, tsp, lwdown, swdown)
+            return r, dr
 
-    icing = jax.lax.fori_loop(0, number, height_body, jnp.zeros_like(v))
+        ts_root = _rtsafe_lanes(fg, jnp.broadcast_to(ts_lo, rw.shape),
+                                jnp.broadcast_to(ts_hi, rw.shape))
+        _, _, n_ts = _freeze_frac_ts(ts_root, sal, airtemp, ha, he,
+                                     ea, rh, rw, tsp, lwdown, swdown)
+        # sal == 0 collapses ts to 0 for every N: the residual is
+        # linear in N and the root is closed-form (reference lanes
+        # solve the same degenerate equation by bisection)
+        r0, _, _ = _freeze_frac_ts(jnp.zeros_like(rw), sal, airtemp,
+                                   ha, he, ea, rh, rw, tsp, lwdown,
+                                   swdown)
+        k_lin = r0 + _f32(1.0 / 0.7)   # res|sw=0 = K - 1/0.7 (sb_safe)
+        sl = (k_lin - _f32(_BISECT_B) > 0).astype(jnp.int32)
+        lin_root = jnp.where(k_lin - _f32(_BISECT_A) > 0,
+                             1 - sl, sl) != 0
+        n_lin = jnp.where(lin_root, k_lin, _f32(0.0))
+        return jnp.where(sw0, n_lin,
+                         jnp.where(jnp.isnan(n_ts), _f32(0.0), n_ts))
+
+    rw_base = lwc0 * vd * nf * tdur
+    if stack_heights:
+        rws = jnp.stack([rw_base * _f32(d) for d in decay])
+        n = solve_n(rws)
+        icing = jnp.sum(rws * jnp.clip(n, _f32(0.0), _f32(1.0)), axis=0)
+    else:
+        # traced-constant decay table (or the caller's decay_at — the
+        # kernel's SMEM prefetch read: pallas rejects captured array
+        # constants); one fori_loop body so the graph stays `iters` x
+        # 1-height wide (not `number` unrolled solvers)
+        if decay_at is None:
+            decay_arr = jnp.asarray(decay, _f32)
+            decay_at = lambda k: jax.lax.dynamic_index_in_dim(  # noqa: E731
+                decay_arr, k, keepdims=False)
+
+        def height_body(counter, icing):
+            rw = rw_base * decay_at(counter)
+            n = solve_n(rw)
+            return icing + rw * jnp.clip(n, _f32(0.0), _f32(1.0))
+
+        icing = jax.lax.fori_loop(0, number, height_body,
+                                  jnp.zeros_like(v))
 
     out = jnp.abs(icing / _f32(number)) * _f32(3600.0 * 100.0 / 890.0)
     return jnp.where(skip, _f32(0.0), out)
+
+
+def _mincog_decay(zmin: float, number: int):
+    """Per-height LWC decay factors, host-evaluated in f64 like the
+    reference's math.exp then rounded once to f32."""
+    return [math.exp(-0.55 * (zmin + 0.5 * k)) for k in range(number)]
+
+
+def _mincog_point(sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw, depth,
+                  vs: float, alpha: float, zmin: float, zmax: float,
+                  alt: int, gate):
+    """Vectorized MINCOG scalar template (VI:465-675): XLA prologue +
+    shared c-dependent solve; all lanes computed, the caller selects by
+    gate/early-exit masks."""
+    (v, skip0, c0, shallow, a, ha, tau, ea, K, M, vd, he) = _mincog_static(
+        sal, wave, x_wind, y_wind, airtemp, rh, p, pw, depth, vs, alpha,
+        gate)
+    number = int((zmax - zmin) * 2 + 1)
+    return _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
+                        airtemp, rh, ha, he, ea, M, K, tau, vd,
+                        float(vs * math.cos(alpha)), alt,
+                        tuple(_mincog_decay(zmin, number)))
 
 
 def vessel_icing_mincog(sal: Field, wave: Field, x_wind: Field,
