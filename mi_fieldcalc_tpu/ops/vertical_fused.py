@@ -51,7 +51,7 @@ __all__ = ["hlevel_to_plevel_fused"]
 _f32 = jnp.float32
 
 
-def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant,
+def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant, unroll,
                    a_ref, b_ref, xt_ref, *refs):
     fvals = refs[:nvar]
     fmasks = refs[nvar:2 * nvar]
@@ -117,12 +117,12 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant,
         # in-place interpolation, but the nvar mask planes are packed
         # into ONE int32 carry plane (bit v = var v defined & ok): the
         # per-target mask selects collapse nvar -> 1 and the loop carry
-        # shrinks from 2*nvar+2 planes to nvar+3.
-        carry0 = (p_at(0), lx(p_at(0)),
-                  tuple(zf for _ in range(nvar)), zi)
-
-        def body(k, carry):
-            p_k, x0, os_, mp = carry
+        # shrinks from 2*nvar+2 planes to nvar+3.  The level loop is
+        # unrolled `unroll` bracket steps per fori iteration — the
+        # kernel's binding cost is CARRY traffic per iteration (PERF.md),
+        # and unrolling amortizes one carry handoff over several steps
+        # with bit-identical arithmetic (same op sequence per level).
+        def step(k, p_k, x0, os_, mp):
             p_k1 = p_at(k + 1)
             x1 = lx(p_k1)
             denom = x1 - x0
@@ -143,7 +143,21 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant,
                 for v in range(nvar))
             return p_k1, x1, no, jnp.where(sel, packed[None], mp)
 
-        _, _, os_, mp = jax.lax.fori_loop(0, nlev - 1, body, carry0)
+        steps = nlev - 1
+        u = max(1, min(int(unroll), steps))
+
+        def body(i, carry):
+            p_k, x0, os_, mp = carry
+            for j in range(u):
+                p_k, x0, os_, mp = step(i * u + j, p_k, x0, os_, mp)
+            return p_k, x0, os_, mp
+
+        carry = (p_at(0), lx(p_at(0)),
+                 tuple(zf for _ in range(nvar)), zi)
+        carry = jax.lax.fori_loop(0, steps // u, body, carry)
+        p_k, x0, os_, mp = carry
+        for k in range((steps // u) * u, steps):   # static tail
+            p_k, x0, os_, mp = step(k, p_k, x0, os_, mp)
         mbit = [(mp, 1 << v) for v in range(nvar)]
     else:
         # carry-select: the loop only *selects* the bracket quantities
@@ -202,18 +216,23 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant,
             else om.astype(omasks[v].dtype)
 
 
-def _pick_cx(nlev: int, nx: int, nvar: int, nt: int, ty: int = 8) -> int:
+def _pick_cx(nlev: int, nx: int, nvar: int, nt: int, ty: int = 8,
+             unroll: int = 1) -> int:
     """x chunk minimizing total *processed* lanes, then chunk count,
     within the 16 MB scoped-VMEM limit (13 MB budget).  Maximizing CX is
     the wrong objective: nx=929 at CX=640 runs 2x640=1280 lanes/row
     while CX=512 covers the same row in 2x512=1024 — the per-chunk
     VPU/select work scales with jx*CX, so CX should be the minimal
-    128-multiple whose chunk count jx keeps jx*CX == ceil(nx/128)*128."""
+    128-multiple whose chunk count jx keeps jx*CX == ceil(nx/128)*128.
+    Unrolled bracket steps keep ~2.5 extra (nt, ty, cx) planes live each
+    (measured: unroll=16 at the unroll=1 CX overflows scoped vmem by
+    2.2 MB; unroll=8 fits)."""
     budget = 13 * 2 ** 20
     per_lane = (2 * nvar * nlev * ty * 5         # inputs, f32 + i8, 2-buf
                 + 2 * nvar * nt * ty * 5         # outputs, f32 + i8, 2-buf
                 + (2 * nvar + 4) * nt * ty * 4   # out/mask carries + temps
-                + 4 * ty * 4)                    # p/ln-p carries
+                + 4 * ty * 4                     # p/ln-p carries
+                + int(2.5 * unroll * nt * ty * 4))  # unrolled live temps
     lanes = -(-nx // 128) * 128                  # minimal padded row
     for jx in range(1, lanes // 128 + 1):
         cx = -(-lanes // (128 * jx)) * 128
@@ -223,13 +242,13 @@ def _pick_cx(nlev: int, nx: int, nvar: int, nt: int, ty: int = 8) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("targets", "log_p", "interpret",
-                                             "variant", "ty"))
+                                             "variant", "ty", "unroll"))
 def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
                            alevel, blevel, targets: Sequence[float],
                            log_p: bool = True,
                            interpret: bool = False,
                            variant: str = "packed",
-                           ty: int = 8) -> Tuple[Field, ...]:
+                           ty: int = 8, unroll: int = 8) -> Tuple[Field, ...]:
     """Interpolate several hybrid-level Fields to constant-pressure
     surfaces in one fused pass (equivalent to
     :func:`..ops.vertical.hlevel_to_plevel` per field, same masks).
@@ -259,7 +278,8 @@ def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
     # bound, and 8/16/32 gave 4.50/4.57/4.75 ms on the padded operational
     # stack (tile-aligned inputs; 6.0/6.1/6.3 ms ragged)
     TY = min(ty, -(-ny // 8) * 8)
-    CX = _pick_cx(nlev, nx, nvar, nt, TY)
+    CX = _pick_cx(nlev, nx, nvar, nt, TY, unroll if variant == "packed"
+                  else 1)
     jy, jx = -(-ny // TY), -(-nx // CX)
 
     xt = np.asarray(targets, np.float32)
@@ -289,7 +309,7 @@ def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
         raise ValueError(f"hlevel_to_plevel_fused: bad variant {variant!r}")
     outs = pl.pallas_call(
         functools.partial(_interp_kernel, nlev, nt, nvar, TY, CX, log_p,
-                          variant),
+                          variant, unroll),
         grid_spec=grid_spec,
         out_shape=tuple([f32_o] * nvar + [i8_o] * nvar),
         interpret=interpret,
