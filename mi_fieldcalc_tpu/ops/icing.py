@@ -122,7 +122,54 @@ def vessel_icing_mertins(airtemp: Field, seatemp: Field, u: Field, v: Field,
 # shared solver building blocks
 # ---------------------------------------------------------------------------
 
-def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float):
+def _solver_unrolls(default=(1, 1, 1)):
+    """(fp, rk, newton) loop-unroll factors for the iterative solvers —
+    steps per loop-carry handoff.  Like the interp kernel (PERF.md), the
+    binding cost of these loops is the CARRY handoff per iteration, and
+    unrolling amortizes it with per-lane-identical results (done lanes
+    hold, so up-to-u-1 extra fixed-point steps after convergence are
+    no-ops; newton <= 4 keeps the fori so XLA cannot re-fuse the whole
+    solve with excess precision).  Defaults are per PATH — measured
+    2026-08-18 (tools/perf_lab_solver_unroll.py): in the VMEM kernels
+    (16, 10, 4) is a pure win (ModStall 30 -> 19.7 ms, Mincog 8.2 ->
+    7.7); on the whole-array jnp path unrolling the wave FP pays u
+    wasted FULL-GRID passes per early exit, a net loss for Mincog —
+    keep (1, 1, 1) there.  Trace-time env override
+    ``MF_SOLVER_UNROLL=fp,rk,newton`` for perf labs."""
+    s = os.environ.get("MF_SOLVER_UNROLL", "")
+    if s:
+        fp, rk, nt = (int(x) for x in s.split(","))
+        return fp, rk, nt
+    return default
+
+
+#: measured kernel-path unroll factors (see _solver_unrolls docstring)
+KERNEL_SOLVER_UNROLL = (16, 10, 4)
+
+
+def _unrolled_fori(n: int, body, init, unroll: int):
+    """``fori_loop(0, n, body, init)`` with ``unroll`` steps per carry
+    handoff (identical op sequence; ``body`` must ignore its index)."""
+    u = max(1, min(unroll, n))
+    state = init
+    if u >= n:
+        for _ in range(n):
+            state = body(0, state)
+        return state
+
+    def body_u(i, st):
+        for _ in range(u):
+            st = body(0, st)
+        return st
+
+    state = jax.lax.fori_loop(0, n // u, body_u, state)
+    for _ in range((n // u) * u, n):
+        state = body(0, state)
+    return state
+
+
+def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float,
+                            unroll: int = 1):
     """Shallow-water wave speed c = c0 * tanh(a / c), iterated from c = 1
     until |dc| <= tol with the reference's diverged => 0 semantics
     (ModStall VI:221-237, Mincog VI:494-508).
@@ -184,6 +231,17 @@ def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float):
         return (jnp.where(done, c_prev, c), c_out,
                 jnp.where(done, err, err1), done_out.astype(jnp.int32), j1)
 
+    if unroll > 1:
+        # u steps per cond check: done lanes hold, the per-step j/cap
+        # logic is inside `body`, so per-lane results are identical —
+        # at most u-1 wasted steps after the last lane converges
+        step = body
+
+        def body(state):
+            for _ in range(unroll):
+                state = step(state)
+            return state
+
     _, c, _, done_i, _ = jax.lax.while_loop(
         cond, body, (c_init, c_init, jnp.ones_like(c_init), done0,
                      jnp.int32(0)))
@@ -210,13 +268,15 @@ def _modstall_static(sal, wave, x_wind, y_wind, airtemp, rh, p, pw, depth,
 
 
 def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
-                   ha, tau, K, M, vsca: float, decay, decay_at=None):
+                   ha, tau, K, M, vsca: float, decay, decay_at=None,
+                   unrolls=(1, 1, 1)):
     """The c-dependent ModStall solve: wave fixed point, droplet RK, and
     the per-height freezing-fraction fixed point (VI:218-326).  SHARED
     between the jnp path and the fused Pallas kernel — Mosaic-safe (see
     :func:`_mincog_core`)."""
     number = len(decay)
-    c = _wave_speed_fixed_point(c0, a, shallow, 10000, 1e-5)
+    fp_u, rk_u, _ = _solver_unrolls(unrolls)
+    c = _wave_speed_fixed_point(c0, a, shallow, 10000, 1e-5, unroll=fp_u)
     vr = c - _f32(vsca)
     ratio = _f32(89.5 / 5.17)                  # VI:251
 
@@ -237,7 +297,7 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
                         * (((k1 + _f32(2.0) * k2) + _f32(2.0) * k3)
                            + f10mk(y4)))
 
-    td = jax.lax.fori_loop(0, 50, rk_body, sst)
+    td = _unrolled_fori(50, rk_body, sst, rk_u)
     td = jnp.where(tau > 0, td, sst)
 
     # per-height freezing fraction fixed point (VI:288-326)
@@ -321,9 +381,19 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
                     jnp.where(done, err, err1), j1,
                     done_out.astype(jnp.int32))
 
+        if fp_u > 1:
+            # u fixed-point steps per cond check (see
+            # _wave_speed_fixed_point: per-lane identical, done holds)
+            def n_body_u(state, _step=n_body):
+                for _ in range(fp_u):
+                    state = _step(state)
+                return state
+        else:
+            n_body_u = n_body
+
         n0 = jnp.zeros_like(v)
         _, n, _, _, _ = jax.lax.while_loop(
-            n_cond, n_body,
+            n_cond, n_body_u,
             (n0, n0, jnp.ones_like(v), jnp.int32(0),
              (~gate).astype(jnp.int32)))
         n = jnp.clip(n, _f32(0.0), _f32(1.0))
@@ -479,7 +549,8 @@ def _ts_of_n(n, sw):
 _NEWTON_ITERS = 8
 
 
-def _rtsafe_lanes(fn_grad, a, b, iters: int = _NEWTON_ITERS):
+def _rtsafe_lanes(fn_grad, a, b, iters: int = _NEWTON_ITERS,
+                  unroll: int = 1):
     """Bracket-safeguarded Newton root find, vectorized over lanes.
 
     Solves the same roots as :func:`_bisection_lanes` (the reference's
@@ -526,7 +597,7 @@ def _rtsafe_lanes(fn_grad, a, b, iters: int = _NEWTON_ITERS):
                       jnp.where(ok, xn, (a + b) * _f32(0.5)))
         return a, b, x
 
-    a, b, x = jax.lax.fori_loop(0, iters, body, (a, b, x))
+    a, b, x = _unrolled_fori(iters, body, (a, b, x), unroll)
     return jnp.where(no_root, _f32(jnp.nan), x)
 
 
@@ -592,7 +663,7 @@ def _mincog_static(sal, wave, x_wind, y_wind, airtemp, rh, p, pw, depth,
 def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
                  airtemp, rh, ha, he, ea, M, K, tau, vd,
                  vsca: float, alt: int, decay, stack_heights: bool = False,
-                 decay_at=None):
+                 decay_at=None, unrolls=(1, 1, 1)):
     """The c-dependent MINCOG solve: wave-speed fixed point, droplet RK,
     and the per-height Newton sweep (VI:489-675).  SHARED between the jnp
     path and the fused Pallas kernel (icing_fused.py traces this exact
@@ -618,10 +689,12 @@ def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
     number = len(decay)
     ablate = set(filter(None, os.environ.get(
         "MF_MINCOG_ABLATE", "").split(",")))
+    fp_u, rk_u, nt_u = _solver_unrolls(unrolls)
     if "fp" in ablate:
         c = jnp.where(shallow, c0 * _f32(0.5), c0)
     else:
-        c = _wave_speed_fixed_point(c0, a, shallow, 1000, 1e-5)
+        c = _wave_speed_fixed_point(c0, a, shallow, 1000, 1e-5,
+                                    unroll=fp_u)
 
     vr = c - _f32(vsca)
     tper = jnp.abs(c * pw / vr)
@@ -648,7 +721,7 @@ def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
     if "rk" in ablate:
         td = sst * _f32(0.99)
     else:
-        td = jax.lax.fori_loop(0, 50, rk_body, sst)
+        td = _unrolled_fori(50, rk_body, sst, rk_u)
     tsp = _f32(0.5) * (td + sst)
 
     if alt == 1:
@@ -692,7 +765,8 @@ def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
             return r, dr
 
         ts_root = _rtsafe_lanes(fg, jnp.broadcast_to(ts_lo, rw.shape),
-                                jnp.broadcast_to(ts_hi, rw.shape))
+                                jnp.broadcast_to(ts_hi, rw.shape),
+                                unroll=nt_u)
         _, _, n_ts = _freeze_frac_ts(ts_root, sal, airtemp, ha, he,
                                      ea, rh, rw, tsp, lwdown, swdown)
         # sal == 0 collapses ts to 0 for every N: the residual is

@@ -48,8 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..field import Field
 from ..layout import pad_array
 from ._harness import and_masks, out_field, require
-from .icing import (_mincog_core, _mincog_decay, _mincog_static,
-                    _modstall_core, _modstall_static)
+from .icing import (KERNEL_SOLVER_UNROLL, _mincog_core, _mincog_decay,
+                    _mincog_static, _modstall_core, _modstall_static)
 
 __all__ = ["vessel_icing_mincog_fused", "vessel_icing_modstall_fused"]
 
@@ -80,7 +80,8 @@ def _mincog_kernel(vsca, alt, decay, stack_heights, decay_ref, *refs):
         stack_heights=stack_heights,
         # non-stacked mode indexes the SMEM decay table per height
         # (pallas rejects captured array constants in the kernel)
-        decay_at=lambda counter: decay_ref[counter])
+        decay_at=lambda counter: decay_ref[counter],
+        unrolls=KERNEL_SOLVER_UNROLL)
     o_ref[...] = out
 
 
@@ -192,7 +193,8 @@ def _modstall_kernel(vsca, decay, decay_ref, *refs):
         vals["c0"], vals["a"], shallow, gate, vals["wave"], vals["v"],
         vals["sst"], vals["airtemp"], vals["rh"], vals["tf"], vals["ha"],
         vals["tau"], vals["K"], vals["M"], vsca, decay,
-        decay_at=lambda counter: decay_ref[counter])
+        decay_at=lambda counter: decay_ref[counter],
+        unrolls=KERNEL_SOLVER_UNROLL)
     o_ref[...] = out
 
 
