@@ -62,21 +62,28 @@ class DerivedFields(NamedTuple):
 
 class DerivedFieldsStacked(NamedTuple):
     """Structure-of-arrays pipeline output: all 12 value planes in ONE
-    ``(12, nlev, ny, nx)`` float32 array plus one bool mask array, in
+    ``(12, nlev, ny, nx)`` float32 array plus one mask array, in
     :class:`DerivedFields` field order.
 
     This is the production layout of the fused kernel
     (``derived_fields_fused(..., stacked=True)``): two output buffers
     instead of 24 means fewer, larger DMA writes, and downstream
     consumers (file writers, ensemble reducers) usually want the planes
-    contiguous anyway.  Named accessors slice lazily — outside ``jit``
-    each access is one device-side slice."""
+    contiguous anyway.  ``masks`` is either a per-field plane stack or
+    — the default, ``packed_masks=True`` — ONE ``(nlev, ny, nx)`` int32
+    bit-plane with bit ``k`` = field ``k`` defined (4 mask bytes/point
+    instead of 12 on the DMA-bound kernel).  Named accessors slice /
+    unpack lazily — outside ``jit`` each access is one device-side op."""
     values: jax.Array
     masks: jax.Array
 
     def field(self, i: int) -> Field:
-        m = self.masks[i]
-        return Field(self.values[i], m if m.dtype == jnp.bool_ else m != 0)
+        m = self.masks
+        if m.ndim == self.values.ndim - 1:     # packed int32 bit-plane
+            return Field(self.values[i], ((m >> i) & 1) != 0)
+        mi = m[i]
+        return Field(self.values[i],
+                     mi if mi.dtype == jnp.bool_ else mi != 0)
 
     def as_fields(self) -> "DerivedFields":
         return DerivedFields(*[self.field(i) for i in range(12)])

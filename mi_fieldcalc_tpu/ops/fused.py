@@ -254,6 +254,29 @@ class _StackedSlot:
         return self._ref[self._at(idx)]
 
 
+class _PackedBit:
+    """Accumulates one mask plane as bit ``k`` of the packed int32
+    stacked-mask output (``stacked == "packed"``; written once at kernel
+    end).  ``dtype = int8`` routes :func:`_edge_store` through its
+    full-tile fill path, so every store lands here as one whole tile."""
+    dtype = jnp.int8
+
+    def __init__(self, acc, bit):
+        self._acc, self._bit = acc, bit
+
+    def __setitem__(self, idx, val):
+        self._acc[self._bit] = (val != 0).astype(jnp.int32)
+
+
+def _flush_packed(acc, om_ref):
+    """One int32 bit-plane write instead of 12 int8 mask planes (the
+    kernel is DMA-byte-bound, PERF.md)."""
+    packed = acc[0]
+    for k in range(1, 12):
+        packed = packed | (acc[k] << k)
+    om_ref[0] = packed
+
+
 def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
     """Kernel body for all three layouts: ``part`` = "all" (monolith),
     "elementwise" (no halos, no stencils - bigger row tiles), or
@@ -279,12 +302,18 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
 
     o_p = o_vo = None
     m_td = m_duc = m_dv = None
+    acc = None
     if stacked:
         ov_ref, om_ref = out_refs
         (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
          o_gt, o_tf) = [_StackedSlot(ov_ref, k) for k in range(12)]
+        if stacked == "packed":
+            acc = [None] * 12
+            mslots = [_PackedBit(acc, k) for k in range(12)]
+        else:
+            mslots = [_StackedSlot(om_ref, k) for k in range(12)]
         (m_p, m_th, m_rh, m_td, m_the, m_duc, m_ws, m_vo, m_dv, m_ad,
-         m_gt, m_tf) = [_StackedSlot(om_ref, k) for k in range(12)]
+         m_gt, m_tf) = mslots
     elif part == "all":
         (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
          o_gt, o_tf,
@@ -397,6 +426,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
         for m in (m_vo, m_dv, m_ad, m_gt, m_tf):
             if m is not None:
                 put_ref(m, um & vm)
+        if acc is not None:
+            _flush_packed(acc, om_ref)
         return
 
     half = _f32(0.5)
@@ -446,6 +477,9 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
     _edge_store(o_tf, tfp, gy0, cx0, nyg, nxg, TY, nx, full_x)
     _edge_store(m_tf, tfp_m, gy0, cx0, nyg, nxg, TY, nx, full_x)
 
+    if acc is not None:
+        _flush_packed(acc, om_ref)
+
 
 # ---------------------------------------------------------------------------
 # host-side wrapper
@@ -477,14 +511,15 @@ def fused_supported(ny: int, nx: int) -> bool:
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "global_shape", "halo_rows",
                                     "ty", "stacked", "mask8", "split",
-                                    "ty_ew"))
+                                    "ty_ew", "packed_masks"))
 def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                          alevel, blevel, xmapr, ymapr, fcoriolis,
                          interpret: bool = False,
                          global_shape=None, grid_offsets=None,
                          halo_rows: int = 2, ty: int | None = None,
                          stacked: bool = False, mask8: bool = True,
-                         split: bool = False, ty_ew: int | None = None):
+                         split: bool = False, ty_ew: int | None = None,
+                         packed_masks: bool = False):
     """Fused single-pass equivalent of
     :func:`mi_fieldcalc_tpu.models.derived_fields` (same signature, same
     :class:`DerivedFields` result).
@@ -637,13 +672,28 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
             def im4(j, lev, *_):
                 return (0, lev, j, 0)
 
-            out_specs = tuple(
-                pl.BlockSpec((12, 1, TY, nx), im4, memory_space=pltpu.VMEM)
-                for _ in range(2))
-            sdt = jnp.int8 if mask8 else jnp.bool_
-            out_shape = (
-                jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.float32),
-                jax.ShapeDtypeStruct((12, nlev, ny, nx), sdt))
+            vspec = pl.BlockSpec((12, 1, TY, nx), im4,
+                                 memory_space=pltpu.VMEM)
+            if packed_masks:
+                # masks pack into ONE int32 bit-plane (bit k = field k,
+                # DerivedFields order): 4 mask bytes/point instead of 12.
+                # Measured a slight LOSS on chip (4.59 -> 4.65 ms): the
+                # 12 early per-plane stores overlap compute better than
+                # one end-of-kernel write + 12 live accumulator tiles
+                # (PERF.md dead ends) — kept as an option for consumers
+                # that want the compact mask ABI
+                out_specs = (vspec, pl.BlockSpec(
+                    (1, TY, nx), lambda j, lev, *_: (lev, j, 0),
+                    memory_space=pltpu.VMEM))
+                out_shape = (
+                    jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.float32),
+                    jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int32))
+            else:
+                out_specs = (vspec, vspec)
+                sdt = jnp.int8 if mask8 else jnp.bool_
+                out_shape = (
+                    jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.float32),
+                    jax.ShapeDtypeStruct((12, nlev, ny, nx), sdt))
         else:
             # values + deduplicated masks: td/duc/dv reuse rh/the/vo's
             # mask planes (bitwise-identical by construction).  mask8
@@ -661,7 +711,9 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         )
         return pl.pallas_call(
             functools.partial(_kernel, ny, nx, TY, nlev, nyg, nxg,
-                              full_x, stacked, part),
+                              full_x,
+                              ("packed" if stacked and packed_masks
+                               else stacked), part),
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,

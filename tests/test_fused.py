@@ -126,16 +126,24 @@ def test_fused_stacked_matches_per_field():
     layout, and the lazy accessors recover each Field bitwise."""
     args = _inputs(2, 37, 61, seed=5, undefs=True)
     ref = derived_fields_fused(*args, interpret=True)
-    got = derived_fields_fused(*args, interpret=True, stacked=True)
-    assert got.values.shape == (12, 2, 37, 61)
-    assert got.masks.dtype == np.int8   # boundary dtype; accessors give bool
-    assert got.field(0).mask.dtype == np.bool_
-    fields = got.as_fields()
-    for i, name in enumerate(ref._fields):
-        fa, fb, fc = ref[i], got.field(i), getattr(got, name)
-        ma = np.asarray(fa.mask)
-        assert np.array_equal(ma, np.asarray(fb.mask)), name
-        assert np.array_equal(np.asarray(fa.values)[ma],
-                              np.asarray(fb.values)[ma]), name
-        assert np.array_equal(np.asarray(fc.values)[ma],
-                              np.asarray(fields[i].values)[ma]), name
+    for packed in (True, False):
+        got = derived_fields_fused(*args, interpret=True, stacked=True,
+                                   packed_masks=packed)
+        assert got.values.shape == (12, 2, 37, 61)
+        if packed:
+            # ONE int32 bit-plane (bit k = field k defined)
+            assert got.masks.dtype == np.int32
+            assert got.masks.shape == (2, 37, 61)
+        else:
+            assert got.masks.dtype == np.int8   # boundary dtype
+            assert got.masks.shape == (12, 2, 37, 61)
+        assert got.field(0).mask.dtype == np.bool_
+        fields = got.as_fields()
+        for i, name in enumerate(ref._fields):
+            fa, fb, fc = ref[i], got.field(i), getattr(got, name)
+            ma = np.asarray(fa.mask)
+            assert np.array_equal(ma, np.asarray(fb.mask)), name
+            assert np.array_equal(np.asarray(fa.values)[ma],
+                                  np.asarray(fb.values)[ma]), name
+            assert np.array_equal(np.asarray(fc.values)[ma],
+                                  np.asarray(fields[i].values)[ma]), name
