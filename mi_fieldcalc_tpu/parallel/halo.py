@@ -205,6 +205,8 @@ class EdgeContext:
 
 
 def _crop(a, r: int):
+    if r == 0:          # a[..., 0:-0, 0:-0] would be EMPTY, not identity
+        return a
     return a[..., r:-r, r:-r]
 
 
@@ -231,9 +233,12 @@ def run_sharded(op, mesh: Mesh, radius: int, *args, **kwargs):
         lambda s: partition_spec(len(s.shape), mesh), out_shape)
 
     def body(leaves):
-        # grids get a halo ring; 0/1-D coefficient vectors pass through
-        padded = [halo_exchange(leaf, radius, mesh) if leaf.ndim >= 2
-                  else leaf for leaf in leaves]
+        # grids get a halo ring; 0/1-D coefficient vectors pass through;
+        # pointwise ops (radius 0, e.g. the icing solvers) skip the
+        # exchange entirely
+        padded = [halo_exchange(leaf, radius, mesh)
+                  if leaf.ndim >= 2 and radius > 0 else leaf
+                  for leaf in leaves]
         ctx = EdgeContext(radius, mesh)
         prev = _stencil_mod._EDGE_FILL
         _stencil_mod._EDGE_FILL = ctx.fill

@@ -87,6 +87,35 @@ def test_modstall_fused_matches_jnp(ny, nx, adversarial):
     np.testing.assert_allclose(vg, vr, rtol=2e-4, atol=1e-5)
 
 
+def test_icing_sharded_matches_unsharded():
+    """Icing ops are pointwise (radius 0): run_sharded on the CPU mesh
+    must reproduce the unsharded result bit-for-bit, for both the jnp
+    path and the fused kernel (interpret) inside shard_map."""
+    from mi_fieldcalc_tpu.parallel import grid_mesh, run_sharded
+
+    args = _inputs(48, 256, seed=11)
+    scal = (5.0, 0.52, 2.0, 11.0, 2)
+    mesh = grid_mesh((1, 4, 2))
+    ref = icing.vessel_icing_mincog(*args, *scal)
+
+    got = run_sharded(lambda *f: icing.vessel_icing_mincog(*f, *scal),
+                      mesh, 0, *args)
+    np.testing.assert_array_equal(np.asarray(ref.mask),
+                                  np.asarray(got.mask))
+    m = np.asarray(ref.mask)
+    np.testing.assert_array_equal(np.asarray(ref.values)[m],
+                                  np.asarray(got.values)[m])
+
+    got_f = run_sharded(
+        lambda *f: vessel_icing_mincog_fused(*f, *scal, interpret=True),
+        mesh, 0, *args)
+    np.testing.assert_array_equal(np.asarray(ref.mask),
+                                  np.asarray(got_f.mask))
+    np.testing.assert_allclose(np.asarray(got_f.values)[m],
+                               np.asarray(ref.values)[m],
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_fused_ty16_and_bad_ty():
     args = _inputs(32, 140, seed=3)
     scal = (5.0, 0.52, 2.0, 11.0, 1)
