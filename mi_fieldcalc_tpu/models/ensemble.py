@@ -46,7 +46,9 @@ def ensemble_derived_summary(tk: Field, q: Field, u: Field, v: Field,
                              ps: Field, alevel: jax.Array,
                              blevel: jax.Array, xmapr: jax.Array,
                              ymapr: jax.Array, fcoriolis: jax.Array,
-                             wind_limit: float = 15.0) -> EnsembleSummary:
+                             wind_limit: float = 15.0,
+                             fused: bool = False,
+                             global_shape=None) -> EnsembleSummary:
     """Derived fields per member + ensemble statistics, one program.
 
     Args:
@@ -55,15 +57,44 @@ def ensemble_derived_summary(tk: Field, q: Field, u: Field, v: Field,
       alevel..fcoriolis: as :func:`..models.derived_fields` (shared by
         all members).
       wind_limit: exceedance threshold (m/s) for the wind probability.
+      fused: run each member through the single-pass Pallas pipeline
+        kernel (``vmap`` batches the pallas_call over members — one
+        program, a member-sized leading grid dim; 5.05 Gpts/s logical on
+        8 members x 8 levels padded vs 4.6 single-member, PERF.md).
+      global_shape: logical ``(ny, nx)`` when inputs ride the canonical
+        padded layout (fused path only, like derived_fields_isobaric).
 
     Returns an :class:`EnsembleSummary`; the mean/spread cover all 12
     derived fields, probabilities are computed for wind speed and for
     1-hour temperature advection below 0 (cooling).
     """
-    per_member = jax.vmap(
-        lambda tkm, qm, um, vm, psm: derived_fields(
-            tkm, qm, um, vm, psm, alevel, blevel, xmapr, ymapr, fcoriolis))
-    out = per_member(tk, q, u, v, ps)    # DerivedFields of [nmem, ...]
+    if global_shape is not None and not fused:
+        raise ValueError("ensemble_derived_summary: global_shape "
+                         "requires fused=True")
+    if fused:
+        from ..ops.fused import derived_fields_fused
+        interp = jax.devices()[0].platform != "tpu"
+        per_member = jax.vmap(
+            lambda tkm, qm, um, vm, psm: derived_fields_fused(
+                tkm, qm, um, vm, psm, alevel, blevel, xmapr, ymapr,
+                fcoriolis, stacked=True, interpret=interp,
+                global_shape=global_shape))
+        st = per_member(tk, q, u, v, ps)   # values (nmem, 12, nlev, ...)
+
+        def member_mask(i):
+            if st.masks.ndim == st.values.ndim - 1:   # packed bit-plane
+                return ((st.masks >> i) & 1) != 0
+            m = st.masks[:, i]
+            return m if m.dtype == jnp.bool_ else m != 0
+
+        out = DerivedFields(*[Field(st.values[:, i], member_mask(i))
+                              for i in range(12)])
+    else:
+        per_member = jax.vmap(
+            lambda tkm, qm, um, vm, psm: derived_fields(
+                tkm, qm, um, vm, psm, alevel, blevel, xmapr, ymapr,
+                fcoriolis))
+        out = per_member(tk, q, u, v, ps)   # DerivedFields of [nmem, ...]
 
     mean = DerivedFields(*[mean_value(f) for f in out])
     spread = DerivedFields(*[stddev_value(f) for f in out])

@@ -79,3 +79,35 @@ def test_ensemble_probability_range_and_undef_lowering():
     assert np.allclose(pw[m] % 20.0, 0.0, atol=1e-4) or True
     vals = np.unique(np.round(pw[m], 3))
     assert set(np.mod(vals, 20.0)) <= {0.0}
+
+
+def test_ensemble_summary_fused_matches_jnp():
+    """fused=True routes each member through the Pallas pipeline kernel
+    (vmap-batched pallas_call): masks bit-for-bit vs the jnp path,
+    values to f32 round-off (Mosaic reassociates differently) amplified
+    once by the mean/stddev reductions."""
+    from mi_fieldcalc_tpu.models import ensemble_derived_summary
+
+    args = _member_inputs(nmem=3, nlev=2, ny=17, nx=35, seed=4)
+    ref = ensemble_derived_summary(*args)
+    got = ensemble_derived_summary(*args, fused=True)
+    for name in ref.mean._fields:
+        fa, fb = getattr(ref.mean, name), getattr(got.mean, name)
+        ma = np.asarray(fa.mask)
+        np.testing.assert_array_equal(ma, np.asarray(fb.mask), name)
+        np.testing.assert_allclose(np.asarray(fb.values)[ma],
+                                   np.asarray(fa.values)[ma],
+                                   rtol=5e-5, atol=1e-5, err_msg=name)
+        sa, sb = getattr(ref.spread, name), getattr(got.spread, name)
+        np.testing.assert_array_equal(np.asarray(sa.mask),
+                                      np.asarray(sb.mask), name)
+        np.testing.assert_allclose(np.asarray(sb.values)[np.asarray(sa.mask)],
+                                   np.asarray(sa.values)[np.asarray(sa.mask)],
+                                   rtol=5e-4, atol=1e-3, err_msg=name)
+    for pa, pb in ((ref.prob_wind, got.prob_wind),
+                   (ref.prob_t_freeze, got.prob_t_freeze)):
+        np.testing.assert_array_equal(np.asarray(pa.mask),
+                                      np.asarray(pb.mask))
+        np.testing.assert_allclose(
+            np.asarray(pb.values)[np.asarray(pa.mask)],
+            np.asarray(pa.values)[np.asarray(pa.mask)], rtol=1e-5, atol=1e-5)
