@@ -146,6 +146,13 @@ def _solver_unrolls(default=(1, 1, 1)):
 #: measured kernel-path unroll factors (see _solver_unrolls docstring)
 KERNEL_SOLVER_UNROLL = (16, 10, 4)
 
+#: kernel-path warm-start Newton iterations per height (0 = cold solve
+#: every height, the jnp path's exact behavior).  Measured sweep
+#: (tools, 2026-08-18): 3 is 28% faster than cold at max rel diff 8e-5
+#: (conformance tolerance is 2e-3); 2 degrades to 4e-3 — too loose.
+#: env MF_WARM_NEWTON overrides for labs.
+KERNEL_WARM_NEWTON = int(os.environ.get("MF_WARM_NEWTON", "3"))
+
 
 def _unrolled_fori(n: int, body, init, unroll: int):
     """``fori_loop(0, n, body, init)`` with ``unroll`` steps per carry
@@ -550,7 +557,7 @@ _NEWTON_ITERS = 8
 
 
 def _rtsafe_lanes(fn_grad, a, b, iters: int = _NEWTON_ITERS,
-                  unroll: int = 1):
+                  unroll: int = 1, x0=None):
     """Bracket-safeguarded Newton root find, vectorized over lanes.
 
     Solves the same roots as :func:`_bisection_lanes` (the reference's
@@ -573,10 +580,11 @@ def _rtsafe_lanes(fn_grad, a, b, iters: int = _NEWTON_ITERS,
     # function inside the Pallas MINCOG tile)
     sa = (fa > 0).astype(jnp.int32)
     no_root = jnp.where(fb > 0, sa, 1 - sa) != 0
-    # secant initial guess (clipped into the bracket interior)
-    denom = jnp.where(fb == fa, _f32(1.0), fb - fa)
-    x0 = a - fa * (b - a) / denom
     eps = _f32(1e-6) * (b - a)
+    if x0 is None:
+        # secant initial guess (clipped into the bracket interior)
+        denom = jnp.where(fb == fa, _f32(1.0), fb - fa)
+        x0 = a - fa * (b - a) / denom
     x = jnp.clip(x0, a + eps, b - eps)
 
     def body(_, state):
@@ -663,7 +671,7 @@ def _mincog_static(sal, wave, x_wind, y_wind, airtemp, rh, p, pw, depth,
 def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
                  airtemp, rh, ha, he, ea, M, K, tau, vd,
                  vsca: float, alt: int, decay, stack_heights: bool = False,
-                 decay_at=None, unrolls=(1, 1, 1)):
+                 decay_at=None, unrolls=(1, 1, 1), warm_newton: int = 0):
     """The c-dependent MINCOG solve: wave-speed fixed point, droplet RK,
     and the per-height Newton sweep (VI:489-675).  SHARED between the jnp
     path and the fused Pallas kernel (icing_fused.py traces this exact
@@ -746,18 +754,24 @@ def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
     ts_lo = _ts_of_n(_BISECT_B, sal)   # N = 1.3 (coldest)
     sw0 = sal <= 0
 
-    def solve_n(rw):
+    def solve_n(rw, x0=None, iters=_NEWTON_ITERS):
         """Freezing fraction for spray flux ``rw`` — any shape that
         broadcasts against the lane planes (``(...,)`` per height, or
-        ``(number, ...)`` stacked)."""
+        ``(number, ...)`` stacked).  Returns ``(n, ts_carry)`` where
+        ``ts_carry`` is a finite warm-start value for the next height's
+        Newton solve (midpoint of the bracket on no-root lanes)."""
+        mid = _f32(0.5) * (ts_lo + ts_hi)
         if "newton" in ablate:
-            return jnp.clip(rw, _f32(0.0), _f32(1.0))
+            return jnp.clip(rw, _f32(0.0), _f32(1.0)), \
+                jnp.broadcast_to(mid, rw.shape)
         if use_bisect:
             def ffz(n):
                 return _freeze_frac_zero(n, sal, airtemp, ha, he, ea, rh,
                                          rw, tsp, lwdown, swdown)
 
-            return _bisection_lanes(ffz, rw.shape, _BISECT_A, _BISECT_B)
+            return _bisection_lanes(ffz, rw.shape, _BISECT_A,
+                                    _BISECT_B), \
+                jnp.broadcast_to(mid, rw.shape)
 
         def fg(ts):
             r, dr, _ = _freeze_frac_ts(ts, sal, airtemp, ha, he, ea,
@@ -766,7 +780,7 @@ def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
 
         ts_root = _rtsafe_lanes(fg, jnp.broadcast_to(ts_lo, rw.shape),
                                 jnp.broadcast_to(ts_hi, rw.shape),
-                                unroll=nt_u)
+                                iters=iters, unroll=nt_u, x0=x0)
         _, _, n_ts = _freeze_frac_ts(ts_root, sal, airtemp, ha, he,
                                      ea, rh, rw, tsp, lwdown, swdown)
         # sal == 0 collapses ts to 0 for every N: the residual is
@@ -780,13 +794,15 @@ def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
         lin_root = jnp.where(k_lin - _f32(_BISECT_A) > 0,
                              1 - sl, sl) != 0
         n_lin = jnp.where(lin_root, k_lin, _f32(0.0))
-        return jnp.where(sw0, n_lin,
-                         jnp.where(jnp.isnan(n_ts), _f32(0.0), n_ts))
+        n = jnp.where(sw0, n_lin,
+                      jnp.where(jnp.isnan(n_ts), _f32(0.0), n_ts))
+        carry = jnp.where(jnp.abs(ts_root) < _f32(jnp.inf), ts_root, mid)
+        return n, carry
 
     rw_base = lwc0 * vd * nf * tdur
     if stack_heights:
         rws = jnp.stack([rw_base * _f32(d) for d in decay])
-        n = solve_n(rws)
+        n, _ = solve_n(rws)
         icing = jnp.sum(rws * jnp.clip(n, _f32(0.0), _f32(1.0)), axis=0)
     else:
         # traced-constant decay table (or the caller's decay_at — the
@@ -798,13 +814,34 @@ def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
             decay_at = lambda k: jax.lax.dynamic_index_in_dim(  # noqa: E731
                 decay_arr, k, keepdims=False)
 
-        def height_body(counter, icing):
-            rw = rw_base * decay_at(counter)
-            n = solve_n(rw)
-            return icing + rw * jnp.clip(n, _f32(0.0), _f32(1.0))
+        if warm_newton and not use_bisect and "newton" not in ablate:
+            # heights solve sequentially, so each height's Newton warm-
+            # starts from the previous height's root (only rw changes,
+            # by the constant decay factor): `warm_newton` iterations
+            # instead of a cold secant init + _NEWTON_ITERS.  Kernel
+            # path only — results agree to solver tolerance (the
+            # fused-vs-jnp tests bound it), not bitwise.
+            rw0 = rw_base * _f32(decay[0])
+            n0, x_prev = solve_n(rw0)
+            icing0 = rw0 * jnp.clip(n0, _f32(0.0), _f32(1.0))
 
-        icing = jax.lax.fori_loop(0, number, height_body,
-                                  jnp.zeros_like(v))
+            def height_body(counter, state):
+                icing, x_prev = state
+                rw = rw_base * decay_at(counter)
+                n, x_prev = solve_n(rw, x0=x_prev, iters=warm_newton)
+                return icing + rw * jnp.clip(n, _f32(0.0), _f32(1.0)), \
+                    x_prev
+
+            icing, _ = jax.lax.fori_loop(1, number, height_body,
+                                         (icing0, x_prev))
+        else:
+            def height_body(counter, icing):
+                rw = rw_base * decay_at(counter)
+                n, _ = solve_n(rw)
+                return icing + rw * jnp.clip(n, _f32(0.0), _f32(1.0))
+
+            icing = jax.lax.fori_loop(0, number, height_body,
+                                      jnp.zeros_like(v))
 
     out = jnp.abs(icing / _f32(number)) * _f32(3600.0 * 100.0 / 890.0)
     return jnp.where(skip, _f32(0.0), out)

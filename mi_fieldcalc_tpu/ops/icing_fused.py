@@ -48,8 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..field import Field
 from ..layout import pad_array
 from ._harness import and_masks, out_field, require
-from .icing import (KERNEL_SOLVER_UNROLL, _mincog_core, _mincog_decay,
-                    _mincog_static, _modstall_core, _modstall_static)
+from .icing import (KERNEL_SOLVER_UNROLL, KERNEL_WARM_NEWTON, _mincog_core,
+                    _mincog_decay, _mincog_static, _modstall_core,
+                    _modstall_static)
 
 __all__ = ["vessel_icing_mincog_fused", "vessel_icing_modstall_fused"]
 
@@ -81,7 +82,7 @@ def _mincog_kernel(vsca, alt, decay, stack_heights, decay_ref, *refs):
         # non-stacked mode indexes the SMEM decay table per height
         # (pallas rejects captured array constants in the kernel)
         decay_at=lambda counter: decay_ref[counter],
-        unrolls=KERNEL_SOLVER_UNROLL)
+        unrolls=KERNEL_SOLVER_UNROLL, warm_newton=KERNEL_WARM_NEWTON)
     o_ref[...] = out
 
 
