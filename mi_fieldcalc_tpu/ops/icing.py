@@ -153,6 +153,27 @@ KERNEL_SOLVER_UNROLL = (16, 10, 4)
 #: env MF_WARM_NEWTON overrides for labs.
 KERNEL_WARM_NEWTON = int(os.environ.get("MF_WARM_NEWTON", "3"))
 
+#: kernel-path ModStall height sweep: arm the freezing-fraction loop's
+#: analytic projection (Aitken root + cap/cycle resolution) after this
+#: many exact iterations instead of 32 (0 = the jnp path's exact
+#: 32-iteration warmup).  The height sweep is 16.3 of the kernel's
+#: 19.6 ms (tools/perf_lab_modstall_ablate.py), and per-tile while trips
+#: are bound by the slowest lane, so earlier projection collapses them.
+#: Every iterate up to the projection stays exact — the reference's
+#: trajectory-dependent [0,1] escapes mostly happen in the first few
+#: iterations and are preserved.  Measured on the operational grid
+#: (tools/perf_lab_modstall_warm.py, 2026-08-18): 19.7 -> 11.3 ms
+#: (4/8/16 equal within noise) at 1.1e-5 of defined points differing
+#: >2e-3 from the 32-warmup path, max |d| 1.2e-2 (conformance tolerance
+#: for icing is 2e-3; the jnp projection itself accepts 0.28% >2e-3 vs
+#: the exact reference loop on adversarial inputs — PERF.md).  NOTE:
+#: warm-STARTING heights from the previous height's iterate is WRONG
+#: (25% of lanes >2e-3: early escapes are trajectory semantics), and
+#: arming the root projection earlier than the cap prediction is also
+#: worse (1.2e-5 -> 2.9e-4) — the machinery arms as a unit.
+#: env MF_WARM_FP overrides for labs.
+KERNEL_WARM_FP = int(os.environ.get("MF_WARM_FP", "16"))
+
 
 def _unrolled_fori(n: int, body, init, unroll: int):
     """``fori_loop(0, n, body, init)`` with ``unroll`` steps per carry
@@ -276,14 +297,39 @@ def _modstall_static(sal, wave, x_wind, y_wind, airtemp, rh, p, pw, depth,
 
 def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
                    ha, tau, K, M, vsca: float, decay, decay_at=None,
-                   unrolls=(1, 1, 1)):
+                   unrolls=(1, 1, 1), stack_heights: bool = False,
+                   warm_fp: int = 0):
     """The c-dependent ModStall solve: wave fixed point, droplet RK, and
     the per-height freezing-fraction fixed point (VI:218-326).  SHARED
     between the jnp path and the fused Pallas kernel — Mosaic-safe (see
-    :func:`_mincog_core`)."""
+    :func:`_mincog_core`).
+
+    ``stack_heights`` solves all ``number`` heights as ONE stacked
+    ``(number, ...)`` fixed-point problem instead of a sequential
+    ``fori_loop`` of while_loops: the per-height problems are independent
+    (only the static decay factor differs) and every height starts from
+    ``n = 0``, so per-lane trajectories are the same op sequence and the
+    while trip count becomes max-over-heights instead of
+    sum-over-heights.  Results agree to solver tolerance, not bitwise:
+    the 3-D lowering contracts FMAs differently than the 2-D one
+    (measured max |d| 2e-6 on random inputs; exit tol is 1e-5,
+    conformance tol 2e-3), and done lanes hold exactly either way.
+    This is the variable-trip-loop counterpart of MINCOG's warm-start
+    Newton (whose fixed-trip sweep gains nothing from stacking).  Kernel
+    path only: on the whole-array jnp path each iteration would pay
+    ``number`` x full-grid HBM traffic."""
     number = len(decay)
+    # MF_MODSTALL_ABLATE (trace-time env, comma-separated: fp, rk,
+    # heights) stubs out solver stages for perf attribution ONLY —
+    # outputs are wrong with any ablation active (perf labs).
+    ablate = set(filter(None, os.environ.get(
+        "MF_MODSTALL_ABLATE", "").split(",")))
     fp_u, rk_u, _ = _solver_unrolls(unrolls)
-    c = _wave_speed_fixed_point(c0, a, shallow, 10000, 1e-5, unroll=fp_u)
+    if "fp" in ablate:
+        c = jnp.where(shallow, c0 * _f32(0.5), c0)
+    else:
+        c = _wave_speed_fixed_point(c0, a, shallow, 10000, 1e-5,
+                                    unroll=fp_u)
     vr = c - _f32(vsca)
     ratio = _f32(89.5 / 5.17)                  # VI:251
 
@@ -304,8 +350,11 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
                         * (((k1 + _f32(2.0) * k2) + _f32(2.0) * k3)
                            + f10mk(y4)))
 
-    td = _unrolled_fori(50, rk_body, sst, rk_u)
-    td = jnp.where(tau > 0, td, sst)
+    if "rk" in ablate:
+        td = sst * _f32(0.99)
+    else:
+        td = _unrolled_fori(50, rk_body, sst, rk_u)
+        td = jnp.where(tau > 0, td, sst)
 
     # per-height freezing fraction fixed point (VI:288-326)
     at = airtemp
@@ -317,8 +366,23 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
             decay_arr, k, keepdims=False)
     rw_base = _f32(6.46e-5) * wave * (vr * vr)
 
-    def height_body(counter, ice):
-        rw = rw_base * decay_at(counter) * v
+    def run_fp(rw, warmup=32):
+        """The freezing-fraction fixed point for spray flux ``rw`` — any
+        shape broadcasting against the lane planes: ``(ny, nx)`` per
+        height, ``(number, ny, nx)`` stacked.  Returns clip(n, 0, 1).
+
+        ``warmup`` arms the analytic projection (Aitken root / cap
+        prediction) after that many exact iterations instead of 32.
+        Every iterate up to the projection is exact, so the reference's
+        trajectory-dependent early escapes (``n1`` outside [0, 1] —
+        common from the cold start) are preserved bit-for-bit; only
+        slow oscillatory lanes resolve through the projection, whose
+        root the reference's own exit iterate is within tol of (see
+        KERNEL_WARM_FP).  NOTE: warm-STARTING heights from the previous
+        height's iterate was tried and is WRONG — 25% of lanes differ
+        >2e-3 because the early escapes are trajectory semantics."""
+        if "heights" in ablate:
+            return jnp.clip(rw, _f32(0.0), _f32(1.0))
 
         def n_cond(state):
             n_prev, n, err, j, done_i = state
@@ -353,7 +417,14 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
             dprev = n - n_prev
             slope = (n1 - n) / jnp.where(dprev != 0, dprev, _f32(jnp.inf))
             rat = err1 / jnp.maximum(err, _f32(1e-30))
-            geo = ((~done) & (j1 >= 32) & (rat < _f32(1.0 - 1e-6))
+            # The full projection machinery (root, cap prediction, cycle
+            # resolution) arms at `warmup` as a unit.  Arming the root
+            # projection earlier than the cap prediction was measured
+            # WORSE (frac >2e-3 rises 1.2e-5 -> 2.9e-4): converging-but-
+            # slow lanes get resolved to the root before the cap
+            # prediction can claim them for the reference's cap => 0
+            # (tools/perf_lab_modstall_warm.py, 2026-08-18).
+            geo = ((~done) & (j1 >= warmup) & (rat < _f32(1.0 - 1e-6))
                    & (err1 >= _f32(1e-5)))
             rem = jnp.log(_f32(1e-5) / err1) / jnp.log(rat)
             caps = geo & (j1.astype(_f32) + rem > _f32(1000.0))
@@ -363,7 +434,7 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
             # iteration 1000 lands here too — its reference value is the
             # parity-dependent clamp; recorded as an accepted divergence,
             # amplitude growth is <= 1.0003^1000 ~ 1.35x.)
-            cyc = ((~done) & (j1 >= 64) & (err1 > _f32(3e-5))
+            cyc = ((~done) & (j1 >= 2 * warmup) & (err1 > _f32(3e-5))
                    & (jnp.abs(n1 - n_prev) < _f32(3e-4) * err1))
             # Still undone at 256: geometric convergers were all resolved
             # by `geo` (it fires at any iteration >= 32 with a shrinking
@@ -377,6 +448,11 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
             caps = caps | cyc | late
             root = (n1 - slope * n) / (_f32(1.0) - slope)
             root = jnp.where(jnp.abs(root) < _f32(jnp.inf), root, _f32(0.0))
+            # (An escape-safety guard — only project when the remaining
+            # oscillation envelope provably stays inside [0,1] — was
+            # tried here and measured 2 ms SLOWER with identical
+            # accuracy: the rare boundary-oscillating lanes reach the
+            # same exits either way.  tools/perf_lab_modstall_warm.py.)
             fin = geo & ~caps
             n_out = jnp.where(
                 done, n,
@@ -398,15 +474,42 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
         else:
             n_body_u = n_body
 
-        n0 = jnp.zeros_like(v)
+        n_init = jnp.zeros_like(rw)
+        done0 = jnp.broadcast_to((~gate).astype(jnp.int32), rw.shape)
         _, n, _, _, _ = jax.lax.while_loop(
             n_cond, n_body_u,
-            (n0, n0, jnp.ones_like(v), jnp.int32(0),
-             (~gate).astype(jnp.int32)))
-        n = jnp.clip(n, _f32(0.0), _f32(1.0))
-        return ice + n * (rw / _f32(890.0)) * _f32(3600.0) * _f32(100.0)
+            (n_init, n_init, jnp.ones_like(rw), jnp.int32(0), done0))
+        return jnp.clip(n, _f32(0.0), _f32(1.0))
 
-    ice = jax.lax.fori_loop(0, number, height_body, jnp.zeros_like(v))
+    if stack_heights:
+        rws = jnp.stack([rw_base * _f32(d) for d in decay]) * v
+        n = run_fp(rws)
+        terms = n * (rws / _f32(890.0)) * _f32(3600.0) * _f32(100.0)
+        # accumulate in height order so the sum is bit-identical to the
+        # sequential sweep (jnp.sum may tree-reduce)
+        ice = terms[0]
+        for k in range(1, number):
+            ice = ice + terms[k]
+    elif warm_fp:
+        # cold start every height (the early out-of-range escapes ARE
+        # reference semantics and happen on exact iterates), but arm the
+        # analytic projection after warm_fp iterations instead of 32
+        # (see KERNEL_WARM_FP)
+        def height_body(counter, ice):
+            rw = rw_base * decay_at(counter) * v
+            n = run_fp(rw, warmup=warm_fp)
+            return ice + n * (rw / _f32(890.0)) * _f32(3600.0) \
+                * _f32(100.0)
+
+        ice = jax.lax.fori_loop(0, number, height_body, jnp.zeros_like(v))
+    else:
+        def height_body(counter, ice):
+            rw = rw_base * decay_at(counter) * v
+            n = run_fp(rw)
+            return ice + n * (rw / _f32(890.0)) * _f32(3600.0) \
+                * _f32(100.0)
+
+        ice = jax.lax.fori_loop(0, number, height_body, jnp.zeros_like(v))
     return jnp.abs(ice / _f32(number))
 
 

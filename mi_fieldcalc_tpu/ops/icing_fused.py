@@ -48,9 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..field import Field
 from ..layout import pad_array
 from ._harness import and_masks, out_field, require
-from .icing import (KERNEL_SOLVER_UNROLL, KERNEL_WARM_NEWTON, _mincog_core,
-                    _mincog_decay, _mincog_static, _modstall_core,
-                    _modstall_static)
+from .icing import (KERNEL_SOLVER_UNROLL, KERNEL_WARM_FP,
+                    KERNEL_WARM_NEWTON, _mincog_core, _mincog_decay,
+                    _mincog_static, _modstall_core, _modstall_static)
 
 __all__ = ["vessel_icing_mincog_fused", "vessel_icing_modstall_fused"]
 
@@ -182,7 +182,7 @@ def _static_planes(sal, wave, x_wind, y_wind, airtemp, rh, p, pw, depth,
     return (v, skip0, c0, a, ha, tau, ea, K, M, vd, he), shallow
 
 
-def _modstall_kernel(vsca, decay, decay_ref, *refs):
+def _modstall_kernel(vsca, decay, stack_heights, decay_ref, *refs):
     vals = {name: ref[...] for name, ref in zip(_MS_PLANES, refs)}
     bits = refs[len(_MS_PLANES)][...].astype(jnp.int32)
     o_ref = refs[len(_MS_PLANES) + 1]
@@ -195,25 +195,35 @@ def _modstall_kernel(vsca, decay, decay_ref, *refs):
         vals["sst"], vals["airtemp"], vals["rh"], vals["tf"], vals["ha"],
         vals["tau"], vals["K"], vals["M"], vsca, decay,
         decay_at=lambda counter: decay_ref[counter],
-        unrolls=KERNEL_SOLVER_UNROLL)
+        unrolls=KERNEL_SOLVER_UNROLL, stack_heights=stack_heights,
+        warm_fp=KERNEL_WARM_FP)
     o_ref[...] = out
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "vs", "alpha", "zmin", "zmax", "interpret", "ty"))
+    "vs", "alpha", "zmin", "zmax", "interpret", "ty", "stack_heights"))
 def vessel_icing_modstall_fused(sal: Field, wave: Field, x_wind: Field,
                                 y_wind: Field, airtemp: Field, rh: Field,
                                 sst: Field, p: Field, pw: Field,
                                 aice: Field, depth: Field, vs: float,
                                 alpha: float, zmin: float, zmax: float,
                                 interpret: bool = False,
-                                ty: int = 8) -> Field:
+                                ty: int = 8,
+                                stack_heights: bool = False) -> Field:
     """Modified Stallabrass icing rate, fused solver kernel — equivalent
     to :func:`.icing.vessel_icing_modstall`.  The win over the jnp path
     is largest on adversarial inputs: the per-height freezing-fraction
     fixed point pays the slowest unconverged lane per WHILE iteration,
     and per-tile early exit confines that cost to the tiles that have
-    such lanes (81 ms -> see PERF.md)."""
+    such lanes (81 ms -> see PERF.md).  ``stack_heights`` solves the
+    ``number`` heights as one stacked fixed-point problem — same op
+    sequence per lane as the sequential sweep, equal to solver tolerance
+    (see :func:`._modstall_core`), trip count max-over-heights instead
+    of sum-over-heights.  Measured a 2.4x LOSS on the chip (47.9 vs
+    19.8 ms at ty=8; ty=16 exceeds scoped VMEM): per-height iteration
+    counts are similar so the trip-count saving is small, while the
+    ``number`` x wider VMEM state destroys pipelining — kept as an
+    option for documentation, default off (PERF.md 2026-08-18)."""
     num = zmax - zmin
     require(zmax >= zmin and math.fmod(num, 1.0) == 0.0,
             "vesselIcingModStall: bad zmin/zmax")
@@ -221,6 +231,10 @@ def vessel_icing_modstall_fused(sal: Field, wave: Field, x_wind: Field,
             "vesselIcingModStall: negative parameter")
     require(ty in (8, 16),
             "vessel_icing_modstall_fused: ty must be 8 or 16")
+    # stacked mode carries (number, TY, CX) solver state: ty=16 exceeds
+    # the 16M scoped-VMEM stack even at CX=512 (measured OOM)
+    require(ty == 8 or not stack_heights,
+            "vessel_icing_modstall_fused: stack_heights needs ty=8")
     number = int(num * 2 + 1)
 
     mask = and_masks(sal, wave, x_wind, y_wind, airtemp, rh, sst, p,
@@ -244,7 +258,7 @@ def vessel_icing_modstall_fused(sal: Field, wave: Field, x_wind: Field,
     ny_p, nx_p = bits_p.shape
 
     TY = min(ty, ny_p)
-    CX = _pick_cx(nx_p, TY, 1)
+    CX = _pick_cx(nx_p, TY, number if stack_heights else 1)
     grid = (ny_p // TY, nx_p // CX)
 
     tile = pl.BlockSpec((TY, CX), lambda y, x, *_: (y, x),
@@ -255,7 +269,7 @@ def vessel_icing_modstall_fused(sal: Field, wave: Field, x_wind: Field,
 
     out = pl.pallas_call(
         functools.partial(_modstall_kernel, float(vs * math.cos(alpha)),
-                          decay),
+                          decay, stack_heights),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((ny_p, nx_p), jnp.float32),
         interpret=interpret,

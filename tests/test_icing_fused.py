@@ -87,6 +87,24 @@ def test_modstall_fused_matches_jnp(ny, nx, adversarial):
     np.testing.assert_allclose(vg, vr, rtol=2e-4, atol=1e-5)
 
 
+def test_modstall_stacked_heights_matches_sequential():
+    """stack_heights solves the 19 heights as one stacked fixed point:
+    same op sequence per lane, results to solver tolerance (the 3-D
+    lowering contracts FMAs differently), masks bit-for-bit.  Measured
+    slower on the chip (PERF.md) — kept as a documented option."""
+    args = _inputs(40, 140, seed=21)
+    scal = (5.0, 0.52, 2.0, 11.0)
+    ref = vessel_icing_modstall_fused(*args, *scal, interpret=True,
+                                      stack_heights=False)
+    got = vessel_icing_modstall_fused(*args, *scal, interpret=True,
+                                      stack_heights=True)
+    mr = np.asarray(ref.mask)
+    np.testing.assert_array_equal(mr, np.asarray(got.mask))
+    np.testing.assert_allclose(np.asarray(got.values)[mr],
+                               np.asarray(ref.values)[mr],
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_icing_sharded_matches_unsharded():
     """Icing ops are pointwise (radius 0): run_sharded on the CPU mesh
     must reproduce the unsharded result bit-for-bit, for both the jnp

@@ -33,15 +33,17 @@ def main():
 
         mr = np.asarray(ref.mask)
         vr = np.asarray(ref.values)[mr]
-        for ty in (8, 16):
-            fn = jax.jit(lambda *a, ty=ty: vessel_icing_modstall_fused(
-                *a, *SCAL, ty=ty))
+        for ty, stack in ((8, False), (8, True)):
+            fn = jax.jit(lambda *a, ty=ty, stack=stack:
+                         vessel_icing_modstall_fused(
+                             *a, *SCAL, ty=ty, stack_heights=stack))
             got = fn(*args)
             ok = (mr == np.asarray(got.mask)).all()
             d = np.abs(vr - np.asarray(got.values)[mr])
             dt = qtime(lambda: fn(*args))
-            print(f"[{label}] fused ty={ty}: {dt*1e3:.2f} ms  "
-                  f"masks_equal={ok} max|d|={d.max():.3e}")
+            print(f"[{label}] fused ty={ty} stack={int(stack)}: "
+                  f"{dt*1e3:.2f} ms  masks_equal={ok} "
+                  f"max|d|={d.max():.3e}")
 
 
 if __name__ == "__main__":
