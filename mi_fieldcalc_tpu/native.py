@@ -32,13 +32,15 @@ __all__ = [
     "available",
     "decode",
     "decode_pad",
+    "decode_pad_batch",
     "encode",
     "encode_trim",
+    "encode_trim_batch",
     "count_defined",
     "defined_state_host",
 ]
 
-_ABI = 2
+_ABI = 3
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_REPO, "native", "build", "libmifieldcalc_host.so")
@@ -75,6 +77,14 @@ def _bind(lib: ctypes.CDLL) -> Optional[ctypes.CDLL]:
     lib.mf_encode_trim.restype = None
     lib.mf_encode_trim.argtypes = [f32p, u8p, i64, i64, i64, i64, i64, f32,
                                    f32p]
+    f32pp = ctypes.POINTER(f32p)
+    i64p = ctypes.POINTER(i64)
+    lib.mf_decode_pad_batch.restype = None
+    lib.mf_decode_pad_batch.argtypes = [f32pp, i64, i64, i64, i64, i64,
+                                        i64, f32, f32, f32p, u8p, i64p]
+    lib.mf_encode_trim_batch.restype = None
+    lib.mf_encode_trim_batch.argtypes = [f32p, u8p, i64, i64, i64, i64,
+                                         i64, i64, f32, f32pp]
     return lib
 
 
@@ -181,6 +191,98 @@ def decode_pad(values, ny_p: Optional[int] = None,
                               out.ctypes.data_as(f32p),
                               mask.ctypes.data_as(u8p))
     return out, mask.view(np.bool_), int(n_def)
+
+
+def decode_pad_batch(arrays, ny_p: Optional[int] = None,
+                     nx_p: Optional[int] = None, undef: float = UNDEF,
+                     fill: float = 0.0,
+                     out: Optional[np.ndarray] = None,
+                     mask: Optional[np.ndarray] = None,
+                     ) -> Tuple[np.ndarray, np.ndarray, list]:
+    """Stage K same-shape sentinel arrays ``[..., ny, nx]`` into ONE
+    contiguous tile-aligned ``[K, ..., ny_p, nx_p]`` (values, mask)
+    block in a single parallel pass — the host side of a production
+    pipeline step (e.g. the 4 input stacks of the derived-field
+    pipeline), one thread-team dispatch instead of K.
+
+    ``out``/``mask`` accept preallocated buffers of the right shape
+    (a :class:`HostStager` reuses them across steps); returns
+    ``(values, mask, per-field defined counts)``.
+    """
+    from .layout import padded_shape
+    vs = [_f32c(a) for a in arrays]
+    shape = vs[0].shape
+    for a in vs:
+        if a.shape != shape:
+            raise ValueError("decode_pad_batch: arrays must share a shape")
+    ny, nx = shape[-2:]
+    if ny_p is None or nx_p is None:
+        d_ny, d_nx = padded_shape(ny, nx)
+        ny_p = d_ny if ny_p is None else ny_p
+        nx_p = d_nx if nx_p is None else nx_p
+    if ny_p < ny or nx_p < nx:
+        raise ValueError(f"padded shape ({ny_p}, {nx_p}) smaller than "
+                         f"logical ({ny}, {nx})")
+    k = len(vs)
+    lead = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+    oshape = (k,) + shape[:-2] + (ny_p, nx_p)
+    lib = _load()
+    if lib is None:
+        outs, masks, counts = [], [], []
+        for a in vs:
+            o, m, n = decode_pad(a, ny_p, nx_p, undef, fill)
+            outs.append(o)
+            masks.append(m)
+            counts.append(n)
+        return np.stack(outs), np.stack(masks), counts
+    if out is None:
+        out = np.empty(oshape, np.float32)
+    if mask is None:
+        mask = np.empty(oshape, np.uint8)
+    if out.shape != oshape or out.dtype != np.float32:
+        raise ValueError("decode_pad_batch: bad `out` buffer")
+    if mask.shape != oshape or mask.dtype not in (np.uint8, np.bool_):
+        raise ValueError("decode_pad_batch: bad `mask` buffer")
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    srcs = (f32p * k)(*[a.ctypes.data_as(f32p) for a in vs])
+    counts = (ctypes.c_int64 * k)()
+    lib.mf_decode_pad_batch(srcs, k, lead, ny, nx, ny_p, nx_p,
+                            ctypes.c_float(undef), ctypes.c_float(fill),
+                            out.ctypes.data_as(f32p),
+                            mask.ctypes.data_as(u8p), counts)
+    return out, mask.view(np.bool_), list(counts)
+
+
+def encode_trim_batch(values, mask, ny: int, nx: int,
+                      undef: float = UNDEF) -> list:
+    """K padded device results ``[K, ..., ny_p, nx_p]`` (one contiguous
+    values block + one mask block) -> list of K logical ``[..., ny, nx]``
+    sentinel arrays in one parallel pass (:func:`decode_pad_batch`'s
+    output-side dual)."""
+    v = _f32c(values)
+    ny_p, nx_p = v.shape[-2:]
+    if ny_p < ny or nx_p < nx:
+        raise ValueError(f"padded shape ({ny_p}, {nx_p}) smaller than "
+                         f"logical ({ny}, {nx})")
+    m = np.ascontiguousarray(mask)
+    if m.shape != v.shape:
+        m = np.ascontiguousarray(np.broadcast_to(m, v.shape))
+    m = m.astype(np.uint8, copy=False)
+    k = v.shape[0]
+    lead = int(np.prod(v.shape[1:-2], dtype=np.int64)) if v.ndim > 3 else 1
+    lib = _load()
+    if lib is None:
+        return [encode_trim(v[f], m[f], ny, nx, undef) for f in range(k)]
+    outs = [np.empty(v.shape[1:-2] + (ny, nx), np.float32)
+            for _ in range(k)]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    optrs = (f32p * k)(*[o.ctypes.data_as(f32p) for o in outs])
+    lib.mf_encode_trim_batch(v.ctypes.data_as(f32p),
+                             m.ctypes.data_as(u8p), k, lead, ny, nx,
+                             ny_p, nx_p, ctypes.c_float(undef), optrs)
+    return outs
 
 
 def encode_trim(values, mask, ny: int, nx: int,

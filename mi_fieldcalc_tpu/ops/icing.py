@@ -146,6 +146,13 @@ def _solver_unrolls(default=(1, 1, 1)):
 #: measured kernel-path unroll factors (see _solver_unrolls docstring)
 KERNEL_SOLVER_UNROLL = (16, 10, 4)
 
+#: ModStall kernel unrolls: the fp unroll quantizes the height sweep's
+#: while trips (the cond fires every fp_u steps, so warmup <= fp_u
+#: rounds up to fp_u iterations per height); fp_u=8 paired with
+#: KERNEL_WARM_FP=8 measured 8.0 ms vs 11.6 at (16, warm 16) and 8.5
+#: at (4, warm 8) — tools/perf_lab_modstall_quant.py, 2026-08-18.
+KERNEL_SOLVER_UNROLL_MS = (8, 10, 4)
+
 #: kernel-path warm-start Newton iterations per height (0 = cold solve
 #: every height, the jnp path's exact behavior).  Measured sweep
 #: (tools, 2026-08-18): 3 is 28% faster than cold at max rel diff 8e-5
@@ -162,17 +169,19 @@ KERNEL_WARM_NEWTON = int(os.environ.get("MF_WARM_NEWTON", "3"))
 #: Every iterate up to the projection stays exact — the reference's
 #: trajectory-dependent [0,1] escapes mostly happen in the first few
 #: iterations and are preserved.  Measured on the operational grid
-#: (tools/perf_lab_modstall_warm.py, 2026-08-18): 19.7 -> 11.3 ms
-#: (4/8/16 equal within noise) at 1.1e-5 of defined points differing
-#: >2e-3 from the 32-warmup path, max |d| 1.2e-2 (conformance tolerance
-#: for icing is 2e-3; the jnp projection itself accepts 0.28% >2e-3 vs
-#: the exact reference loop on adversarial inputs — PERF.md).  NOTE:
+#: (tools/perf_lab_modstall_{warm,quant}.py, 2026-08-18): 19.7 ->
+#: 8.0 ms with fp unroll 8 (KERNEL_SOLVER_UNROLL_MS — the unroll
+#: quantizes trips, so warmup and fp_u move together) at 1.2e-5 of
+#: defined points differing >2e-3 from the 32-warmup path, max |d|
+#: 1.2e-2 (conformance tolerance for icing is 2e-3; the jnp projection
+#: itself accepts 0.28% >2e-3 vs the exact reference loop on
+#: adversarial inputs — PERF.md).  NOTE:
 #: warm-STARTING heights from the previous height's iterate is WRONG
 #: (25% of lanes >2e-3: early escapes are trajectory semantics), and
 #: arming the root projection earlier than the cap prediction is also
 #: worse (1.2e-5 -> 2.9e-4) — the machinery arms as a unit.
 #: env MF_WARM_FP overrides for labs.
-KERNEL_WARM_FP = int(os.environ.get("MF_WARM_FP", "16"))
+KERNEL_WARM_FP = int(os.environ.get("MF_WARM_FP", "8"))
 
 
 def _unrolled_fori(n: int, body, init, unroll: int):

@@ -48,9 +48,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..field import Field
 from ..layout import pad_array
 from ._harness import and_masks, out_field, require
-from .icing import (KERNEL_SOLVER_UNROLL, KERNEL_WARM_FP,
-                    KERNEL_WARM_NEWTON, _mincog_core, _mincog_decay,
-                    _mincog_static, _modstall_core, _modstall_static)
+from .icing import (KERNEL_SOLVER_UNROLL, KERNEL_SOLVER_UNROLL_MS,
+                    KERNEL_WARM_FP, KERNEL_WARM_NEWTON, _mincog_core,
+                    _mincog_decay, _mincog_static, _modstall_core,
+                    _modstall_static)
 
 __all__ = ["vessel_icing_mincog_fused", "vessel_icing_modstall_fused"]
 
@@ -195,7 +196,7 @@ def _modstall_kernel(vsca, decay, stack_heights, decay_ref, *refs):
         vals["sst"], vals["airtemp"], vals["rh"], vals["tf"], vals["ha"],
         vals["tau"], vals["K"], vals["M"], vsca, decay,
         decay_at=lambda counter: decay_ref[counter],
-        unrolls=KERNEL_SOLVER_UNROLL, stack_heights=stack_heights,
+        unrolls=KERNEL_SOLVER_UNROLL_MS, stack_heights=stack_heights,
         warm_fp=KERNEL_WARM_FP)
     o_ref[...] = out
 

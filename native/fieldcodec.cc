@@ -18,8 +18,11 @@
 
 #include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdlib>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -43,12 +46,108 @@ int num_threads(int64_t loop_size) {
   return n < 1 ? 1 : n;
 }
 
-// Run fn(begin, end) over [0, n) split across size-adaptive threads.
+// Persistent executor (ABI v3): production pipelines stage 12+ fields
+// per step, and spawning/joining a fresh std::thread team per field
+// (the v2 behavior) costs ~an OS-thread create/destroy per worker per
+// call.  A lazily-started pool of size num_threads(inf) parks workers
+// on a condition variable between calls; each parallel region hands
+// workers a (begin, end) range of the same closure.  Opt out with
+// MF_NATIVE_POOL=0 (falls back to spawn-per-call).
+class WorkerPool {
+ public:
+  static WorkerPool* instance() {
+    if (const char* env = std::getenv("MF_NATIVE_POOL")) {
+      if (std::atoi(env) == 0) return nullptr;
+    }
+    static WorkerPool pool(num_threads(1 << 30));
+    return pool.size() > 1 ? &pool : nullptr;
+  }
+
+  int size() const { return static_cast<int>(workers_.size()) + 1; }
+
+  // Run fn(begin, end) over [0, n) on `want` lanes (caller included).
+  // Serialized across callers: ctypes releases the GIL, so two Python
+  // threads can reach the codec concurrently.
+  void run(int want, int64_t n, const std::function<void(int64_t, int64_t)>& fn) {
+    std::lock_guard<std::mutex> outer(run_m_);
+    int lanes = want < size() ? want : size();
+    int64_t chunk = (n + lanes - 1) / lanes;
+    {
+      std::unique_lock<std::mutex> lk(m_);
+      fn_ = &fn;
+      total_ = n;
+      chunk_ = chunk;
+      lanes_ = lanes;
+      remaining_ = lanes - 1;
+      ++epoch_;
+    }
+    cv_.notify_all();
+    fn(0, chunk < n ? chunk : n);  // caller is lane 0
+    std::unique_lock<std::mutex> lk(m_);
+    done_cv_.wait(lk, [this] { return remaining_ == 0; });
+  }
+
+ private:
+  explicit WorkerPool(int nthreads) {
+    for (int t = 1; t < nthreads; ++t)
+      workers_.emplace_back([this, t] { worker(t); });
+  }
+  ~WorkerPool() {
+    {
+      std::unique_lock<std::mutex> lk(m_);
+      stop_ = true;
+      ++epoch_;
+    }
+    cv_.notify_all();
+    for (auto& th : workers_) th.join();
+  }
+
+  void worker(int lane) {
+    uint64_t seen = 0;
+    for (;;) {
+      const std::function<void(int64_t, int64_t)>* fn = nullptr;
+      int64_t b = 0, e = 0;
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        cv_.wait(lk, [&] { return epoch_ != seen || stop_; });
+        if (stop_) return;
+        seen = epoch_;
+        if (lane < lanes_) {
+          b = lane * chunk_;
+          e = b + chunk_ < total_ ? b + chunk_ : total_;
+          fn = fn_;
+        }
+      }
+      if (fn && b < e) (*fn)(b, e);
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        if (lane < lanes_ && --remaining_ == 0) done_cv_.notify_one();
+      }
+    }
+  }
+
+  std::vector<std::thread> workers_;
+  std::mutex m_, run_m_;
+  std::condition_variable cv_, done_cv_;
+  const std::function<void(int64_t, int64_t)>* fn_ = nullptr;
+  int64_t total_ = 0, chunk_ = 0;
+  int lanes_ = 0, remaining_ = 0;
+  uint64_t epoch_ = 0;
+  bool stop_ = false;
+};
+
+// Run fn(begin, end) over [0, n) split across size-adaptive threads —
+// on the persistent pool when enabled, else spawn-per-call.
 template <typename Fn>
 void parallel_for(int64_t n, Fn&& fn) {
   int nt = num_threads(n);
   if (nt <= 1 || n < 2) {
     fn(0, n);
+    return;
+  }
+  if (WorkerPool* pool = WorkerPool::instance()) {
+    std::function<void(int64_t, int64_t)> f = std::ref(fn);
+    pool->run(nt, n, f);
     return;
   }
   std::vector<std::thread> pool;
@@ -73,7 +172,7 @@ inline bool is_defined(float v, float undef) {
 
 extern "C" {
 
-int mf_native_abi_version() { return 2; }
+int mf_native_abi_version() { return 3; }
 
 // Decode: out[i] = defined ? v[i] : fill; mask[i] = defined.  `out` may
 // alias `v` (in-place sanitize).  Returns the number of defined points.
@@ -161,6 +260,70 @@ void mf_encode_trim(const float* v, const uint8_t* mask, int64_t lead,
       const float* sv = v + (l * ny_p + r) * nx_p;
       const uint8_t* sm = mask + (l * ny_p + r) * nx_p;
       float* ov = out + row * nx;
+      for (int64_t i = 0; i < nx; ++i) ov[i] = sm[i] ? sv[i] : undef;
+    }
+  });
+}
+
+// Batch staging (ABI v3): decode+pad K same-shape sentinel fields in ONE
+// parallel region.  `srcs` holds K pointers to [lead, ny, nx] arrays;
+// `out`/`mask` are one contiguous [K, lead, ny_p, nx_p] block (the
+// device_put staging buffer); `counts[k]` gets field k's defined count
+// over logical points.  One region across all K*lead*ny_p rows instead
+// of K thread-team spawns/joins — the staging path of a production step
+// moves 4-12 fields per call.
+void mf_decode_pad_batch(const float** srcs, int64_t k, int64_t lead,
+                         int64_t ny, int64_t nx, int64_t ny_p, int64_t nx_p,
+                         float undef, float fill, float* out, uint8_t* mask,
+                         int64_t* counts) {
+  std::vector<std::atomic<int64_t>> n_def(k);
+  for (auto& c : n_def) c.store(0, std::memory_order_relaxed);
+  parallel_for(k * lead * ny_p, [&](int64_t b, int64_t e) {
+    int64_t local = 0, cur = b < e ? b / (lead * ny_p) : 0;
+    for (int64_t row = b; row < e; ++row) {
+      int64_t f = row / (lead * ny_p);
+      if (f != cur) {
+        n_def[cur].fetch_add(local, std::memory_order_relaxed);
+        local = 0;
+        cur = f;
+      }
+      int64_t rem = row % (lead * ny_p);
+      int64_t l = rem / ny_p, r = rem % ny_p;
+      float* ov = out + row * nx_p;
+      uint8_t* om = mask + row * nx_p;
+      if (r < ny) {
+        const float* sv = srcs[f] + (l * ny + r) * nx;
+        for (int64_t i = 0; i < nx; ++i) {
+          bool d = is_defined(sv[i], undef);
+          om[i] = d ? 1 : 0;
+          ov[i] = d ? sv[i] : fill;
+          local += d;
+        }
+        for (int64_t i = nx; i < nx_p; ++i) { om[i] = 0; ov[i] = fill; }
+      } else {
+        for (int64_t i = 0; i < nx_p; ++i) { om[i] = 0; ov[i] = fill; }
+      }
+    }
+    if (b < e) n_def[cur].fetch_add(local, std::memory_order_relaxed);
+  });
+  for (int64_t f = 0; f < k; ++f) counts[f] = n_def[f].load();
+}
+
+// Trim+encode dual of mf_decode_pad_batch: K padded device results
+// ([K, lead, ny_p, nx_p] values + masks, one contiguous block each)
+// back into K caller-provided [lead, ny, nx] sentinel arrays.
+void mf_encode_trim_batch(const float* v, const uint8_t* mask, int64_t k,
+                          int64_t lead, int64_t ny, int64_t nx,
+                          int64_t ny_p, int64_t nx_p, float undef,
+                          float** outs) {
+  parallel_for(k * lead * ny, [&](int64_t b, int64_t e) {
+    for (int64_t row = b; row < e; ++row) {
+      int64_t f = row / (lead * ny);
+      int64_t rem = row % (lead * ny);
+      int64_t l = rem / ny, r = rem % ny;
+      const float* sv = v + ((f * lead + l) * ny_p + r) * nx_p;
+      const uint8_t* sm = mask + ((f * lead + l) * ny_p + r) * nx_p;
+      float* ov = outs[f] + rem * nx;
       for (int64_t i = 0; i < nx; ++i) ov[i] = sm[i] ? sv[i] : undef;
     }
   });

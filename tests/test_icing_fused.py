@@ -87,15 +87,16 @@ def test_modstall_fused_matches_jnp(ny, nx, adversarial):
     np.testing.assert_allclose(vg, vr, rtol=2e-4, atol=1e-5)
 
 
-def test_modstall_stacked_heights_matches_sequential():
+def test_modstall_stacked_heights_matches_jnp():
     """stack_heights solves the 19 heights as one stacked fixed point:
-    same op sequence per lane, results to solver tolerance (the 3-D
-    lowering contracts FMAs differently), masks bit-for-bit.  Measured
-    slower on the chip (PERF.md) — kept as a documented option."""
+    same op sequence per lane as the jnp path's exact 32-warmup sweep
+    (the sequential KERNEL path uses the early-armed projection, so the
+    jnp path is the apples-to-apples baseline), results to FMA
+    round-off, masks bit-for-bit.  Measured slower on the chip
+    (PERF.md) — kept as a documented option."""
     args = _inputs(40, 140, seed=21)
     scal = (5.0, 0.52, 2.0, 11.0)
-    ref = vessel_icing_modstall_fused(*args, *scal, interpret=True,
-                                      stack_heights=False)
+    ref = icing.vessel_icing_modstall(*args, *scal)
     got = vessel_icing_modstall_fused(*args, *scal, interpret=True,
                                       stack_heights=True)
     mr = np.asarray(ref.mask)

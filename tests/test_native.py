@@ -138,3 +138,54 @@ def test_encode_trim_matches_fallback():
     want = np.where(mp[..., :45, :130], vp[..., :45, :130],
                     np.float32(UNDEF))
     np.testing.assert_array_equal(got, want)
+
+
+def test_decode_pad_batch_matches_per_field():
+    rng = np.random.default_rng(10)
+    arrays = [_sentinel_grid(rng, (3, 45, 130)) for _ in range(5)]
+    vals, mask, counts = native.decode_pad_batch(arrays, fill=-2.0)
+    assert vals.shape == (5, 3, 48, 256) and mask.shape == vals.shape
+    for k, a in enumerate(arrays):
+        rv, rm, rn = native.decode_pad(a, fill=-2.0)
+        np.testing.assert_array_equal(vals[k], rv)
+        np.testing.assert_array_equal(mask[k], rm)
+        assert counts[k] == rn
+
+
+def test_decode_pad_batch_reuses_buffers():
+    rng = np.random.default_rng(11)
+    arrays = [_sentinel_grid(rng, (45, 130)) for _ in range(3)]
+    out = np.empty((3, 48, 256), np.float32)
+    m = np.empty((3, 48, 256), np.uint8)
+    vals, mask, _ = native.decode_pad_batch(arrays, out=out, mask=m)
+    if native.available():
+        assert vals is out and mask.base is m
+    with pytest.raises(ValueError):
+        native.decode_pad_batch(arrays, out=np.empty((2, 48, 256),
+                                                     np.float32), mask=m)
+
+
+def test_encode_trim_batch_roundtrip():
+    rng = np.random.default_rng(12)
+    arrays = [_sentinel_grid(rng, (2, 41, 140), with_nan=False)
+              for _ in range(4)]
+    vals, mask, _ = native.decode_pad_batch(arrays)
+    back = native.encode_trim_batch(vals, mask, 41, 140)
+    assert len(back) == 4
+    for a, b in zip(arrays, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pool_off_matches_pool_on(monkeypatch):
+    """MF_NATIVE_POOL=0 falls back to spawn-per-call with identical
+    results (the pool is an executor, not a semantics change)."""
+    import importlib
+    rng = np.random.default_rng(13)
+    v = _sentinel_grid(rng, (64, 200))
+    ref = native.decode(v)
+    monkeypatch.setenv("MF_NATIVE_POOL", "0")
+    # env is read per call inside the C++ entry; no reload needed
+    got = native.decode(v)
+    np.testing.assert_array_equal(ref[0], got[0])
+    np.testing.assert_array_equal(ref[1], got[1])
+    assert ref[2] == got[2]

@@ -1,0 +1,70 @@
+"""Perf lab: native batch staging vs per-field codec calls.
+
+Times the host boundary of a production step on the operational stack
+(4 input fields of 32x719x929 + 12 outputs): per-field mf_decode_pad
+calls (one thread-team spawn each, ABI v2 behavior) vs ONE
+mf_decode_pad_batch on the persistent pool (ABI v3), plus the
+encode_trim side, and numpy reference passes.
+
+Usage: python tools/perf_lab_staging.py   (host-only; no TPU needed)
+"""
+import os
+import time
+
+import numpy as np
+
+from mi_fieldcalc_tpu import native
+from mi_fieldcalc_tpu.field import UNDEF
+
+NLEV, NY, NX = 32, 719, 929
+
+
+def timeit(fn, reps=7):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    assert native.available()
+    rng = np.random.default_rng(0)
+    fields = []
+    for _ in range(4):
+        v = rng.normal(275.0, 20.0, (NLEV, NY, NX)).astype(np.float32)
+        v[rng.uniform(size=v.shape) < 0.02] = np.float32(UNDEF)
+        fields.append(v)
+    gb = 4 * v.nbytes / 1e9
+
+    t = timeit(lambda: [native.decode_pad(f) for f in fields])
+    print(f"decode_pad x4 (per-field): {t*1e3:7.2f} ms  {gb/t:6.1f} GB/s in")
+
+    out = np.empty((4, NLEV, 720, 1024), np.float32)
+    msk = np.empty_like(out, dtype=np.uint8)
+    t = timeit(lambda: native.decode_pad_batch(fields, out=out, mask=msk))
+    print(f"decode_pad_batch (pool):   {t*1e3:7.2f} ms  {gb/t:6.1f} GB/s in")
+
+    os.environ["MF_NATIVE_POOL"] = "0"
+    t = timeit(lambda: native.decode_pad_batch(fields, out=out, mask=msk))
+    print(f"decode_pad_batch (spawn):  {t*1e3:7.2f} ms  {gb/t:6.1f} GB/s in")
+    os.environ.pop("MF_NATIVE_POOL")
+
+    t = timeit(lambda: [np.where(~np.isnan(f) & (f != np.float32(UNDEF)),
+                                 f, 0.0) for f in fields])
+    print(f"numpy 2-pass (no pad):     {t*1e3:7.2f} ms")
+
+    # output side: 12 padded planes back to sentinel
+    vals = np.broadcast_to(out[0], (12,) + out[0].shape).copy()
+    masks = np.broadcast_to(msk[0], vals.shape).copy()
+    gbo = vals.nbytes / 1e9
+    t = timeit(lambda: native.encode_trim_batch(vals, masks, NY, NX))
+    print(f"encode_trim_batch x12:     {t*1e3:7.2f} ms  {gbo/t:6.1f} GB/s")
+    t = timeit(lambda: [native.encode_trim(vals[i], masks[i], NY, NX)
+                        for i in range(12)])
+    print(f"encode_trim x12 per-field: {t*1e3:7.2f} ms  {gbo/t:6.1f} GB/s")
+
+
+if __name__ == "__main__":
+    main()
