@@ -206,14 +206,16 @@ def _unrolled_fori(n: int, body, init, unroll: int):
 
 
 def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float,
-                            unroll: int = 1):
+                            unroll: int = 1, warmup: int = 32):
     """Shallow-water wave speed c = c0 * tanh(a / c), iterated from c = 1
     until |dc| <= tol with the reference's diverged => 0 semantics
     (ModStall VI:221-237, Mincog VI:494-508).
 
     ``needs_iter`` marks lanes in the shallow-water branch; others return
     ``c0`` untouched.  One whole-array while_loop; the trip count is the
-    slowest unconverged lane, capped at ``max_iter``.
+    slowest unconverged lane, capped at ``max_iter``.  ``warmup`` arms
+    the analytic projection early in kernel paths (see KERNEL_WARM_FP);
+    32 is the exact jnp-path default.
 
     Kernel-safe: the ``done`` carry rides as int32 and finiteness tests
     avoid ``isfinite`` so the SAME function lowers inside a Pallas tile
@@ -243,14 +245,14 @@ def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float,
         dprev = c - c_prev
         slope = (c_new - c) / jnp.where(dprev != 0, dprev, _f32(jnp.inf))
         rat = err1 / jnp.maximum(err, _f32(1e-30))
-        geo = ((~done) & (j1 >= 32) & (rat < _f32(1.0 - 1e-6))
+        geo = ((~done) & (j1 >= warmup) & (rat < _f32(1.0 - 1e-6))
                & (err1 > _f32(tol)))
         rem = jnp.log(_f32(tol) / err1) / jnp.log(rat)
         caps = geo & (j1.astype(_f32) + rem > _f32(max_iter))
         # near-period-2 cycle: |c_{j+1} - c_{j-1}| << err means the error
         # shrinks by <= ~3e-4 per step — provably still above tol at the
         # cap, which the reference resolves to 0 (VI:232-235)
-        cyc = ((~done) & (j1 >= 64) & (err1 > _f32(3.0 * tol))
+        cyc = ((~done) & (j1 >= 2 * warmup) & (err1 > _f32(3.0 * tol))
                & (jnp.abs(c_new - c_prev) < _f32(3e-4) * err1))
         # survivors at 256 are f32-noisy cycles; the f64 reference runs
         # them to the cap -> 0 (see the freezing-fraction loop note)
@@ -337,6 +339,11 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
     if "fp" in ablate:
         c = jnp.where(shallow, c0 * _f32(0.5), c0)
     else:
+        # wave FP stays at the exact 32-warmup even in the warm kernel:
+        # early-arming it was measured catastrophic for MINCOG (7e-2 of
+        # adversarial points >2e-3 — a cap misprediction zeroes c and
+        # with it the lane's whole icing rate) for <1 ms, and the same
+        # cap-to-skip amplification applies here
         c = _wave_speed_fixed_point(c0, a, shallow, 10000, 1e-5,
                                     unroll=fp_u)
     vr = c - _f32(vsca)
@@ -813,6 +820,10 @@ def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
     if "fp" in ablate:
         c = jnp.where(shallow, c0 * _f32(0.5), c0)
     else:
+        # exact 32-warmup: early-arming the wave FP zeroes c on cap
+        # mispredictions and the whole lane's icing with it — measured
+        # 6.98e-2 of adversarial points >2e-3 for a 0.6 ms win
+        # (2026-08-18); `warmup` stays available for labs only
         c = _wave_speed_fixed_point(c0, a, shallow, 1000, 1e-5,
                                     unroll=fp_u)
 
