@@ -27,6 +27,15 @@ understates the marginal bandwidth (a 21 M-point stream looks like
 ``overhead + intrinsic_bytes / BW``; ``vs_baseline`` is the ratio of
 that to the measured step time.
 
+This bills *logical* bytes — the strictest possible denominator.  The
+kernel's DMA engine must additionally move the canonical layout's
+lane padding (929 -> 1024), the int8 mask planes' 32-row sublane tiles,
+and the stencil halo blocks: ~1.4x the logical bytes (PERF.md "DMA cost
+decomposition").  Against that structural bound the kernel measures
+~90%; against the logical-bytes bound reported here it lands at
+~0.5-0.7 depending on the shared chip's phase.  (The same-chip XLA
+pipeline is 3.8x slower either way.)
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "points/s", "vs_baseline": N}
 """
@@ -89,31 +98,45 @@ def main():
         probe(out)
         return (time.perf_counter() - t0) / iters
 
-    # measured streaming roofline: x+1 at two sizes -> overhead + BW fit
+    # measured streaming roofline: x+1 at two sizes -> overhead + BW fit.
+    # The shared chip's bandwidth drifts minute-to-minute (150-350 GB/s;
+    # CLAUDE.md), so a single calibration phase followed by a single
+    # step phase produces ratios anywhere in 0.5-1.8 on identical code.
+    # Interleave (calibrate, step) ROUNDS and report the median ratio —
+    # each round's comparison is adjacent in time, the median rejects
+    # rounds where the chip shifted mid-round.
     add1 = jax.jit(lambda x: x + 1.0)
     big = args[0].values                          # nlev x ny x nx f32
     small = big[: max(NLEV // 4, 1)]
-    t_big = min(qtime(lambda: add1(big), lambda o: float(o[0, 0, 0]), 30)
-                for _ in range(2))
-    t_small = min(qtime(lambda: add1(small), lambda o: float(o[0, 0, 0]), 30)
-                  for _ in range(2))
     b_big = 2 * 4 * big.size
     b_small = 2 * 4 * small.size
-    bw = (b_big - b_small) / max(t_big - t_small, 1e-9)   # marginal bytes/s
-    overhead = max(t_big - b_big / bw, 0.0)               # fixed dispatch s
-
-    dt = min(qtime(lambda: step(*args),
-                   lambda o: float(o.tfp.values[0, 0, 0]), 30)
-             for _ in range(2))
+    probe = lambda o: float(o[0, 0, 0])
+    add1(big), add1(small)                        # compile outside rounds
+    step(*args)
 
     points = NLEV * NY * NX
-    pts_per_sec = points / dt
-    roofline_t = overhead + _hbm_bytes_per_step(NLEV, NY, NX) / bw
+    bytes_step = _hbm_bytes_per_step(NLEV, NY, NX)
+    ratios, dts = [], []
+    for _ in range(3):
+        t_big = qtime(lambda: add1(big), probe, 30)
+        t_small = qtime(lambda: add1(small), probe, 30)
+        dt = qtime(lambda: step(*args),
+                   lambda o: float(o.tfp.values[0, 0, 0]), 30)
+        dts.append(dt)
+        if t_big <= t_small:                      # degenerate fit: skip
+            continue
+        bw = (b_big - b_small) / (t_big - t_small)
+        overhead = max(t_big - b_big / bw, 0.0)
+        ratios.append((overhead + bytes_step / bw) / dt)
+
+    dt = min(dts)
+    ratios.sort()
+    vs = ratios[len(ratios) // 2] if ratios else 0.0
     print(json.dumps({
         "metric": "derived_field_pipeline_points_per_sec",
-        "value": round(pts_per_sec, 1),
+        "value": round(points / dt, 1),
         "unit": "points/s",
-        "vs_baseline": round(roofline_t / dt, 4),
+        "vs_baseline": round(vs, 4),
     }))
 
 
