@@ -126,6 +126,10 @@ def main():
         if t_big <= t_small:                      # degenerate fit: skip
             continue
         bw = (b_big - b_small) / (t_big - t_small)
+        # a fit above the chip's physical HBM peak (v5e: 819 GB/s) is
+        # measurement error by definition — clamp so one noisy round
+        # cannot manufacture an unattainable roofline
+        bw = min(bw, 819e9)
         overhead = max(t_big - b_big / bw, 0.0)
         ratios.append((overhead + bytes_step / bw) / dt)
 

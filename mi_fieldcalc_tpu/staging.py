@@ -28,7 +28,8 @@ from . import native
 from .field import UNDEF, Field
 from .layout import padded_shape
 
-__all__ = ["HostStager", "run_derived_fields_np"]
+__all__ = ["HostStager", "run_derived_fields_np",
+           "stream_derived_fields_np"]
 
 
 class HostStager:
@@ -77,31 +78,17 @@ class HostStager:
         return [Field(dv[i], dm[i]) for i in range(self.k)]
 
 
-def run_derived_fields_np(tk, q, u, v, ps, alevel, blevel, xmapr, ymapr,
-                          fcoriolis, undef: float = UNDEF,
-                          ) -> Dict[str, np.ndarray]:
-    """The 12-output derived-field pipeline, numpy sentinel boundary to
-    numpy sentinel boundary, on the production padded device layout.
-
-    Inputs mirror :func:`mi_fieldcalc_tpu.models.derived_fields`
-    (reference semantics per operator; see models/pipeline.py) but as
-    sentinel-encoded numpy arrays; returns ``{name: [nlev, ny, nx]}``
-    sentinel arrays for the 12 :class:`DerivedFields` outputs.
-    """
+def _stage_step(args, stager: HostStager, undef: float, on_tpu: bool):
+    """Decode + pad one step's inputs onto the device (host-thread-safe:
+    everything here is numpy + the native codec + async device_put)."""
     import jax
     import jax.numpy as jnp
 
-    from .models.pipeline import DerivedFields
-
+    tk, q, u, v, ps, alevel, blevel, xmapr, ymapr, fcoriolis = args
     tk = np.ascontiguousarray(tk, np.float32)
     nlev, ny, nx = tk.shape
-    on_tpu = jax.devices()[0].platform == "tpu"
-    # the jnp fallback fills edges at ARRAY extent, so it must run on
-    # the logical shape; the fused kernel takes global_shape and runs
-    # on the canonical padded layout
     ny_p, nx_p = padded_shape(ny, nx) if on_tpu else (ny, nx)
 
-    stager = _stager_cache(k=4, undef=undef, pad=on_tpu)
     tkf, qf, uf, vf = stager.stage(tk, q, u, v)
     psp, psm, _ = native.decode_pad(np.asarray(ps, np.float32),
                                     ny_p, nx_p, undef)
@@ -114,23 +101,107 @@ def run_derived_fields_np(tk, q, u, v, ps, alevel, blevel, xmapr, ymapr,
 
     al = jnp.asarray(np.asarray(alevel, np.float32))
     bl = jnp.asarray(np.asarray(blevel, np.float32))
-    xm, ym, fc = pad2(xmapr), pad2(ymapr), pad2(fcoriolis)
+    return ((tkf, qf, uf, vf, psf, al, bl, pad2(xmapr), pad2(ymapr),
+             pad2(fcoriolis)), (ny, nx))
+
+
+def _compute_fetch(staged, shape, on_tpu: bool):
+    """Dispatch the pipeline and fetch (values, masks) numpy stacks."""
+    import jax
 
     if on_tpu:
         from .ops.fused import derived_fields_fused
-        out = derived_fields_fused(tkf, qf, uf, vf, psf, al, bl, xm, ym,
-                                   fc, global_shape=(ny, nx), stacked=True)
-        values = np.asarray(out.values)
-        masks = np.asarray(out.masks)
-    else:
-        from .models import derived_fields
-        out = jax.jit(derived_fields)(tkf, qf, uf, vf, psf, al, bl,
-                                      xm, ym, fc)
-        values = np.stack([np.asarray(f.values) for f in out])
-        masks = np.stack([np.asarray(f.mask) for f in out])
+        out = derived_fields_fused(*staged, global_shape=shape,
+                                   stacked=True)
+        return np.asarray(out.values), np.asarray(out.masks)
+    from .models import derived_fields
+    out = jax.jit(derived_fields)(*staged)
+    return (np.stack([np.asarray(f.values) for f in out]),
+            np.stack([np.asarray(f.mask) for f in out]))
+
+
+def _encode_step(values, masks, ny, nx, undef) -> Dict[str, np.ndarray]:
+    from .models.pipeline import DerivedFields
 
     planes = native.encode_trim_batch(values, masks, ny, nx, undef)
     return dict(zip(DerivedFields._fields, planes))
+
+
+def run_derived_fields_np(tk, q, u, v, ps, alevel, blevel, xmapr, ymapr,
+                          fcoriolis, undef: float = UNDEF,
+                          ) -> Dict[str, np.ndarray]:
+    """The 12-output derived-field pipeline, numpy sentinel boundary to
+    numpy sentinel boundary, on the production padded device layout.
+
+    Inputs mirror :func:`mi_fieldcalc_tpu.models.derived_fields`
+    (reference semantics per operator; see models/pipeline.py) but as
+    sentinel-encoded numpy arrays; returns ``{name: [nlev, ny, nx]}``
+    sentinel arrays for the 12 :class:`DerivedFields` outputs.
+
+    The jnp fallback (off-TPU) fills edges at ARRAY extent, so it runs
+    on the logical shape; the fused kernel takes ``global_shape`` and
+    runs on the canonical padded layout.
+    """
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    stager = _stager_cache(k=4, undef=undef, pad=on_tpu)
+    staged, (ny, nx) = _stage_step(
+        (tk, q, u, v, ps, alevel, blevel, xmapr, ymapr, fcoriolis),
+        stager, undef, on_tpu)
+    values, masks = _compute_fetch(staged, (ny, nx), on_tpu)
+    return _encode_step(values, masks, ny, nx, undef)
+
+
+def stream_derived_fields_np(steps, undef: float = UNDEF):
+    """Streaming executor: drive the pipeline over an iterable of input
+    tuples (the 10 arguments of :func:`run_derived_fields_np`), yielding
+    one output dict per step in order.
+
+    Three-stage software pipeline on two worker threads: while the
+    device computes step ``i``, one thread decodes+stages step ``i+1``
+    (double-buffered :class:`HostStager` pair, so a buffer is never
+    rewritten until the transfer that reads it has long completed) and
+    another re-encodes step ``i-1``'s outputs to sentinel numpy.  The
+    host codec is the serial bottleneck of serving-style use (PERF.md
+    "Native batch staging"), so overlapping it with device time is the
+    throughput lever on hosts with a discrete accelerator.  Measured
+    caveat (PERF.md): on the CPU backend this is a LOSS (XLA:CPU
+    compute contends for the codec threads' cores), and the tunneled
+    test TPU serializes everything behind link transfer — the win is
+    bound analysis (~1.4x at the operational grid) until a host with a
+    local accelerator runs tools/perf_lab_staging.py.
+    """
+    import concurrent.futures as cf
+
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    stagers = (HostStager(4, undef, pad=on_tpu),
+               HostStager(4, undef, pad=on_tpu))
+    it = iter(steps)
+    try:
+        first = next(it)
+    except StopIteration:
+        return
+    with cf.ThreadPoolExecutor(1) as ex_in, \
+            cf.ThreadPoolExecutor(1) as ex_out:
+        fut_stage = ex_in.submit(_stage_step, first, stagers[0], undef,
+                                 on_tpu)
+        prev_encode = None
+        i = 0
+        while fut_stage is not None:
+            staged, (ny, nx) = fut_stage.result()
+            nxt = next(it, None)
+            fut_stage = None if nxt is None else ex_in.submit(
+                _stage_step, nxt, stagers[(i + 1) % 2], undef, on_tpu)
+            values, masks = _compute_fetch(staged, (ny, nx), on_tpu)
+            if prev_encode is not None:
+                yield prev_encode.result()
+            prev_encode = ex_out.submit(_encode_step, values, masks,
+                                        ny, nx, undef)
+            i += 1
+        yield prev_encode.result()
 
 
 _STAGERS: Dict[tuple, HostStager] = {}

@@ -75,3 +75,26 @@ def test_run_derived_fields_np_matches_field_api():
         np.testing.assert_array_equal(g == np.float32(UNDEF), ~rm)
         np.testing.assert_allclose(g[rm], np.asarray(rf.values)[rm],
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_stream_matches_single_steps():
+    """The streaming executor yields, in order, exactly what
+    run_derived_fields_np produces per step."""
+    from mi_fieldcalc_tpu.staging import stream_derived_fields_np
+
+    steps = [_inputs(seed=s) for s in (1, 2, 3)]
+    got = list(stream_derived_fields_np(iter(steps)))
+    assert len(got) == 3
+    for args, out in zip(steps, got):
+        ref = run_derived_fields_np(*args)
+        assert set(out) == set(ref)
+        for name in ref:
+            np.testing.assert_array_equal(out[name], ref[name])
+
+
+def test_stream_empty_and_single():
+    from mi_fieldcalc_tpu.staging import stream_derived_fields_np
+
+    assert list(stream_derived_fields_np(iter(()))) == []
+    one = list(stream_derived_fields_np(iter([_inputs(seed=9)])))
+    assert len(one) == 1 and "tfp" in one[0]

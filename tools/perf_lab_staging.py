@@ -6,10 +6,16 @@ calls (one thread-team spawn each, ABI v2 behavior) vs ONE
 mf_decode_pad_batch on the persistent pool (ABI v3), plus the
 encode_trim side, and numpy reference passes.
 
-Usage: python tools/perf_lab_staging.py   (host-only; no TPU needed)
+Usage: python tools/perf_lab_staging.py   (host-only; the streaming
+section forces the CPU backend so host codec vs compute overlap is
+measurable — on the tunneled TPU the link transfer dominates instead)
 """
 import os
 import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -64,6 +70,36 @@ def main():
     t = timeit(lambda: [native.encode_trim(vals[i], masks[i], NY, NX)
                         for i in range(12)])
     print(f"encode_trim x12 per-field: {t*1e3:7.2f} ms  {gbo/t:6.1f} GB/s")
+
+    # streaming executor: decode(i+1) + encode(i-1) overlap compute(i)
+    from mi_fieldcalc_tpu.staging import (run_derived_fields_np,
+                                          stream_derived_fields_np)
+    nlev2 = 8     # keep the device step short so the host side dominates
+    def step_args(seed):
+        r = np.random.default_rng(seed)
+        g3 = lambda lo, hi: r.uniform(lo, hi, (nlev2, NY, NX)).astype(
+            np.float32)
+        return (g3(250, 300), g3(1e-4, 1e-2), g3(-25, 25), g3(-25, 25),
+                r.uniform(950, 1050, (NY, NX)).astype(np.float32),
+                np.linspace(0, 50, nlev2, dtype=np.float32),
+                np.linspace(1, .5, nlev2, dtype=np.float32),
+                np.full((NY, NX), 4e-7, np.float32),
+                np.full((NY, NX), 3.6e-7, np.float32),
+                np.full((NY, NX), 1.2e-4, np.float32))
+
+    steps = [step_args(s) for s in range(4)]
+    run_derived_fields_np(*steps[0])      # compile outside timing
+    t0 = time.perf_counter()
+    for s in steps:
+        run_derived_fields_np(*s)
+    t_serial = (time.perf_counter() - t0) / len(steps)
+    t0 = time.perf_counter()
+    for _ in stream_derived_fields_np(iter(steps)):
+        pass
+    t_stream = (time.perf_counter() - t0) / len(steps)
+    print(f"serial step:   {t_serial*1e3:7.2f} ms/step")
+    print(f"streamed step: {t_stream*1e3:7.2f} ms/step  "
+          f"({t_serial/t_stream:.2f}x)")
 
 
 if __name__ == "__main__":
