@@ -135,7 +135,17 @@ def main():
 
     dt = min(dts)
     ratios.sort()
-    vs = ratios[len(ratios) // 2] if ratios else 0.0
+    if ratios:
+        # lower-middle for even counts: with 2 surviving rounds take the
+        # conservative one, not the favorable one
+        vs = ratios[(len(ratios) - 1) // 2]
+    else:
+        # every fit degenerate (t_big <= t_small three times): fall back
+        # to the strictest roofline — logical bytes at the physical HBM
+        # peak with zero dispatch overhead.  Conservative, never 0.0
+        # (which downstream run-to-run comparison would read as a
+        # catastrophic regression).
+        vs = (bytes_step / 819e9) / dt
     print(json.dumps({
         "metric": "derived_field_pipeline_points_per_sec",
         "value": round(points / dt, 1),

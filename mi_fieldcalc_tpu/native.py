@@ -226,15 +226,9 @@ def decode_pad_batch(arrays, ny_p: Optional[int] = None,
     k = len(vs)
     lead = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
     oshape = (k,) + shape[:-2] + (ny_p, nx_p)
-    lib = _load()
-    if lib is None:
-        outs, masks, counts = [], [], []
-        for a in vs:
-            o, m, n = decode_pad(a, ny_p, nx_p, undef, fill)
-            outs.append(o)
-            masks.append(m)
-            counts.append(n)
-        return np.stack(outs), np.stack(masks), counts
+    # validate / allocate the buffers BEFORE the library check so the
+    # write-into-buffer contract (and its ValueErrors) is identical
+    # with and without the native library
     if out is None:
         out = np.empty(oshape, np.float32)
     if mask is None:
@@ -243,6 +237,15 @@ def decode_pad_batch(arrays, ny_p: Optional[int] = None,
         raise ValueError("decode_pad_batch: bad `out` buffer")
     if mask.shape != oshape or mask.dtype not in (np.uint8, np.bool_):
         raise ValueError("decode_pad_batch: bad `mask` buffer")
+    lib = _load()
+    if lib is None:
+        counts = []
+        for i, a in enumerate(vs):
+            o, m, n = decode_pad(a, ny_p, nx_p, undef, fill)
+            out[i] = o
+            mask[i] = m
+            counts.append(n)
+        return out, mask.view(np.bool_), counts
     f32p = ctypes.POINTER(ctypes.c_float)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     srcs = (f32p * k)(*[a.ctypes.data_as(f32p) for a in vs])

@@ -506,22 +506,16 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
         ice = terms[0]
         for k in range(1, number):
             ice = ice + terms[k]
-    elif warm_fp:
-        # cold start every height (the early out-of-range escapes ARE
-        # reference semantics and happen on exact iterates), but arm the
-        # analytic projection after warm_fp iterations instead of 32
-        # (see KERNEL_WARM_FP)
-        def height_body(counter, ice):
-            rw = rw_base * decay_at(counter) * v
-            n = run_fp(rw, warmup=warm_fp)
-            return ice + n * (rw / _f32(890.0)) * _f32(3600.0) \
-                * _f32(100.0)
-
-        ice = jax.lax.fori_loop(0, number, height_body, jnp.zeros_like(v))
     else:
+        # cold start every height (the early out-of-range escapes ARE
+        # reference semantics and happen on exact iterates); warm_fp
+        # arms the analytic projection after that many iterations
+        # instead of the exact path's 32 (see KERNEL_WARM_FP)
+        warmup = warm_fp if warm_fp else 32
+
         def height_body(counter, ice):
             rw = rw_base * decay_at(counter) * v
-            n = run_fp(rw)
+            n = run_fp(rw, warmup=warmup)
             return ice + n * (rw / _f32(890.0)) * _f32(3600.0) \
                 * _f32(100.0)
 

@@ -183,7 +183,7 @@ def _static_planes(sal, wave, x_wind, y_wind, airtemp, rh, p, pw, depth,
     return (v, skip0, c0, a, ha, tau, ea, K, M, vd, he), shallow
 
 
-def _modstall_kernel(vsca, decay, stack_heights, decay_ref, *refs):
+def _modstall_kernel(vsca, decay, stack_heights, warm_fp, decay_ref, *refs):
     vals = {name: ref[...] for name, ref in zip(_MS_PLANES, refs)}
     bits = refs[len(_MS_PLANES)][...].astype(jnp.int32)
     o_ref = refs[len(_MS_PLANES) + 1]
@@ -197,12 +197,13 @@ def _modstall_kernel(vsca, decay, stack_heights, decay_ref, *refs):
         vals["tau"], vals["K"], vals["M"], vsca, decay,
         decay_at=lambda counter: decay_ref[counter],
         unrolls=KERNEL_SOLVER_UNROLL_MS, stack_heights=stack_heights,
-        warm_fp=KERNEL_WARM_FP)
+        warm_fp=warm_fp)
     o_ref[...] = out
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "vs", "alpha", "zmin", "zmax", "interpret", "ty", "stack_heights"))
+    "vs", "alpha", "zmin", "zmax", "interpret", "ty", "stack_heights",
+    "warm_fp"))
 def vessel_icing_modstall_fused(sal: Field, wave: Field, x_wind: Field,
                                 y_wind: Field, airtemp: Field, rh: Field,
                                 sst: Field, p: Field, pw: Field,
@@ -210,7 +211,8 @@ def vessel_icing_modstall_fused(sal: Field, wave: Field, x_wind: Field,
                                 alpha: float, zmin: float, zmax: float,
                                 interpret: bool = False,
                                 ty: int = 8,
-                                stack_heights: bool = False) -> Field:
+                                stack_heights: bool = False,
+                                warm_fp: int | None = None) -> Field:
     """Modified Stallabrass icing rate, fused solver kernel — equivalent
     to :func:`.icing.vessel_icing_modstall`.  The win over the jnp path
     is largest on adversarial inputs: the per-height freezing-fraction
@@ -224,7 +226,11 @@ def vessel_icing_modstall_fused(sal: Field, wave: Field, x_wind: Field,
     19.8 ms at ty=8; ty=16 exceeds scoped VMEM): per-height iteration
     counts are similar so the trip-count saving is small, while the
     ``number`` x wider VMEM state destroys pipelining — kept as an
-    option for documentation, default off (PERF.md 2026-08-18)."""
+    option for documentation, default off (PERF.md 2026-08-18).
+
+    ``warm_fp``: projection warmup for the height sweep — ``None``
+    ships :data:`.icing.KERNEL_WARM_FP`, ``0`` forces the jnp path's
+    exact 32-iteration warmup (tolerances: CONFORMANCE.md)."""
     num = zmax - zmin
     require(zmax >= zmin and math.fmod(num, 1.0) == 0.0,
             "vesselIcingModStall: bad zmin/zmax")
@@ -252,6 +258,9 @@ def vessel_icing_modstall_fused(sal: Field, wave: Field, x_wind: Field,
                   tau=tau, K=K, M=M)
     bits = (gate.astype(jnp.int8) | (shallow.astype(jnp.int8) << 1))
 
+    if warm_fp is None:
+        warm_fp = KERNEL_WARM_FP
+
     ny, nx = v.shape
     # dead lanes: gate bit 0 (the fixed point starts done), benign values
     padded = [pad_array(planes[name], fill=1.0) for name in _MS_PLANES]
@@ -270,7 +279,7 @@ def vessel_icing_modstall_fused(sal: Field, wave: Field, x_wind: Field,
 
     out = pl.pallas_call(
         functools.partial(_modstall_kernel, float(vs * math.cos(alpha)),
-                          decay, stack_heights),
+                          decay, stack_heights, warm_fp),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((ny_p, nx_p), jnp.float32),
         interpret=interpret,

@@ -20,6 +20,7 @@ falls back to numpy, off-TPU the pipeline falls back to the jnp path.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -204,11 +205,18 @@ def stream_derived_fields_np(steps, undef: float = UNDEF):
         yield prev_encode.result()
 
 
-_STAGERS: Dict[tuple, HostStager] = {}
+#: thread-local stager cache: the staging buffers are mutable per-step
+#: state, so two threads calling run_derived_fields_np concurrently
+#: must not share one block (thread B's decode would overwrite thread
+#: A's inputs mid-flight) — each thread amortizes its own buffers.
+_TLS = threading.local()
 
 
 def _stager_cache(k: int, undef: float, pad: bool) -> HostStager:
+    cache = getattr(_TLS, "stagers", None)
+    if cache is None:
+        cache = _TLS.stagers = {}
     key = (k, undef, pad)
-    if key not in _STAGERS:
-        _STAGERS[key] = HostStager(k, undef, pad=pad)
-    return _STAGERS[key]
+    if key not in cache:
+        cache[key] = HostStager(k, undef, pad=pad)
+    return cache[key]

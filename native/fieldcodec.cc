@@ -66,10 +66,15 @@ class WorkerPool {
   int size() const { return static_cast<int>(workers_.size()) + 1; }
 
   // Run fn(begin, end) over [0, n) on `want` lanes (caller included).
-  // Serialized across callers: ctypes releases the GIL, so two Python
-  // threads can reach the codec concurrently.
-  void run(int want, int64_t n, const std::function<void(int64_t, int64_t)>& fn) {
-    std::lock_guard<std::mutex> outer(run_m_);
+  // Returns false without running anything if another caller holds the
+  // pool (ctypes releases the GIL, so e.g. the streaming executor's
+  // decode and encode threads hit the codec concurrently) — the caller
+  // then falls back to spawn-per-call so concurrent regions OVERLAP
+  // instead of serializing behind one pool.
+  bool try_run(int want, int64_t n,
+               const std::function<void(int64_t, int64_t)>& fn) {
+    std::unique_lock<std::mutex> outer(run_m_, std::try_to_lock);
+    if (!outer.owns_lock()) return false;
     int lanes = want < size() ? want : size();
     int64_t chunk = (n + lanes - 1) / lanes;
     {
@@ -85,6 +90,7 @@ class WorkerPool {
     fn(0, chunk < n ? chunk : n);  // caller is lane 0
     std::unique_lock<std::mutex> lk(m_);
     done_cv_.wait(lk, [this] { return remaining_ == 0; });
+    return true;
   }
 
  private:
@@ -147,8 +153,8 @@ void parallel_for(int64_t n, Fn&& fn) {
   }
   if (WorkerPool* pool = WorkerPool::instance()) {
     std::function<void(int64_t, int64_t)> f = std::ref(fn);
-    pool->run(nt, n, f);
-    return;
+    if (pool->try_run(nt, n, f)) return;
+    // pool busy with another caller's region: spawn so the two overlap
   }
   std::vector<std::thread> pool;
   pool.reserve(nt - 1);

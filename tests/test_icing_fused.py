@@ -76,15 +76,30 @@ def test_fused_adversarial_wave_lanes():
 @pytest.mark.parametrize("ny,nx", [(37, 61), (64, 256)])
 @pytest.mark.parametrize("adversarial", [False, True])
 def test_modstall_fused_matches_jnp(ny, nx, adversarial):
+    """Exact mode (warm_fp=0, the jnp path's 32-iteration warmup) must
+    match the jnp path to kernel round-off; the SHIPPED default
+    (KERNEL_WARM_FP) is allowed the documented early-projection bound
+    (CONFORMANCE.md: rare points shift up to ~1e-2, the mass of points
+    stays at round-off) — asserting the loose mode against the tight
+    tolerance only passed by seed luck."""
     args = _inputs(ny, nx, seed=3 * ny + nx, adversarial=adversarial)
     scal = (5.0, 0.52, 2.0, 11.0)
     ref = icing.vessel_icing_modstall(*args, *scal)
-    got = vessel_icing_modstall_fused(*args, *scal, interpret=True)
     mr = np.asarray(ref.mask)
-    np.testing.assert_array_equal(mr, np.asarray(got.mask))
     vr = np.asarray(ref.values)[mr]
-    vg = np.asarray(got.values)[mr]
-    np.testing.assert_allclose(vg, vr, rtol=2e-4, atol=1e-5)
+
+    exact = vessel_icing_modstall_fused(*args, *scal, interpret=True,
+                                        warm_fp=0)
+    np.testing.assert_array_equal(mr, np.asarray(exact.mask))
+    np.testing.assert_allclose(np.asarray(exact.values)[mr], vr,
+                               rtol=2e-4, atol=1e-5)
+
+    warm = vessel_icing_modstall_fused(*args, *scal, interpret=True)
+    np.testing.assert_array_equal(mr, np.asarray(warm.mask))
+    vw = np.asarray(warm.values)[mr]
+    d = np.abs(vw - vr)
+    assert d.max() < 5e-2, f"warm projection out of bound: {d.max()}"
+    assert (d > 2e-3).mean() < 1e-3, "too many points past conformance tol"
 
 
 def test_modstall_stacked_heights_matches_jnp():

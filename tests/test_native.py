@@ -189,3 +189,18 @@ def test_pool_off_matches_pool_on(monkeypatch):
     np.testing.assert_array_equal(ref[0], got[0])
     np.testing.assert_array_equal(ref[1], got[1])
     assert ref[2] == got[2]
+
+
+def test_concurrent_codec_calls_overlap_correctly():
+    """ctypes releases the GIL: two threads in the codec at once must
+    not corrupt each other (the pool try-locks; the loser spawns)."""
+    import concurrent.futures as cf
+    rng = np.random.default_rng(14)
+    arrays = [_sentinel_grid(rng, (300, 400)) for _ in range(8)]
+    want = [native.decode(a) for a in arrays]
+    with cf.ThreadPoolExecutor(4) as ex:
+        got = list(ex.map(native.decode, arrays))
+    for (wv, wm, wn), (gv, gm, gn) in zip(want, got):
+        np.testing.assert_array_equal(wv, gv)
+        np.testing.assert_array_equal(wm, gm)
+        assert wn == gn

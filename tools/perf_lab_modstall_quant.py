@@ -24,7 +24,10 @@ from tools.perf_lab_mincog_fused import (_adversarial_inputs,  # noqa: E402
 
 SCAL = (5.0, 0.52, 2.0, 11.0)
 
-#: (fp_unroll, warm_fp) combos; (16, 16) is the shipped default
+#: (fp_unroll, warm_fp) combos; the SHIPPED defaults are (8, 8) —
+#: KERNEL_SOLVER_UNROLL_MS fp=8 + KERNEL_WARM_FP=8, measured 8.0 ms;
+#: (16, 16) is the pre-quantization configuration (11.6 ms) and
+#: (16, 0) the exact 32-warmup baseline (19.8 ms)
 COMBOS = ((16, 16), (8, 8), (8, 16), (4, 8), (16, 0))
 
 
