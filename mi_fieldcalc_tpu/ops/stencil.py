@@ -80,13 +80,18 @@ def fill_edges(a):
 
 # Sharded-execution hook: mi_fieldcalc_tpu.parallel.halo installs a masked
 # fill here while tracing an op inside shard_map, so that fillEdges applies
-# only at physical domain edges, never at shard seams.
-_EDGE_FILL = None
+# only at physical domain edges, never at shard seams.  A ContextVar, not
+# a module global: run_sharded traces can run on worker threads (the
+# staging executors) and a global swap could leak one trace's
+# axis_index-closing fill into another thread's unrelated op.
+import contextvars as _contextvars
+
+_EDGE_FILL = _contextvars.ContextVar("mf_edge_fill", default=None)
 
 
 def _finish(values, mask) -> Field:
     """fill_edges on both values and mask, returning a Field."""
-    fe = _EDGE_FILL if _EDGE_FILL is not None else fill_edges
+    fe = _EDGE_FILL.get() or fill_edges
     return Field(fe(values), fe(mask))
 
 

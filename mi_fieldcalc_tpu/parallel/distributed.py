@@ -46,14 +46,31 @@ def initialize(coordinator_address: Optional[str] = None,
 
     if _initialized:
         return
-    if (coordinator_address is None and num_processes is None
-            and jax.process_count() == 1):
-        # single process and nothing to join — e.g. CPU testing or 1 host
-        _initialized = True
-        return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    # Do NOT consult jax.process_count() here: it initializes the XLA
+    # backend, after which jax.distributed.initialize() unconditionally
+    # raises — and on a multi-host slice the pre-init count reads 1, so
+    # the old guard marked the runtime initialized without ever joining
+    # and every host silently built a local-only mesh.  Call through and
+    # let the runtime auto-detect: on single-process environments (no
+    # cluster env, no coordinator) detection fails and we record the
+    # single-host no-op; a backend-already-initialized error in THAT
+    # case is also benign single-host use (e.g. tests that touched jax
+    # first).
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except Exception:
+        if (coordinator_address is not None or num_processes is not None
+                or process_id is not None):
+            raise        # explicit cluster arguments: failure is real
+        import os
+        if os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0:
+            # the environment says this IS a multi-host slice: swallowing
+            # the failure would leave every host on a local-only mesh
+            raise
+        # no-arg single-host path (CPU tests, one-host TPU): nothing to
+        # join — auto-detection raising is the expected outcome
     _initialized = True
 
 

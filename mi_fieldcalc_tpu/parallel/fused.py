@@ -68,6 +68,7 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
     """
     nyg, nxg = (tk.values.shape[-2:] if global_shape is None
                 else global_shape)
+    _require_local_rows(mesh, tk.values.shape[-2])
     args = (tk, q, u, v, ps, jnp.asarray(alevel, jnp.float32),
             jnp.asarray(blevel, jnp.float32),
             jnp.asarray(xmapr, jnp.float32), jnp.asarray(ymapr, jnp.float32),
@@ -94,6 +95,17 @@ def _halo_widths(mesh: Mesh):
     gy = mesh.shape["gy"] if "gy" in names else 1
     gx = mesh.shape["gx"] if "gx" in names else 1
     return (8 if gy > 1 else 0), (RADIUS if gx > 1 else 0)
+
+
+def _require_local_rows(mesh: Mesh, nyg: int):
+    """The 8-row y-halo strips must fit the local block: a deep gy mesh
+    on a modest grid otherwise dies deep in the halo packer with a
+    cryptic slice error — name the real constraint (ny >= 8 * gy)."""
+    gy = mesh.shape["gy"] if "gy" in mesh.axis_names else 1
+    if gy > 1 and nyg < 8 * gy:
+        raise ValueError(
+            f"sharded pipeline needs >= 8 local rows per gy shard: "
+            f"global ny={nyg} over gy={gy} gives {nyg // gy}")
 
 
 def _exchange_all(arrays, mesh: Mesh, hy: int, hx: int):
@@ -152,13 +164,7 @@ def _sharded_fn(mesh: Mesh, global_shape, interpret: bool):
         return jax.tree_util.tree_map(
             lambda a: a[..., HY:HY + ny_loc, HX:HX + nx_loc], out)
 
-    from ..models.pipeline import DerivedFields
-    out_spec = partition_spec(3, mesh)
-    out_specs = DerivedFields(*[Field(out_spec, out_spec)] * 12)
-    # leaf order: (values, mask) x tk,q,u,v [3-D], ps [2-D], alevel/blevel
-    # [1-D], xmapr/ymapr/fcoriolis [2-D]
-    in_specs = tuple(partition_spec(nd, mesh)
-                     for nd in [3] * 8 + [2] * 2 + [1] * 2 + [2] * 3)
+    in_specs, out_specs = _pipeline_specs(mesh)
     return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
                              out_specs=out_specs, check_vma=False))
 
@@ -167,6 +173,20 @@ def _sharded_fn(mesh: Mesh, global_shape, interpret: bool):
 _TREEDEF = jax.tree_util.tree_structure(
     (Field(0, 0), Field(0, 0), Field(0, 0), Field(0, 0), Field(0, 0),
      0, 0, 0, 0, 0))
+
+
+def _pipeline_specs(mesh: Mesh):
+    """(in_specs, out_specs) for the 13-leaf pipeline argument tree and
+    the DerivedFields result — ONE definition for all three shard_map
+    builders, kept next to _TREEDEF whose leaf order it encodes:
+    (values, mask) x tk,q,u,v [3-D], ps [2-D], alevel/blevel [1-D],
+    xmapr/ymapr/fcoriolis [2-D]."""
+    from ..models.pipeline import DerivedFields
+    out_spec = partition_spec(3, mesh)
+    out_specs = DerivedFields(*[Field(out_spec, out_spec)] * 12)
+    in_specs = tuple(partition_spec(nd, mesh)
+                     for nd in [3] * 8 + [2] * 2 + [1] * 2 + [2] * 3)
+    return in_specs, out_specs
 
 
 def derived_fields_isobaric_sharded(mesh: Mesh, tk: Field, q: Field,
@@ -195,6 +215,7 @@ def derived_fields_isobaric_sharded(mesh: Mesh, tk: Field, q: Field,
                          "all model levels)")
     nyg, nxg = (tk.values.shape[-2:] if global_shape is None
                 else global_shape)
+    _require_local_rows(mesh, tk.values.shape[-2])
     plevels = tuple(float(t) for t in plevels)
     args = (tk, q, u, v, ps, jnp.asarray(alevel, jnp.float32),
             jnp.asarray(blevel, jnp.float32),
@@ -253,11 +274,7 @@ def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool):
         return jax.tree_util.tree_map(
             lambda a: a[..., HY:HY + ny_loc, HX:HX + nx_loc], out)
 
-    from ..models.pipeline import DerivedFields
-    out_spec = partition_spec(3, mesh)
-    out_specs = DerivedFields(*[Field(out_spec, out_spec)] * 12)
-    in_specs = tuple(partition_spec(nd, mesh)
-                     for nd in [3] * 8 + [2] * 2 + [1] * 2 + [2] * 3)
+    in_specs, out_specs = _pipeline_specs(mesh)
     return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
                              out_specs=out_specs, check_vma=False))
 
@@ -269,13 +286,23 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
     recomputed from 8-row strips and patched in."""
     nyg, nxg = global_shape
     gy = mesh.shape["gy"]
+    # Seam-strip geometry, all derived from the composed stencil radius:
+    # each seam kernel runs on a STRIP-row block (one 8-row sublane tile,
+    # the minimum that keeps strip DMAs tile-aligned) made of an R-row
+    # halo from the neighbour plus LOC local rows; the R harvested rows
+    # sit >= R rows from either strip edge, so their composed-radius
+    # neighbourhoods are complete.
+    R = RADIUS
+    STRIP = 8
+    LOC = STRIP - R
+    assert STRIP >= 3 * R, "strip too short to harvest R valid rows"
 
     def body(leaves):
         tk, q, u, v, ps, al, bl, xm, ym, fc = \
             jax.tree_util.tree_unflatten(_TREEDEF, leaves)
         ny_loc = tk.values.shape[-2]
-        if ny_loc < 8:
-            raise ValueError("overlap mode needs >= 8 local rows")
+        if ny_loc < STRIP:
+            raise ValueError(f"overlap mode needs >= {STRIP} local rows")
         dead = ny_loc * gy - nyg     # bottom shard's global-padding rows
         iy = lax.axis_index("gy")
         row0 = iy * ny_loc
@@ -308,31 +335,30 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
         def sl(a, lo, hi):
             return lax.slice_in_dim(a, lo, hi, axis=a.ndim - 2)
 
-        def strip_field(f, halo, local_rows):
+        def strip_field(f, halo, top):
             hv, hm = halo
-            lo, hi = local_rows
             axv = f.values.ndim - 2
-            if lo is None:   # bottom strip: local rows first, halo last
+            if not top:      # bottom strip: local rows first, halo last
                 return Field(
-                    jnp.concatenate([sl(f.values, ny_loc - 6, ny_loc), hv],
+                    jnp.concatenate([sl(f.values, ny_loc - LOC, ny_loc), hv],
                                     axis=axv),
-                    jnp.concatenate([sl(f.mask, ny_loc - 6, ny_loc), hm],
+                    jnp.concatenate([sl(f.mask, ny_loc - LOC, ny_loc), hm],
                                     axis=axv))
             return Field(
-                jnp.concatenate([hv, sl(f.values, 0, 6)], axis=axv),
-                jnp.concatenate([hm, sl(f.mask, 0, 6)], axis=axv))
+                jnp.concatenate([hv, sl(f.values, 0, LOC)], axis=axv),
+                jnp.concatenate([hm, sl(f.mask, 0, LOC)], axis=axv))
 
         def strip2(a, halo, top):
             if top:
-                return jnp.concatenate([halo, a[..., 0:6, :]], axis=-2)
-            return jnp.concatenate([a[..., ny_loc - 6:ny_loc, :], halo],
+                return jnp.concatenate([halo, a[..., 0:LOC, :]], axis=-2)
+            return jnp.concatenate([a[..., ny_loc - LOC:ny_loc, :], halo],
                                    axis=-2)
 
         # top seam: rows [row0-2, row0+6); harvest local rows 0..1
         top_out = derived_fields_fused(
-            strip_field(tk, tk_t, (0, 6)), strip_field(q, q_t, (0, 6)),
-            strip_field(u, u_t, (0, 6)), strip_field(v, v_t, (0, 6)),
-            strip_field(ps, ps_t, (0, 6)), al, bl,
+            strip_field(tk, tk_t, True), strip_field(q, q_t, True),
+            strip_field(u, u_t, True), strip_field(v, v_t, True),
+            strip_field(ps, ps_t, True), al, bl,
             strip2(xm, xm_t, True), strip2(ym, ym_t, True),
             strip2(fc, fc_t, True), interpret=interpret,
             global_shape=(nyg, nxg),
@@ -341,32 +367,28 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
         # bottom seam: rows [row0+ny_loc-6, row0+ny_loc+2); harvest the two
         # rows before the halo
         bot_out = derived_fields_fused(
-            strip_field(tk, tk_b, (None, None)),
-            strip_field(q, q_b, (None, None)),
-            strip_field(u, u_b, (None, None)),
-            strip_field(v, v_b, (None, None)),
-            strip_field(ps, ps_b, (None, None)), al, bl,
+            strip_field(tk, tk_b, False),
+            strip_field(q, q_b, False),
+            strip_field(u, u_b, False),
+            strip_field(v, v_b, False),
+            strip_field(ps, ps_b, False), al, bl,
             strip2(xm, xm_b, False), strip2(ym, ym_b, False),
             strip2(fc, fc_b, False), interpret=interpret,
             global_shape=(nyg, nxg),
-            grid_offsets=jnp.stack([row0 + ny_loc - 6, 0]).astype(jnp.int32),
+            grid_offsets=jnp.stack([row0 + ny_loc - LOC, 0]).astype(jnp.int32),
             halo_rows=0)
 
         has_above = iy > 0
         has_below = iy < gy - 1
 
         def patch(inter, topv, botv):
-            t = jnp.where(has_above, sl(topv, 2, 4), sl(inter, 0, 2))
-            b = jnp.where(has_below, sl(botv, 4, 6),
-                          sl(inter, ny_loc - 2, ny_loc))
-            return jnp.concatenate([t, sl(inter, 2, ny_loc - 2), b], axis=ax)
+            t = jnp.where(has_above, sl(topv, R, 2 * R), sl(inter, 0, R))
+            b = jnp.where(has_below, sl(botv, STRIP - 2 * R, STRIP - R),
+                          sl(inter, ny_loc - R, ny_loc))
+            return jnp.concatenate([t, sl(inter, R, ny_loc - R), b], axis=ax)
 
         return jax.tree_util.tree_map(patch, interior, top_out, bot_out)
 
-    from ..models.pipeline import DerivedFields
-    out_spec = partition_spec(3, mesh)
-    out_specs = DerivedFields(*[Field(out_spec, out_spec)] * 12)
-    in_specs = tuple(partition_spec(nd, mesh)
-                     for nd in [3] * 8 + [2] * 2 + [1] * 2 + [2] * 3)
+    in_specs, out_specs = _pipeline_specs(mesh)
     return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
                              out_specs=out_specs, check_vma=False))

@@ -59,6 +59,12 @@ def _exchange_1d(a, h: int, axis: int, name: str, size: int):
         pad = [(0, 0)] * a.ndim
         pad[axis] = (h, h)
         return jnp.pad(a, pad)
+    # bool collectives ride as int8: ppermute support for i1 operands
+    # varies by backend (the fused path casts for the same reason —
+    # parallel/fused.py), and masks are the halo payload here too
+    if a.dtype == jnp.bool_:
+        return _exchange_1d(a.astype(jnp.int8), h, axis, name,
+                            size).astype(jnp.bool_)
     lo_strip = lax.slice_in_dim(a, 0, h, axis=axis)          # my first h rows
     hi_strip = lax.slice_in_dim(a, dim - h, dim, axis=axis)  # my last h rows
     fwd = [(i, i + 1) for i in range(size - 1)]   # i's hi strip -> (i+1)'s lo halo
@@ -240,12 +246,11 @@ def run_sharded(op, mesh: Mesh, radius: int, *args, **kwargs):
                   if leaf.ndim >= 2 and radius > 0 else leaf
                   for leaf in leaves]
         ctx = EdgeContext(radius, mesh)
-        prev = _stencil_mod._EDGE_FILL
-        _stencil_mod._EDGE_FILL = ctx.fill
+        token = _stencil_mod._EDGE_FILL.set(ctx.fill)
         try:
             out = op(*jax.tree_util.tree_unflatten(treedef, padded), **kwargs)
         finally:
-            _stencil_mod._EDGE_FILL = prev
+            _stencil_mod._EDGE_FILL.reset(token)
         return jax.tree_util.tree_map(lambda a: _crop(a, radius), out)
 
     fn = shard_map(body, mesh=mesh, in_specs=(in_specs,),

@@ -51,12 +51,27 @@ def grid_mesh(mesh_shape: Optional[Sequence[int]] = None,
     mesh_shape = tuple(mesh_shape)
     if int(np.prod(mesh_shape)) != n:
         raise ValueError(f"mesh shape {mesh_shape} != {n} devices")
+    names = tuple(axis_names)
+    if len(mesh_shape) < len(names):
+        # shorter shapes drop axes from the FRONT of ("lev","gy","gx"):
+        # a 2-element shape is the intuitive (gy, gx) SPATIAL mesh, a
+        # 1-element shape a gy row split — truncating from the front
+        # would silently read (2, 4) as lev=2 batch + gy=4 and leave nx
+        # undecomposed with half the machine doing duplicate work
+        names = names[len(names) - len(mesh_shape):]
     try:
         from jax.experimental import mesh_utils
         dev_array = mesh_utils.create_device_mesh(mesh_shape, devices=devices)
     except Exception:
+        # arbitrary enumeration order: correct but gy/gx neighbours may
+        # not be ICI neighbours — say so instead of silently degrading
+        import warnings
+        warnings.warn(
+            "mesh_utils.create_device_mesh failed; falling back to "
+            "device enumeration order (halo ppermute neighbours may not "
+            "be ICI-adjacent)", RuntimeWarning, stacklevel=2)
         dev_array = np.asarray(devices).reshape(mesh_shape)
-    return Mesh(dev_array, tuple(axis_names)[: len(mesh_shape)])
+    return Mesh(dev_array, names)
 
 
 def partition_spec(ndim: int, mesh: Mesh) -> PartitionSpec:
