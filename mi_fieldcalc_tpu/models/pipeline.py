@@ -69,11 +69,13 @@ class DerivedFieldsStacked(NamedTuple):
     (``derived_fields_fused(..., stacked=True)``): two output buffers
     instead of 24 means fewer, larger DMA writes, and downstream
     consumers (file writers, ensemble reducers) usually want the planes
-    contiguous anyway.  ``masks`` is either a per-field plane stack or
-    — the default, ``packed_masks=True`` — ONE ``(nlev, ny, nx)`` int32
-    bit-plane with bit ``k`` = field ``k`` defined (4 mask bytes/point
-    instead of 12 on the DMA-bound kernel).  Named accessors slice /
-    unpack lazily — outside ``jit`` each access is one device-side op."""
+    contiguous anyway.  ``masks`` is a per-field int8 plane stack (the
+    kernel's DEFAULT — ``packed_masks=False``: twelve early per-plane
+    stores overlap compute better, PERF.md), or with
+    ``packed_masks=True`` ONE ``(nlev, ny, nx)`` int32 bit-plane with
+    bit ``k`` = field ``k`` defined (fewer mask bytes, measured slightly
+    slower; kept as an ABI option).  Named accessors slice / unpack
+    lazily — outside ``jit`` each access is one device-side op."""
     values: jax.Array
     masks: jax.Array
 

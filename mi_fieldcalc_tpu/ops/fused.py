@@ -166,7 +166,7 @@ def put_ref(ref, v):
         ref[0] = (v != 0).astype(ref.dtype)
 
 
-def _edge_store(ref, value, gy0, cx0, nyg, nxg, TY, nx, full_x):
+def _edge_store(ref, value, gy0, cx0, nyg, nxg, TY, full_x):
     """Write output block ``value`` with fillEdges applied: columns via a
     full-tile select (Mosaic cannot address single lanes dynamically),
     rows via 2 conditional dynamic-row stores — the physical row patch
@@ -445,7 +445,7 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
     if m_dv is not None:               # reference quirk: vort's inputs
         stores.insert(3, (m_dv, vort_m))
     for ref, val in stores:
-        _edge_store(ref, val, gy0, cx0, nyg, nxg, TY, nx, full_x)
+        _edge_store(ref, val, gy0, cx0, nyg, nxg, TY, full_x)
 
     # ---- |grad T| on the TY+2-row window, then TFP ------------------------
     # absd index k is global row gy0-1+k.
@@ -474,8 +474,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
     tfp_m = (ym1(tkme) & _xshift(tkm, 1) & _xshift(tkm, -1) & yp1(tkme)
              & absd_m[0:TY] & _xshift(am_c, 1) & am_c & _xshift(am_c, -1)
              & absd_m[2:TY + 2] & nonzero.astype(jnp.int32))
-    _edge_store(o_tf, tfp, gy0, cx0, nyg, nxg, TY, nx, full_x)
-    _edge_store(m_tf, tfp_m, gy0, cx0, nyg, nxg, TY, nx, full_x)
+    _edge_store(o_tf, tfp, gy0, cx0, nyg, nxg, TY, full_x)
+    _edge_store(m_tf, tfp_m, gy0, cx0, nyg, nxg, TY, full_x)
 
     if acc is not None:
         _flush_packed(acc, om_ref)
@@ -485,27 +485,39 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
 # host-side wrapper
 # ---------------------------------------------------------------------------
 
-def _pick_ty(ny: int, last_row: int = -1) -> int:
-    """Row-tile height: multiple of 8, with the row that receives the
-    physical last-row fill (``last_row``, default ny-1) NOT on a tile
-    boundary so its source row stays in the same tile."""
+#: largest known-good TY * nx row-lane product for the kernel's ~48
+#: double-buffered VMEM blocks: TY=48 at nx=1536 compiles on v5e (the
+#: config-5 AOT table, PERF.md) while TY=64 at nx=929 already exceeds
+#: scoped VMEM — TY must shrink as nx grows or wide grids fail to
+#: compile on a shape fused_supported() claimed to cover.
+_TY_LANE_BUDGET = 48 * 1536
+
+
+def _pick_ty(ny: int, nx: int, last_row: int = -1) -> int:
+    """Row-tile height: multiple of 8, within the VMEM row-lane budget
+    for this ``nx``, with the row that receives the physical last-row
+    fill (``last_row``, default ny-1) NOT on a tile boundary so its
+    source row stays in the same tile."""
     if last_row < 0:
         last_row = ny - 1
     # 48 first: the 8-row y-halo blocks cost 16/TY of the stencil-input
     # traffic, and TY=48 measured 9% faster than 32 on the 719x929 grid
     # (tools/perf_lab_ty.py; TY>=64 exceeds VMEM and fails to compile)
     for ty in (48, 32, 40, 24, 16, 8):
-        if ty <= ny and last_row % ty != 0:
+        if ty <= ny and last_row % ty != 0 \
+                and ty * max(nx, 128) <= _TY_LANE_BUDGET:
             return ty
     # small/awkward ny: one padded tile keeps every fill source local too
     ty = -(-max(ny, 3) // 8) * 8
+    if ty * max(nx, 128) > _TY_LANE_BUDGET:
+        return 0
     return ty if ty <= 48 else 0
 
 
 def fused_supported(ny: int, nx: int) -> bool:
     """Whether the fused kernel covers this grid (ny/nx >= 3 as in the
-    reference; TY selectable; nx bounded by VMEM)."""
-    return ny >= 3 and nx >= 3 and _pick_ty(ny) > 0 and nx <= 4096
+    reference; TY selectable within the VMEM budget)."""
+    return ny >= 3 and nx >= 3 and _pick_ty(ny, nx) > 0 and nx <= 9216
 
 
 @functools.partial(jax.jit,
@@ -563,7 +575,7 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
     # column 0 and the tile covers every logical lane — i.e. unsharded
     # (possibly lane-padded) grids; sharded tiles have traced offsets
     full_x = grid_offsets is None and nx >= nxg
-    TY = ty if ty is not None else _pick_ty(ny, last_local)
+    TY = ty if ty is not None else _pick_ty(ny, nx, last_local)
     if TY == 0:
         raise ValueError("derived_fields_fused: unsupported grid size")
     if ty is not None and (ty % 8 != 0 or last_local % ty == 0):

@@ -264,10 +264,17 @@ def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
     fields = tuple(fields)
     nvar = len(fields)
     require(nvar >= 1, "hlevel_to_plevel_fused: no fields")
+    # packed/carrysel bit-pack one mask bit per variable into an int32
+    # plane; 1 << 31 overflows (the inplace variant has no such limit)
+    require(nvar <= 31 or variant == "inplace",
+            "hlevel_to_plevel_fused: packed mask carries hold at most "
+            "31 fields — use variant='inplace' beyond that")
     nlev, ny, nx = fields[0].values.shape
     for f in fields:
         require(f.values.shape == (nlev, ny, nx),
                 "hlevel_to_plevel_fused: field shape mismatch")
+    require(ps.values.shape == (ny, nx),
+            "hlevel_to_plevel_fused: ps must be (ny, nx)")
     targets = tuple(float(t) for t in targets)
     nt = len(targets)
     require(nt >= 1, "hlevel_to_plevel_fused: no targets")

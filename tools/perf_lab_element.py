@@ -85,6 +85,16 @@ def probe():
 
 
 def ab(iters=30):
+    # CONCLUDED (PERF.md "Dead ends"): the --probe stage showed Mosaic
+    # requires Element offsets divisible by the sublane tiling (8 for
+    # f32), so the smallest legal overlap window fetches exactly the
+    # same 64 rows the 8-row halo-block scheme does — an Element-window
+    # kernel variant was therefore never built, and this A/B stage has
+    # nothing to compare.
+    raise SystemExit(
+        "perf_lab_element --ab: no Element-window kernel variant exists "
+        "(the probe proved it cannot beat the halo-block scheme; see "
+        "PERF.md 'Dead ends' and this file's comments)")
     import time
 
     import jax
