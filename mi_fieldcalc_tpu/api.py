@@ -76,15 +76,18 @@ def _compiled(op, undef, scalars, kwitems, lead_scalars=()):
     return jax.jit(run)
 
 
-def _wrap(op, undef, *arrays, scalars=(), kwscalars=None):
+def _wrap(op, undef, *arrays, scalars=(), kwscalars=None, lead_scalars=()):
     """The py_wrap_2d equivalent: validate 2-D equal shapes, decode
     sentinels, run the jit-compiled operator, re-encode.  Returns None on
-    invalid input, like the reference binding."""
+    invalid input, like the reference binding.  ``lead_scalars`` go
+    BEFORE the fields (the reference's ``(compute, ...)``-first
+    signatures)."""
     npa = [np.asarray(a, dtype=np.float32) for a in arrays]
     if npa[0].ndim != 2 or any(a.shape != npa[0].shape for a in npa[1:]):
         return None
     fn = _compiled(op, float(undef), tuple(_canon(s) for s in scalars),
-                   tuple(sorted((kwscalars or {}).items())))
+                   tuple(sorted((kwscalars or {}).items())),
+                   tuple(_canon(s) for s in lead_scalars))
     try:
         out = fn(*npa)
     except ValueError:
@@ -215,8 +218,10 @@ def plevelthe(t, rh, p: float, compute: int, undef: float = UNDEF):
 
 def plevelhum(t, huminp, p: float, unit: str, compute: int,
               undef: float = UNDEF):
+    # undef threads through: p == undef fills the output undef for the
+    # pressure-dependent modes (FieldCalculations.cc:437)
     return _wrap(ops.plevelhum, undef, t, huminp,
-                 scalars=(p, compute, unit))
+                 scalars=(p, compute, unit), kwscalars={"undef": undef})
 
 
 def pleveldz2tmean(z1, z2, p1: float, p2: float, compute: int,
@@ -417,42 +422,25 @@ def replaceDefined(field, value: float, undef: float = UNDEF):
                  kwscalars={"undef": undef})
 
 
-def _wrap_lead(op, undef, lead_scalars, *arrays, scalars=()):
-    """Like :func:`_wrap` but with scalar parameters *before* the fields,
-    matching the reference's ``(compute, ...)``-first signatures."""
-    npa = [np.asarray(a, dtype=np.float32) for a in arrays]
-    if npa[0].ndim != 2 or any(a.shape != npa[0].shape for a in npa[1:]):
-        return None
-    fn = _compiled(op, float(undef), tuple(_canon(s) for s in scalars), (),
-                   tuple(_canon(s) for s in lead_scalars))
-    try:
-        return np.asarray(fn(*npa))
-    except ValueError:
-        return None
-
-
 def fieldOPERfield(compute: int, field1, field2, undef: float = UNDEF):
-    return _wrap_lead(ops.field_oper_field, undef, (compute,),
-                      field1, field2)
+    return _wrap(ops.field_oper_field, undef, field1, field2,
+                 lead_scalars=(compute,))
 
 
 def fieldOPERconstant(compute: int, field, value: float,
                       undef: float = UNDEF):
-    return _wrap_lead(ops.field_oper_constant, undef, (compute,), field,
-                      scalars=(value,))
+    # undef threads through: value == undef yields an all-undef field
+    # (FieldCalculations.cc:2631-2634)
+    return _wrap(ops.field_oper_constant, undef, field,
+                 lead_scalars=(compute,), scalars=(value,),
+                 kwscalars={"undef": undef})
 
 
 def constantOPERfield(compute: int, value: float, field,
                       undef: float = UNDEF):
-    npa = np.asarray(field, np.float32)
-    if npa.ndim != 2:
-        return None
-    fn = _compiled(ops.constant_oper_field, float(undef), (), (),
-                   (compute, value))
-    try:
-        return np.asarray(fn(npa))
-    except ValueError:
-        return None
+    return _wrap(ops.constant_oper_field, undef, field,
+                 lead_scalars=(compute, value),
+                 kwscalars={"undef": undef})
 
 
 def _wrap_members(op, undef, fields, lead_scalars=(), scalars=()):
@@ -474,12 +462,22 @@ def sumFields(fields, undef: float = UNDEF):
     return _wrap_members(ops.sum_fields, undef, fields)
 
 
+def _member_flags(fDefinedIn):
+    if fDefinedIn is None:
+        return None
+    return tuple(ValuesDefined(int(d)) for d in fDefinedIn)
+
+
 def meanValue(fields, fDefinedIn=None, undef: float = UNDEF):
-    return _wrap_members(ops.mean_value, undef, fields)
+    # a member flagged ALL_DEFINED skips the per-point sentinel check
+    # (reference cc:2710) — see ops.ensemble._apply_member_flags
+    return _wrap_members(ops.mean_value, undef, fields,
+                         scalars=(_member_flags(fDefinedIn),))
 
 
 def stddevValue(fields, fDefinedIn=None, undef: float = UNDEF):
-    return _wrap_members(ops.stddev_value, undef, fields)
+    return _wrap_members(ops.stddev_value, undef, fields,
+                         scalars=(_member_flags(fDefinedIn),))
 
 
 def extremeValue(compute: int, fields, undef: float = UNDEF):
@@ -495,15 +493,35 @@ def probability(compute: int, fields, fDefinedIn, limits,
                  tuple(ValuesDefined(int(d)) for d in fDefinedIn)))
 
 
+def _all_defined_2d(field, undef):
+    """Host-side ALL_DEFINED precondition (the pattern shapiro2_filter
+    uses): returns the validated array or None."""
+    npa = np.asarray(field, np.float32)
+    if npa.ndim != 2 or np.isnan(npa).any() \
+            or (npa == np.float32(undef)).any():
+        return None
+    return npa
+
+
 def neighbourProbFunctions(field, constants, compute: int,
                            undef: float = UNDEF):
-    return _wrap(ops.neighbour_prob_functions, undef, field,
+    # reference cc:2869 returns false unless the input is ALL_DEFINED —
+    # a sentinel flowing into the window sums would otherwise poison
+    # whole windows while staying marked defined
+    npa = _all_defined_2d(field, undef)
+    if npa is None:
+        return None
+    return _wrap(ops.neighbour_prob_functions, undef, npa,
                  scalars=(list(constants), compute))
 
 
 def neighbourFunctions(field, constants, compute: int,
                        undef: float = UNDEF):
-    return _wrap(ops.neighbour_functions, undef, field,
+    # ALL_DEFINED precondition, as above (reference cc:2965)
+    npa = _all_defined_2d(field, undef)
+    if npa is None:
+        return None
+    return _wrap(ops.neighbour_functions, undef, npa,
                  scalars=(list(constants), compute))
 
 

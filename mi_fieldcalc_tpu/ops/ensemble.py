@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from ..field import Field, ValuesDefined
@@ -30,6 +31,21 @@ def _stack(members: Sequence[Field]) -> Field:
                  jnp.stack([m.mask for m in members]))
 
 
+def _apply_member_flags(s: Field, member_defined) -> Field:
+    """Reference fast-path semantics for per-member ``fDefinedIn`` flags:
+    a member flagged ALL_DEFINED skips the per-point ``is_defined`` check
+    entirely (``is_defined(fDefinedIn[j] == ALL_DEFINED, v, undef)``,
+    e.g. FieldCalculations.cc:2710) — its sentinel values, if the flag
+    lies, are treated as real data.  Flags are trace-time static."""
+    if member_defined is None:
+        return s
+    import numpy as _np
+    flags = _np.asarray([int(d) == int(ValuesDefined.ALL_DEFINED)
+                         for d in member_defined], bool)
+    flags = flags.reshape((-1,) + (1,) * (s.mask.ndim - 1))
+    return Field(s.values, s.mask | jnp.asarray(flags))
+
+
 def sum_fields(members) -> Field:
     """Pointwise sum over members; undefined wherever any member is
     (FieldCalculations.cc:2671-2694)."""
@@ -39,10 +55,11 @@ def sum_fields(members) -> Field:
     return Field(vals, mask)
 
 
-def mean_value(members) -> Field:
+def mean_value(members, member_defined=None) -> Field:
     """Pointwise mean over *defined* members; denominator is the per-point
-    defined count (FieldCalculations.cc:2696-2724)."""
-    s = _stack(members)
+    defined count (FieldCalculations.cc:2696-2724).  ``member_defined``:
+    optional per-member tri-state flags (:func:`_apply_member_flags`)."""
+    s = _apply_member_flags(_stack(members), member_defined)
     n = jnp.sum(s.mask, axis=0)
     total = jnp.sum(jnp.where(s.mask, s.values, _f32(0)), axis=0)
     some = n > 0
@@ -50,12 +67,14 @@ def mean_value(members) -> Field:
     return out_field(out, some)
 
 
-def stddev_value(members) -> Field:
+def stddev_value(members, member_defined=None) -> Field:
     """Pointwise population standard deviation over defined members
     (FieldCalculations.cc:2726-2757).  The reference uses a per-point
     Welford recurrence; this uses the numerically equivalent two-pass
-    masked form (float ordering differs at the ulp level)."""
-    s = _stack(members)
+    masked form (float ordering differs at the ulp level).
+    ``member_defined``: optional per-member tri-state flags
+    (:func:`_apply_member_flags`)."""
+    s = _apply_member_flags(_stack(members), member_defined)
     n = jnp.sum(s.mask, axis=0)
     some = n > 0
     nf = jnp.where(some, n, 1).astype(_f32)
@@ -82,16 +101,24 @@ def extreme_value(compute: int, members) -> Field:
     want_max = compute in (1, 3)
 
     shape = s.values.shape[1:]
-    cur = jnp.zeros(shape, _f32)
-    cur_def = jnp.zeros(shape, bool)
-    idx = jnp.zeros(shape, _f32)
-    for j in range(n_members):
-        vj, mj = s.values[j], s.mask[j]
+
+    def body(j, state):
+        cur, cur_def, idx = state
+        vj = s.values[j]
+        mj = s.mask[j]
         better = (vj > cur) if want_max else (vj < cur)
         take = (~cur_def) | (mj & better)
-        cur = jnp.where(take, vj, cur)
-        cur_def = jnp.where(take, mj, cur_def)
-        idx = jnp.where(take, _f32(j), idx)
+        return (jnp.where(take, vj, cur),
+                jnp.where(take, mj, cur_def),
+                jnp.where(take, j.astype(_f32), idx))
+
+    # fori_loop, not an unrolled Python loop: real ensembles run 15-51
+    # members and unrolled graphs compile catastrophically slowly on the
+    # remote compiler (CLAUDE.md loop rule)
+    cur, cur_def, idx = jax.lax.fori_loop(
+        0, n_members, body,
+        (jnp.zeros(shape, _f32), jnp.zeros(shape, bool),
+         jnp.zeros(shape, _f32)))
 
     if compute in (1, 2):
         return Field(cur, cur_def)

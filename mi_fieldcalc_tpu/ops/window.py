@@ -6,9 +6,13 @@ block fill).
 
 TPU design notes:
 
-* the summed-area table becomes two ``jnp.cumsum`` passes (identical float
-  semantics: the reference's prefix sums are sequential adds in the same
-  order, and for the 0/1 indicator fields these are exact integers),
+* the summed-area table becomes two ``jnp.cumsum`` passes — used ONLY
+  for the 0/1 indicator fields (probability modes), where the prefix
+  sums are exact small integers.  The raw-value window MEAN sums each
+  window directly via ``lax.reduce_window`` like the reference's per-
+  window loop (cc:3031): reconstructing a ~1e2 window sum as a
+  difference of ~1e6 SAT corners loses ~1e-3 relative in f32 on
+  production-size grids — far outside the 2e-5 conformance tolerance,
 * window max/min use ``lax.reduce_window``,
 * the strided sample + block-fill of ``neighbourFunctions`` becomes a
   gather from the per-point window statistic (every output point maps to
@@ -80,6 +84,9 @@ def neighbour_prob_functions(f: Field, constants: Sequence[float],
     require(len(constants) >= 2, "neighbourProbFunctions: needs 2 constants")
     limit = int(constants[0])
     rng = int(constants[1])
+    # negative range is out-of-bounds UB in the reference's SAT loops —
+    # reject (degenerate slices here would return garbage marked defined)
+    require(rng >= 0, "neighbourProbFunctions: bad range")
 
     v = f.values
     ind = jnp.where(v > limit if compute == 5 else v < limit,
@@ -95,12 +102,31 @@ def neighbour_prob_functions(f: Field, constants: Sequence[float],
 
 def _window_stack(v, rng: int):
     """All (2R+1)^2 window members as a leading axis, ordered like the
-    reference's (k = window row, j = window col) loops (cc:3028-3029)."""
-    parts = []
-    for dy in range(-rng, rng + 1):
-        for dx in range(-rng, rng + 1):
-            parts.append(jnp.roll(jnp.roll(v, -dy, axis=-2), -dx, axis=-1))
-    return jnp.stack(parts)
+    reference's (k = window row, j = window col) loops (cc:3028-3029).
+
+    Small radii unroll (cheap, XLA-fusable); larger ones build the stack
+    with a ``fori_loop`` — an unrolled 49+-roll graph hits the remote
+    compiler's minutes-long pathology (CLAUDE.md loop rule).  The caller
+    sorts the stack, so member order is irrelevant to the result either
+    way (kept reference-ordered regardless)."""
+    w = 2 * rng + 1
+    n = w * w
+    if n <= 16:
+        parts = []
+        for dy in range(-rng, rng + 1):
+            for dx in range(-rng, rng + 1):
+                parts.append(jnp.roll(jnp.roll(v, -dy, axis=-2),
+                                      -dx, axis=-1))
+        return jnp.stack(parts)
+
+    def body(k, acc):
+        dy = k // w - rng
+        dx = k % w - rng
+        shifted = jnp.roll(jnp.roll(v, -dy, axis=-2), -dx, axis=-1)
+        return acc.at[k].set(shifted)
+
+    return jax.lax.fori_loop(
+        0, n, body, jnp.zeros((n,) + v.shape, v.dtype))
 
 
 def neighbour_functions(f: Field, constants: Sequence[float],
@@ -137,7 +163,14 @@ def neighbour_functions(f: Field, constants: Sequence[float],
 
     # per-point window statistic (valid on the rng-inset interior)
     if compute == 1:
-        stat = _box_sum_sat(v, rng) / n_win
+        # direct per-window summation (see module docstring: the SAT
+        # corner-difference cancels catastrophically on real grids)
+        stat = jax.lax.reduce_window(
+            v, _f32(0), jax.lax.add,
+            window_dimensions=(1,) * (v.ndim - 2) + (2 * rng + 1,
+                                                     2 * rng + 1),
+            window_strides=(1,) * v.ndim,
+            padding="SAME") / n_win
     elif compute in (2, 3):
         init = _f32(-jnp.inf) if compute == 2 else _f32(jnp.inf)
         op = jax.lax.max if compute == 2 else jax.lax.min
@@ -147,9 +180,16 @@ def neighbour_functions(f: Field, constants: Sequence[float],
             window_strides=(1,) * v.ndim,
             padding="SAME")
     elif compute == 4:
+        # reference cc:3044 indexes sorted[n_win*limit/100]: limit
+        # outside [0, 100) is out-of-bounds UB there — reject per the
+        # invalid-params-raise policy (negative limit would otherwise
+        # silently wrap to a high percentile here)
+        require(0 <= limit < 100, "neighbourFunctions: bad percentile")
         win = _window_stack(v, rng)
         win = jnp.sort(win, axis=0)
-        ii = int(n_win) * limit // 100
+        # python-int arithmetic: int(n_win) on the staged jnp scalar is
+        # a ConcretizationTypeError under jit
+        ii = ((2 * rng + 1) ** 2) * limit // 100
         stat = win[ii]
     else:  # 5 / 6: probability
         ind = jnp.where(v > limit if compute == 5 else v < limit,

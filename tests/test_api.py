@@ -140,3 +140,63 @@ def test_full_surface_smoke():
         assert arr.shape == (6, 6), f"call #{i} shape {arr.shape}"
     ug_vg = fc.ilevelgwind(g(2.9e5, 3.1e5), xm, ym, fcor)
     assert ug_vg is not None and len(ug_vg) == 2
+
+
+def test_undef_threading_value_equals_undef():
+    """fieldOPERconstant / constantOPERfield / plevelhum must see the
+    caller's undef: value == undef yields an all-undef field
+    (cc:2631-2634), and p == undef fills plevelhum's output undef
+    (cc:437) — previously the op-side undef stayed at 1e35."""
+    import numpy as np
+    import mi_fieldcalc_tpu.api as fc
+
+    U = -999.0
+    f = np.full((2, 3), 5.0, np.float32)
+    out = fc.fieldOPERconstant(1, f, value=U, undef=U)
+    assert (out == np.float32(U)).all()
+    out = fc.constantOPERfield(1, U, f, undef=U)
+    assert (out == np.float32(U)).all()
+    t = np.full((2, 3), 288.0, np.float32)
+    q = np.full((2, 3), 5e-3, np.float32)
+    # p == undef must be a POSITIVE value to pass the reference's p <= 0
+    # validation (cc:419 precedes the undef check)
+    U2 = 9999.0
+    out = fc.plevelhum(t, q, p=U2, unit="x", compute=1, undef=U2)
+    assert (out == np.float32(U2)).all()
+    # and a real p still computes
+    out = fc.plevelhum(t, q, p=850.0, unit="x", compute=1, undef=U2)
+    assert (out != np.float32(U2)).all()
+
+
+def test_neighbour_requires_all_defined():
+    """Reference cc:2869/2965: neighbour ops return false unless the
+    input is ALL_DEFINED -> drop-in surface returns None."""
+    import numpy as np
+    import mi_fieldcalc_tpu.api as fc
+
+    v = np.ones((10, 10), np.float32)
+    assert fc.neighbourFunctions(v, [2.0], compute=1) is not None
+    v[3, 3] = 1e35
+    assert fc.neighbourFunctions(v, [2.0], compute=1) is None
+    assert fc.neighbourProbFunctions(v, [5.0, 2.0], compute=5) is None
+
+
+def test_mean_value_all_defined_flag_trusts_member():
+    """A member flagged ALL_DEFINED skips the per-point sentinel check
+    (cc:2710): its sentinel values count as real data."""
+    import numpy as np
+    import mi_fieldcalc_tpu.api as fc
+    from mi_fieldcalc_tpu.field import ValuesDefined as VD
+
+    a = np.full((2, 2), 2.0, np.float32)
+    b = np.full((2, 2), 4.0, np.float32)
+    b[0, 0] = 1e35
+    # flags honest: the sentinel point is excluded -> mean 2.0 there
+    out = fc.meanValue([a, b], fDefinedIn=[VD.ALL_DEFINED, VD.SOME_DEFINED])
+    assert out[0, 0] == np.float32(2.0) and out[1, 1] == np.float32(3.0)
+    # member b falsely flagged ALL_DEFINED: the 1e35 is summed as data
+    out = fc.meanValue([a, b], fDefinedIn=[VD.ALL_DEFINED, VD.ALL_DEFINED])
+    assert out[0, 0] == np.float32((2.0 + 1e35) / 2)
+    # no flags: sentinel-derived masks (previous behavior)
+    out = fc.meanValue([a, b])
+    assert out[0, 0] == np.float32(2.0)

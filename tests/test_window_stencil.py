@@ -160,3 +160,60 @@ def test_shapiro_jittable_traced_cond():
     ref_u = ops.shapiro2_filter(fu, all_defined=False)
     assert np.array_equal(np.asarray(out_u.values), np.asarray(ref_u.values),
                           equal_nan=True)
+
+
+def test_window_mean_no_sat_cancellation():
+    """The window mean must sum each window directly: reconstructing a
+    ~1e2 window sum from ~1e6 SAT corners loses ~1e-3 relative in f32 on
+    production-size grids (review finding, 2026-08-18)."""
+    import numpy as np
+    from mi_fieldcalc_tpu.field import from_sentinel
+    from mi_fieldcalc_tpu.ops.window import neighbour_functions
+
+    rng_np = np.random.default_rng(0)
+    v = rng_np.uniform(4.0, 6.0, (400, 500)).astype(np.float32)
+    out = neighbour_functions(from_sentinel(v), [2.0, 1.0], compute=1)
+    m = np.asarray(out.mask)
+    got = np.asarray(out.values)
+    # float64 ground truth via direct window sums
+    ref = np.zeros_like(v, np.float64)
+    vv = v.astype(np.float64)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            ref += np.roll(np.roll(vv, -dy, 0), -dx, 1)
+    ref /= 25.0
+    err = np.abs(got - ref.astype(np.float32))[m]
+    assert err.max() < 5e-5, f"window mean error {err.max()} (SAT regression?)"
+
+
+def test_window_percentile_validation_and_large_radius():
+    import numpy as np
+    from mi_fieldcalc_tpu.field import from_sentinel
+    from mi_fieldcalc_tpu.ops.window import neighbour_functions
+    import pytest as _pytest
+
+    v = from_sentinel(np.arange(100, dtype=np.float32).reshape(10, 10))
+    with _pytest.raises(ValueError):
+        neighbour_functions(v, [100.0, 2.0], compute=4)
+    with _pytest.raises(ValueError):
+        neighbour_functions(v, [-10.0, 2.0], compute=4)
+    # rng=3 exercises the fori_loop window stack (49 members)
+    out = neighbour_functions(v, [50.0, 3.0], compute=4)
+    # (4, 4) belongs to the block of sample point (3, 3) (step
+    # defaults to 3): median of that sample's 7x7 window rows/cols 0..6
+    m = np.asarray(out.mask)
+    assert m[4, 4]
+    win = np.sort(np.asarray(
+        [v.values[y, x] for y in range(0, 7) for x in range(0, 7)]))
+    assert np.asarray(out.values)[4, 4] == win[49 * 50 // 100]
+
+
+def test_neighbour_prob_rejects_negative_range():
+    import numpy as np
+    import pytest as _pytest
+    from mi_fieldcalc_tpu.field import from_sentinel
+    from mi_fieldcalc_tpu.ops.window import neighbour_prob_functions
+
+    v = from_sentinel(np.ones((8, 8), np.float32))
+    with _pytest.raises(ValueError):
+        neighbour_prob_functions(v, [5.0, -1.0], compute=5)
