@@ -44,23 +44,29 @@ def cvtemp(t: Field, compute: int) -> Field:
     """Kelvin <-> Celsius conversion (FieldCalculations.cc:1608-1674).
 
     compute: 1 K->C, 2 C->K, 3 K->C only if the defined-value mean looks
-    like Kelvin, 4 C->K only if it looks like Celsius.  Modes 3/4 branch on
-    a global masked mean; here that is a deterministic tree reduction
-    followed by a lane select (a single ``psum`` when sharded), whereas the
-    reference uses an order-dependent OpenMP float reduction — values agree
-    except exactly at the t0/2 threshold.
+    like Kelvin, 4 C->K only if it looks like Celsius.  Modes 3/4 branch
+    on a masked mean per 2-D field (the reference is called once per
+    grid; batched stacks decide each slice independently) computed as a
+    deterministic tree reduction, whereas the reference uses an
+    order-dependent OpenMP float reduction — values agree except exactly
+    at the t0/2 threshold.  Under spatial sharding the auto-detect mean
+    is per-shard (a well-mixed field decides identically on every
+    shard; run the detection on the host for pathological inputs).
     """
     require(compute in (1, 2, 3, 4), f"cvtemp: bad compute {compute}")
     tconvert = -t0 if compute in (1, 3) else t0
     converted = t.values + tconvert
     if compute in (1, 2):
         return Field(converted, t.mask)
-    # auto-detect: mean over defined points
-    navg = jnp.sum(t.mask)
-    tavg = jnp.sum(jnp.where(t.mask, t.values, _f32(0)))
+    # auto-detect: mean over defined points, PER 2-D field — the
+    # reference is called once per grid, so a batched [..., ny, nx]
+    # stack must decide each slice independently (one global mean would
+    # convert Kelvin levels stacked with Celsius ones)
+    navg = jnp.sum(t.mask, axis=(-2, -1))
+    tavg = jnp.sum(jnp.where(t.mask, t.values, _f32(0)), axis=(-2, -1))
     tavg = jnp.where(navg > 0, tavg / navg.astype(_f32), _f32(0))
     skip = (tavg < t0 / 2) if compute == 3 else (tavg > t0 / 2)
-    out = jnp.where(skip, t.values, converted)
+    out = jnp.where(skip[..., None, None], t.values, converted)
     return Field(out, t.mask)
 
 
@@ -294,9 +300,12 @@ def field_oper_field(compute: int, f1: Field, f2: Field) -> Field:
 def field_oper_constant(compute: int, f: Field, value: float,
                         undef: float = UNDEF) -> Field:
     """field <+-*/> constant (FieldCalculations.cc:2627-2645)."""
-    require(compute in (1, 2, 3, 4), f"fieldOPERconstant: bad compute {compute}")
+    # reference order: the undef/zero-divisor fillUndef early-out comes
+    # BEFORE the compute switch, so (invalid compute, undef value) is an
+    # all-undef success, not a failure (cc:2629-2630)
     if value == undef or (compute == 4 and value == 0):
         return full_undef(f.shape, f.dtype)
+    require(compute in (1, 2, 3, 4), f"fieldOPERconstant: bad compute {compute}")
     c = _f32(value)
     v = f.values
     out = {1: v + c, 2: v - c, 3: v * c, 4: v / c}[compute]
@@ -306,9 +315,10 @@ def field_oper_constant(compute: int, f: Field, value: float,
 def constant_oper_field(compute: int, value: float, f: Field,
                         undef: float = UNDEF) -> Field:
     """constant <+-*/> field (FieldCalculations.cc:2647-2669)."""
-    require(compute in (1, 2, 3, 4), f"constantOPERfield: bad compute {compute}")
+    # undef early-out precedes the compute switch (see field_oper_constant)
     if value == undef:
         return full_undef(f.shape, f.dtype)
+    require(compute in (1, 2, 3, 4), f"constantOPERfield: bad compute {compute}")
     c = _f32(value)
     v = f.values
     if compute == 1:

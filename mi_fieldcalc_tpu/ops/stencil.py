@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import cp, g, kappa, p0
-from ..field import Field
+from ..field import UNDEF, Field
 from ._harness import and_masks, out_field, require
 
 __all__ = [
@@ -85,8 +85,29 @@ def fill_edges(a):
 # staging executors) and a global swap could leak one trace's
 # axis_index-closing fill into another thread's unrelated op.
 import contextvars as _contextvars
+from typing import NamedTuple as _NamedTuple
 
 _EDGE_FILL = _contextvars.ContextVar("mf_edge_fill", default=None)
+
+
+class ShardCtx(_NamedTuple):
+    """Shard-global geometry for ops whose semantics reference GLOBAL
+    grid coordinates (installed by ``parallel.halo.run_sharded``):
+    ``(row0, col0)`` is the traced global coordinate of the local
+    block's element (0, 0) (negative at halo rows), ``(nyg, nxg)`` the
+    static logical global extents, and ``mesh_axes`` the spatial mesh
+    axis names for global reductions.  The momentum-coordinate ops add
+    the offsets to their iotas; shapiro freezes boundary rows/columns at
+    physical coordinates and makes its all-defined branch a global
+    decision."""
+    row0: object
+    col0: object
+    nyg: int
+    nxg: int
+    mesh_axes: tuple
+
+
+_SHARD_CTX = _contextvars.ContextVar("mf_shard_ctx", default=None)
 
 
 def _finish(values, mask) -> Field:
@@ -268,6 +289,11 @@ def plevelqvector(z: Field, t: Field, xmapr: ArrayLike, ymapr: ArrayLike,
     require(compute in (1, 2, 3, 4), f"plevelqvector: bad compute {compute}")
     _check_min_size(z, "plevelqvector")
     if compute in (2, 4):
+        # NOT levels._scalar_pidcp: the reference's qvector computes
+        # ``pi = cp * powf(p / p0, r/cp); tscale = pi / cp`` inline
+        # (cc:538-539) — a DIVISION by p0 and a cp round-trip, whereas
+        # pidcp_from_p multiplies by p0inv (cc:308-310).  Same math,
+        # different last-ulp rounding; mirror the reference's form.
         pi = np.float32(np.float32(cp)
                         * np.power(np.float32(p) / p0, kappa))
         tscale = np.float32(pi / np.float32(cp))
@@ -337,6 +363,9 @@ def momentum_x_coordinate(v: Field, xmapr: ArrayLike, fcoriolis: ArrayLike,
     xm = _vals(xmapr)
     fc = _clamped_coriolis(_vals(fcoriolis), fcoriolis_min)
     xcoord = jax.lax.broadcasted_iota(_f32, v.shape, len(v.shape) - 1)
+    ctx = _SHARD_CTX.get()
+    if ctx is not None:     # global grid index, not the shard-local one
+        xcoord = xcoord + jnp.asarray(ctx.col0, _f32)
     return Field(xcoord + v.values * xm / fc, v.mask)
 
 
@@ -347,26 +376,47 @@ def momentum_y_coordinate(u: Field, ymapr: ArrayLike, fcoriolis: ArrayLike,
     ym = _vals(ymapr)
     fc = _clamped_coriolis(_vals(fcoriolis), fcoriolis_min)
     ycoord = jax.lax.broadcasted_iota(_f32, u.shape, len(u.shape) - 2)
+    ctx = _SHARD_CTX.get()
+    if ctx is not None:
+        ycoord = ycoord + jnp.asarray(ctx.row0, _f32)
     return Field(ycoord - u.values * ym / fc, u.mask)
 
 
 # -- Shapiro filter ------------------------------------------------------------
 
-def _shapiro_x_pass(f1, s):
+def _shapiro_edge_keep(prev, new, axis_from_end: int, ctx):
+    """Boundary copy of one shapiro pass (cc:2117-2120): keep ``prev``
+    at the boundary rows/columns.  Unsharded: the array edges.  Sharded
+    (``ctx``): only PHYSICAL global edges — seam rows get the smoothed
+    value (their halo neighbours are real data), and the pass never
+    smooths a physical boundary against a zero halo lane."""
+    if ctx is None:
+        if axis_from_end == 1:
+            return jnp.concatenate(
+                [prev[..., :, :1], new[..., :, 1:-1], prev[..., :, -1:]],
+                axis=-1)
+        return jnp.concatenate(
+            [prev[..., :1, :], new[..., 1:-1, :], prev[..., -1:, :]],
+            axis=-2)
+    axis = new.ndim - axis_from_end
+    off = ctx.col0 if axis_from_end == 1 else ctx.row0
+    ng = ctx.nxg if axis_from_end == 1 else ctx.nyg
+    c = jax.lax.broadcasted_iota(jnp.int32, new.shape, axis) + off
+    return jnp.where((c == 0) | (c == ng - 1), prev, new)
+
+
+def _shapiro_x_pass(f1, s, ctx=None):
     f2 = f1 + s * (_xm(f1) + _xp(f1) - 2 * f1)
-    # boundary columns copied from input (cc:2117-2120)
-    return jnp.concatenate([f1[..., :, :1], f2[..., :, 1:-1], f1[..., :, -1:]],
-                           axis=-1)
+    return _shapiro_edge_keep(f1, f2, 1, ctx)
 
 
-def _shapiro_y_pass(f2, s):
+def _shapiro_y_pass(f2, s, ctx=None):
     f1 = f2 + s * (_ym(f2) + _yp(f2) - 2 * f2)
-    return jnp.concatenate([f2[..., :1, :], f1[..., 1:-1, :], f2[..., -1:, :]],
-                           axis=-2)
+    return _shapiro_edge_keep(f2, f1, 2, ctx)
 
 
 def shapiro2_filter(f: Field, all_defined=None,
-                    undef: float = 1.0e35) -> Field:
+                    undef: float = UNDEF) -> Field:
     """2nd-order Shapiro smoother (FieldCalculations.cc:2076-2179).
 
     All-defined path: two rounds of separable x-then-y passes with
@@ -383,24 +433,42 @@ def shapiro2_filter(f: Field, all_defined=None,
     """
     ny, nx = f.shape[-2], f.shape[-1]
     require(nx >= 3 and ny >= 3, "shapiro2_filter: grid must be at least 3x3")
+    ctx = _SHARD_CTX.get()
 
     if all_defined is None:
-        return jax.lax.cond(jnp.all(f.mask), _shapiro_all,
-                            lambda ff: _shapiro_undef(ff, undef), f)
+        if ctx is not None:
+            # evaluate over the LOGICAL region only — the padded block's
+            # physical-edge halo slots are ppermute zeros (mask False)
+            # and would force the undef branch on fully-defined data —
+            # then combine across shards: the reference decides once per
+            # GLOBAL field (cc:2101), and a per-shard decision would
+            # pick different smoothing paths across seams
+            r = jax.lax.broadcasted_iota(jnp.int32, f.shape, f.mask.ndim - 2)
+            c = jax.lax.broadcasted_iota(jnp.int32, f.shape, f.mask.ndim - 1)
+            inside = ((r + ctx.row0 >= 0) & (r + ctx.row0 < ctx.nyg)
+                      & (c + ctx.col0 >= 0) & (c + ctx.col0 < ctx.nxg))
+            alldef = jnp.all(f.mask | ~inside)
+            if ctx.mesh_axes:
+                alldef = jax.lax.pmin(alldef.astype(jnp.int32),
+                                      ctx.mesh_axes) > 0
+        else:
+            alldef = jnp.all(f.mask)
+        return jax.lax.cond(alldef, lambda ff: _shapiro_all(ff, ctx),
+                            lambda ff: _shapiro_undef(ff, undef, ctx), f)
     if all_defined:
-        return _shapiro_all(f)
-    return _shapiro_undef(f, undef)
+        return _shapiro_all(f, ctx)
+    return _shapiro_undef(f, undef, ctx)
 
 
-def _shapiro_all(f: Field) -> Field:
+def _shapiro_all(f: Field, ctx=None) -> Field:
     f1 = f.values
     for s in (_f32(0.25), _f32(-0.25)):
-        f2 = _shapiro_x_pass(f1, s)
-        f1 = _shapiro_y_pass(f2, s)
+        f2 = _shapiro_x_pass(f1, s, ctx)
+        f1 = _shapiro_y_pass(f2, s, ctx)
     return Field(f1, jnp.ones(f.shape, bool))
 
 
-def _shapiro_undef(f: Field, undef: float) -> Field:
+def _shapiro_undef(f: Field, undef: float, ctx=None) -> Field:
     # undef-aware path: arithmetic runs on sentinel-materialized values
     f1 = f.to_sentinel(undef)
     m = f.mask
@@ -409,9 +477,7 @@ def _shapiro_undef(f: Field, undef: float) -> Field:
     # the x-edge / y-edge coefficient rows are never used (boundaries copied)
     for _ in range(2):
         f2 = f1 + s1 * (_xm(f1) + _xp(f1) - 2 * f1)
-        f2 = jnp.concatenate([f1[..., :, :1], f2[..., :, 1:-1], f1[..., :, -1:]],
-                             axis=-1)
+        f2 = _shapiro_edge_keep(f1, f2, 1, ctx)
         f1n = f2 + s2 * (_ym(f2) + _yp(f2) - 2 * f2)
-        f1 = jnp.concatenate([f2[..., :1, :], f1n[..., 1:-1, :], f2[..., -1:, :]],
-                             axis=-2)
+        f1 = _shapiro_edge_keep(f2, f1n, 2, ctx)
     return Field(f1, jnp.ones(f.shape, bool))

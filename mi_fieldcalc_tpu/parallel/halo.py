@@ -246,11 +246,27 @@ def run_sharded(op, mesh: Mesh, radius: int, *args, **kwargs):
                   if leaf.ndim >= 2 and radius > 0 else leaf
                   for leaf in leaves]
         ctx = EdgeContext(radius, mesh)
+        # shard-global geometry for ops that reference global grid
+        # coordinates (momentum m/n, shapiro's physical-edge copies and
+        # global all-defined decision) — ShardCtx in ops.stencil
+        names = mesh.axis_names
+        grid = next(leaf for leaf in leaves if leaf.ndim >= 2)
+        ny_loc, nx_loc = grid.shape[-2:]
+        gy = mesh.shape["gy"] if "gy" in names else 1
+        gx = mesh.shape["gx"] if "gx" in names else 1
+        iy = lax.axis_index("gy") if "gy" in names else 0
+        ix = lax.axis_index("gx") if "gx" in names else 0
+        sctx = _stencil_mod.ShardCtx(
+            row0=iy * ny_loc - radius, col0=ix * nx_loc - radius,
+            nyg=ny_loc * gy, nxg=nx_loc * gx,
+            mesh_axes=tuple(n for n in ("gy", "gx") if n in names))
         token = _stencil_mod._EDGE_FILL.set(ctx.fill)
+        token2 = _stencil_mod._SHARD_CTX.set(sctx)
         try:
             out = op(*jax.tree_util.tree_unflatten(treedef, padded), **kwargs)
         finally:
             _stencil_mod._EDGE_FILL.reset(token)
+            _stencil_mod._SHARD_CTX.reset(token2)
         return jax.tree_util.tree_map(lambda a: _crop(a, radius), out)
 
     fn = shard_map(body, mesh=mesh, in_specs=(in_specs,),

@@ -131,3 +131,36 @@ def test_elementwise_gspmd():
     ref = jax.jit(abshum)(t, rh)
     shd = jax.jit(abshum)(t_sh, rh_sh)
     _assert_field_equal(ref, shd)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (1, 8, 1), (1, 1, 8)])
+def test_sharded_momentum_coordinates(mesh_shape):
+    """m/n coordinates use the GLOBAL grid index (reference i%nx, i/nx):
+    each shard must offset its local iota by the shard origin
+    (ShardCtx; a local iota is wrong by the shard offset)."""
+    from mi_fieldcalc_tpu.ops import (momentum_x_coordinate,
+                                      momentum_y_coordinate)
+
+    z, t, xm, ym, fc = _grids(holes=False)
+    mesh = grid_mesh(mesh_shape)
+    for fn, m in ((lambda v, mp, f: momentum_x_coordinate(v, mp, f, 1e-5),
+                   xm),
+                  (lambda v, mp, f: momentum_y_coordinate(v, mp, f, 1e-5),
+                   ym)):
+        _assert_field_equal(fn(z, m, fc),
+                            run_sharded(fn, mesh, 0, z, m, fc))
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (1, 8, 1)])
+@pytest.mark.parametrize("holes", [False, True])
+def test_sharded_shapiro(mesh_shape, holes):
+    """shapiro2_filter under sharding: boundary copies fire at PHYSICAL
+    edges (not padded-block edges smoothing against zero halos), and the
+    all-defined branch is a global pmin decision, not per-shard."""
+    from mi_fieldcalc_tpu.ops import shapiro2_filter
+
+    z, t, xm, ym, fc = _grids(holes=holes)
+    mesh = grid_mesh(mesh_shape)
+    ref = shapiro2_filter(t)
+    shd = run_sharded(shapiro2_filter, mesh, 2, t)
+    _assert_field_equal(ref, shd)
