@@ -9,6 +9,7 @@ reference's ``fillEdges`` boundary treatment applied only at *physical*
 domain edges — never at shard seams.
 """
 
-from .mesh import grid_mesh, partition_spec  # noqa: F401
+from .mesh import (grid_mesh, partition_spec,  # noqa: F401
+                   factor_devices_for_grid)
 from .halo import halo_exchange, run_sharded  # noqa: F401
 from . import distributed  # noqa: F401

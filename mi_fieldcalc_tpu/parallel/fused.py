@@ -113,14 +113,14 @@ def _exchange_all(arrays, mesh: Mesh, hy: int, hx: int):
     (0 = skip).  The y-leg packs every array into one ppermute per
     (direction, dtype) — 4 collectives for the whole 13-array pipeline
     step instead of 26 (halo.packed_strip_exchange); the x-leg (gx > 1
-    meshes only) stays per-array.  Masks must already ride as int8."""
-    from .halo import _exchange_1d, packed_exchange_rows
+    meshes only) packs the same way on the lane axis — 8 collectives
+    total on a 2-D mesh.  Masks must already ride as int8."""
+    from .halo import packed_exchange_cols, packed_exchange_rows
     arrays = list(arrays)
     if hy:
         arrays = packed_exchange_rows(arrays, hy, mesh)
     if hx:
-        arrays = [_exchange_1d(a, hx, a.ndim - 1, "gx", mesh.shape["gx"])
-                  for a in arrays]
+        arrays = packed_exchange_cols(arrays, hx, mesh)
     return arrays
 
 

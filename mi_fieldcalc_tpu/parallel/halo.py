@@ -47,7 +47,7 @@ from ..ops import stencil as _stencil_mod
 from .mesh import partition_spec
 
 __all__ = ["halo_exchange", "packed_strip_exchange", "packed_exchange_rows",
-           "run_sharded", "EdgeContext"]
+           "packed_exchange_cols", "run_sharded", "EdgeContext"]
 
 
 def _exchange_1d(a, h: int, axis: int, name: str, size: int):
@@ -74,19 +74,23 @@ def _exchange_1d(a, h: int, axis: int, name: str, size: int):
     return jnp.concatenate([halo_lo, a, halo_hi], axis=axis)
 
 
-def _pack_rows(strips):
-    """Stack row-strips of one dtype into a single 2-D ``(R, nx)`` buffer
-    (all framework grids share the trailing ``nx``)."""
-    nx = strips[0].shape[-1]
-    return jnp.concatenate([s.reshape(-1, nx) for s in strips], axis=0)
+def _pack_strips(strips):
+    """Stack halo strips of one dtype into a single 2-D buffer: each
+    strip keeps its own trailing dim (``nx`` for row strips, ``h`` for
+    lane strips — uniform within one exchange) and flattens the rest."""
+    last = strips[0].shape[-1]
+    return jnp.concatenate([s.reshape(-1, last) for s in strips], axis=0)
 
 
-def _unpack_rows(buf, arrays, h: int):
-    """Inverse of :func:`_pack_rows`: split ``buf`` back into per-array
-    halo strips shaped ``arrays[i].shape[:-2] + (h, nx)``."""
+def _unpack_strips(buf, arrays, h: int, axis: int):
+    """Inverse of :func:`_pack_strips`: split ``buf`` back into per-array
+    halo strips shaped like ``arrays[i]`` with dim ``axis`` replaced by
+    ``h``."""
     out, r = [], 0
     for a in arrays:
-        shape = a.shape[:-2] + (h, a.shape[-1])
+        shape = list(a.shape)
+        shape[axis] = h
+        shape = tuple(shape)
         n = 1
         for d in shape[:-1]:
             n *= d
@@ -95,8 +99,10 @@ def _unpack_rows(buf, arrays, h: int):
     return out
 
 
-def packed_strip_exchange(arrays: Sequence, h: int, name: str, size: int):
-    """Fetch the ``h``-row y-halos of MANY arrays with one ``ppermute``
+def packed_strip_exchange(arrays: Sequence, h: int, name: str, size: int,
+                          axis: int = -2):
+    """Fetch the ``h``-wide halos of MANY arrays along trailing ``axis``
+    (``-2``: row/y halos, ``-1``: lane/x halos) with one ``ppermute``
     per (direction, dtype class) instead of one per array.
 
     A multi-field pipeline step otherwise issues 2 x n_arrays small
@@ -106,8 +112,9 @@ def packed_strip_exchange(arrays: Sequence, h: int, name: str, size: int):
     f32 buffer (+ one int8 buffer for bool masks) per direction turns
     that into 4 larger ICI messages whose latency amortises.
 
-    Returns ``(tops, bots)``: per-array rows arriving from the mesh
-    neighbour above / below (zeros at physical edges), dtypes restored.
+    Returns ``(tops, bots)``: per-array strips arriving from the mesh
+    neighbour before / after on ``name`` (zeros at physical edges),
+    dtypes restored.
     """
     cast = [a.astype(jnp.int8) if a.dtype == jnp.bool_ else a
             for a in arrays]
@@ -121,15 +128,16 @@ def packed_strip_exchange(arrays: Sequence, h: int, name: str, size: int):
     bots = [None] * len(arrays)
     for idxs in groups.values():
         arrs = [cast[i] for i in idxs]
-        ny = arrs[0].shape[-2]
-        lo = _pack_rows([lax.slice_in_dim(a, 0, h, axis=a.ndim - 2)
-                         for a in arrs])
-        hi = _pack_rows([lax.slice_in_dim(a, ny - h, ny, axis=a.ndim - 2)
-                         for a in arrs])
-        top = lax.ppermute(hi, name, fwd)      # neighbour above's last rows
-        bot = lax.ppermute(lo, name, bwd)      # neighbour below's first rows
-        for i, t, b in zip(idxs, _unpack_rows(top, arrs, h),
-                           _unpack_rows(bot, arrs, h)):
+        ax = lambda a: a.ndim + axis
+        lo = _pack_strips([lax.slice_in_dim(a, 0, h, axis=ax(a))
+                           for a in arrs])
+        hi = _pack_strips([lax.slice_in_dim(a, a.shape[axis] - h,
+                                            a.shape[axis], axis=ax(a))
+                           for a in arrs])
+        top = lax.ppermute(hi, name, fwd)   # preceding neighbour's last strip
+        bot = lax.ppermute(lo, name, bwd)   # following neighbour's first strip
+        for i, t, b in zip(idxs, _unpack_strips(top, arrs, h, axis),
+                           _unpack_strips(bot, arrs, h, axis)):
             if arrays[i].dtype == jnp.bool_:
                 t, b = t != 0, b != 0
             tops[i], bots[i] = t, b
@@ -149,6 +157,26 @@ def packed_exchange_rows(arrays: Sequence, h: int, mesh: Mesh):
     ax = lambda a: a.ndim - 2
     return [jnp.concatenate([t, a, b], axis=ax(a))
             for a, t, b in zip(arrays, tops, bots)]
+
+
+def packed_exchange_cols(arrays: Sequence, h: int, mesh: Mesh):
+    """x-axis halo exchange over many arrays with packed collectives
+    (:func:`packed_strip_exchange` on the lane axis).  Returns each
+    array padded with ``h`` lanes per side; zeros at physical edges.
+
+    The per-array alternative costs 2 x n_arrays tiny ``(.., ny, 2)``
+    ppermutes on a (gy, gx) mesh — 20 extra sync collectives per
+    pipeline step at the config-5 shapes, each paying full launch
+    latency for a few-KB payload (tools/northstar_aot.py --gx).  Packed,
+    the whole x-leg is 4 messages, matching the y-leg."""
+    size = mesh.shape["gx"] if "gx" in mesh.axis_names else 1
+    if size == 1:
+        pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(h, h)])
+        return [pad(a) for a in arrays]
+    lefts, rights = packed_strip_exchange(arrays, h, "gx", size, axis=-1)
+    ax = lambda a: a.ndim - 1
+    return [jnp.concatenate([l, a, r], axis=ax(a))
+            for a, l, r in zip(arrays, lefts, rights)]
 
 
 def halo_exchange(a, radius: int, mesh: Mesh):

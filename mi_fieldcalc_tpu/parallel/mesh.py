@@ -21,7 +21,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
-__all__ = ["grid_mesh", "partition_spec", "factor_devices"]
+__all__ = ["grid_mesh", "partition_spec", "factor_devices",
+           "factor_devices_for_grid"]
 
 AXES = ("lev", "gy", "gx")
 
@@ -33,6 +34,37 @@ def factor_devices(n: int) -> Tuple[int, int, int]:
     while n % gy:
         gy -= 1
     return (1, gy, n // gy)
+
+
+def factor_devices_for_grid(ny: int, nx: int, n: int) -> Tuple[int, int, int]:
+    """Factor ``n`` devices into the (1, gy, gx) spatial mesh that wastes
+    the least device memory/bandwidth on a logical ``(ny, nx)`` grid under
+    the canonical padded layout.
+
+    Every shard's local block is padded to (8-row, 128-lane) tiles
+    (layout.padded_shape_sharded), so deep 1-D decompositions go
+    progressively dead: at 128 chips on the 0.25-degree grid gy=128 pads
+    721 -> 1024 rows (live fraction 0.66) while (gy, gx) = (32, 4) stays
+    at 0.88 and streams 25% fewer bytes per chip (PERF.md "2-D (gy, gx)
+    decomposition").  This picks the divisor pair minimising padded
+    points, breaking ties toward fewer gx shards (x-halos are 2 lanes of
+    every row and lanes are the scarce axis; y-halos ride 8-row tiles)."""
+    from ..layout import padded_shape_sharded
+
+    best = None
+    for gx in range(1, n + 1):
+        if n % gx:
+            continue
+        gy = n // gx
+        if gy > ny or gx > nx:
+            continue
+        ny_p, nx_p = padded_shape_sharded(ny, nx, gy, gx)
+        key = (ny_p * nx_p, gx)
+        if best is None or key < best[0]:
+            best = (key, (1, gy, gx))
+    if best is None:
+        raise ValueError(f"cannot decompose {ny}x{nx} over {n} devices")
+    return best[1]
 
 
 def grid_mesh(mesh_shape: Optional[Sequence[int]] = None,

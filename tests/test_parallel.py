@@ -164,3 +164,80 @@ def test_sharded_shapiro(mesh_shape, holes):
     ref = shapiro2_filter(t)
     shd = run_sharded(shapiro2_filter, mesh, 2, t)
     _assert_field_equal(ref, shd)
+
+
+@pytest.mark.parametrize("axis,mesh_shape", [(-2, (1, 4, 2)),
+                                             (-1, (1, 2, 4))])
+def test_packed_strip_exchange_matches_per_array(axis, mesh_shape):
+    """The packed halo legs (one ppermute per direction x dtype —
+    parallel/fused._exchange_all) deliver exactly the strips the
+    per-array exchange does, on BOTH trailing axes, for mixed
+    2-D/3-D f32 and bool arrays."""
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from mi_fieldcalc_tpu.parallel.halo import (_exchange_1d,
+                                                packed_exchange_cols,
+                                                packed_exchange_rows)
+
+    mesh = grid_mesh(mesh_shape)
+    rng = np.random.default_rng(3)
+    ny, nx = 32, 256
+    arrs = [rng.normal(size=(3, ny, nx)).astype(np.float32),
+            rng.normal(size=(ny, nx)).astype(np.float32),
+            rng.random((3, ny, nx)) < 0.5,
+            rng.random((ny, nx)) < 0.5]
+    h = 2
+    name, size = ("gy", mesh.shape["gy"]) if axis == -2 else \
+                 ("gx", mesh.shape["gx"])
+    packed = packed_exchange_rows if axis == -2 else packed_exchange_cols
+
+    specs = tuple(partition_spec(a.ndim, mesh) for a in arrs)
+    out_specs = specs
+
+    @partial(shard_map, mesh=mesh, in_specs=specs, out_specs=out_specs,
+             check_rep=False)
+    def via_packed(*a):
+        return tuple(packed(list(a), h, mesh))
+
+    @partial(shard_map, mesh=mesh, in_specs=specs, out_specs=out_specs,
+             check_rep=False)
+    def via_per_array(*a):
+        return tuple(_exchange_1d(x, h, x.ndim + axis, name, size)
+                     for x in a)
+
+    got = via_packed(*arrs)
+    want = via_per_array(*arrs)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_factor_devices_for_grid():
+    """Grid-aware factorization picks the (gy, gx) split minimising the
+    padded footprint: deep 1-D gy meshes round tiny local rows up to
+    8-row tiles (721 rows over 128 shards -> 42% dead), while x splits
+    pay 128-lane alignment — the best mesh balances both (PERF.md)."""
+    from mi_fieldcalc_tpu.parallel import factor_devices_for_grid
+    from mi_fieldcalc_tpu.layout import padded_shape_sharded
+
+    # global 0.25-degree grid at 128 chips: 2-D beats 1-D decisively
+    lev, gy, gx = factor_devices_for_grid(721, 1440, 128)
+    assert (lev, gy * gx) == (1, 128)
+    ny_p, nx_p = padded_shape_sharded(721, 1440, gy, gx)
+    live = 721 * 1440 / (ny_p * nx_p)
+    assert live > 0.85              # 1-D gy=128 gives 0.66
+    assert gx in (2, 4)             # lane-friendly x splits only
+
+    # exhaustively optimal: no divisor pair does better
+    best = min(padded_shape_sharded(721, 1440, n // g, g)[0]
+               * padded_shape_sharded(721, 1440, n // g, g)[1]
+               for n in [128] for g in range(1, n + 1) if n % g == 0)
+    assert ny_p * nx_p == best
+
+    # tiny grid: all devices fit on rows, no x split needed
+    assert factor_devices_for_grid(32, 48, 8) == (1, 8, 1)
+
+    # impossible decomposition raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        factor_devices_for_grid(2, 2, 64)

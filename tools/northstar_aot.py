@@ -17,7 +17,13 @@ standard pressure levels.
 
 Usage::
 
-    python tools/northstar_aot.py [--topology v5e:4x4] [--gy 16]
+    python tools/northstar_aot.py [--topology v5e:4x4] [--gy 16] [--gx 1]
+
+``--gx > 1`` audits the 2-D (gy, gx) decomposition: x-halos (radius 2)
+join the packed exchange and each shard pays 128-lane x alignment, but
+the 8-row y alignment is amortised over fewer gy shards — at 64+ chips
+this keeps the live fraction near 0.9 where 1-D gy drops below 0.7
+(see PERF.md "Config-5 AOT").
 """
 
 from __future__ import annotations
@@ -41,7 +47,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--topology", default="v5e:4x4")
     ap.add_argument("--gy", type=int, default=0,
-                    help="devices on the gy axis (default: all)")
+                    help="devices on the gy axis (default: all / gx)")
+    ap.add_argument("--gx", type=int, default=1,
+                    help="devices on the gx axis: a 2-D (gy, gx) "
+                    "decomposition pays 128-lane alignment per shard on x "
+                    "but 8-row alignment only per gy shard — past ~32 "
+                    "chips it wastes far less than 1-D gy on this grid "
+                    "(PERF.md)")
     args = ap.parse_args()
 
     import jax
@@ -54,11 +66,12 @@ def main():
 
     topo = topologies.get_topology_desc(platform="tpu",
                                         topology_name=args.topology)
-    gy = args.gy or len(topo.devices)
-    devs = np.asarray(topo.devices[:gy]).reshape(1, gy, 1)
+    gx = args.gx
+    gy = args.gy or len(topo.devices) // gx
+    devs = np.asarray(topo.devices[:gy * gx]).reshape(1, gy, gx)
     mesh = Mesh(devs, ("lev", "gy", "gx"))
 
-    ny_p, nx_p = padded_shape_sharded(NY, NX, gy, 1)
+    ny_p, nx_p = padded_shape_sharded(NY, NX, gy, gx)
     fn = _isobaric_sharded_fn(mesh, (NY, NX), PLEVELS, False)
 
     def sds(shape, dtype, ndim):
@@ -96,8 +109,9 @@ def main():
         }
     print(json.dumps({
         "workload": "config5_isobaric_global_0.25deg_137L",
-        "topology": args.topology, "mesh": [1, gy, 1],
+        "topology": args.topology, "mesh": [1, gy, gx],
         "global_grid": [NLEV, NY, NX], "padded": [ny_p, nx_p],
+        "live_fraction": round(NY * NX / (ny_p * nx_p), 3),
         "plevels": len(PLEVELS),
         "compile_s": round(dt, 1),
         "collective_permutes_async": starts,
