@@ -71,11 +71,10 @@ def main():
     from mi_fieldcalc_tpu.parallel import grid_mesh
     from mi_fieldcalc_tpu.parallel.fused import derived_fields_fused_sharded
 
+    # padding-optimal (gy, gx) split for this grid (PERF.md "2-D
+    # decomposition"); falls back to square-ish without a grid_shape
+    mesh = grid_mesh(grid_shape=(ny, nx))
     n = len(jax.devices())
-    gy = int(np.sqrt(n))
-    while n % gy:
-        gy -= 1
-    mesh = grid_mesh((1, gy, n // gy))
     interp = jax.devices()[0].platform != "tpu"
     sh = derived_fields_fused_sharded(mesh, *fields, *coefs,
                                       jnp.asarray(mapr), jnp.asarray(mapr),

@@ -13,7 +13,7 @@ Typical multi-host entry::
 
     from mi_fieldcalc_tpu.parallel import distributed, grid_mesh
     distributed.initialize()              # no-op on a single host
-    mesh = grid_mesh()                    # all chips, all hosts
+    mesh = grid_mesh(grid_shape=(ny, nx))  # all chips; padding-optimal split
     out = derived_fields_fused_sharded(mesh, *fields)
 
 Per-host I/O: each host feeds only its local shard via

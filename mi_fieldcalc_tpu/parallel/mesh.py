@@ -69,17 +69,27 @@ def factor_devices_for_grid(ny: int, nx: int, n: int) -> Tuple[int, int, int]:
 
 def grid_mesh(mesh_shape: Optional[Sequence[int]] = None,
               devices=None,
-              axis_names: Sequence[str] = AXES) -> Mesh:
+              axis_names: Sequence[str] = AXES,
+              grid_shape: Optional[Tuple[int, int]] = None) -> Mesh:
     """Create a device mesh for grid decomposition.
 
     ``mesh_shape`` defaults to putting all devices on a square-ish
-    (gy, gx) spatial grid with lev=1.
+    (gy, gx) spatial grid with lev=1; pass the logical ``grid_shape``
+    ``(ny, nx)`` instead to pick the (gy, gx) split that minimises the
+    canonical padded footprint (:func:`factor_devices_for_grid` — at
+    64+ chips on the global 0.25-degree grid this streams 25% fewer
+    bytes per chip than either 1-D or square-ish splits, PERF.md).
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if mesh_shape is None:
-        mesh_shape = factor_devices(n)
+        if grid_shape is not None:
+            mesh_shape = factor_devices_for_grid(*grid_shape, n)
+        else:
+            mesh_shape = factor_devices(n)
+    elif grid_shape is not None:
+        raise ValueError("pass mesh_shape or grid_shape, not both")
     mesh_shape = tuple(mesh_shape)
     if int(np.prod(mesh_shape)) != n:
         raise ValueError(f"mesh shape {mesh_shape} != {n} devices")

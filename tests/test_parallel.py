@@ -241,3 +241,15 @@ def test_factor_devices_for_grid():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         factor_devices_for_grid(2, 2, 64)
+
+
+def test_grid_mesh_grid_shape_kwarg():
+    """grid_mesh(grid_shape=...) builds the padding-optimal mesh and
+    rejects conflicting arguments."""
+    from mi_fieldcalc_tpu.parallel import grid_mesh
+
+    m = grid_mesh(grid_shape=(721, 1440))
+    assert m.shape["lev"] == 1 and m.shape["gy"] * m.shape["gx"] == 8
+    assert (m.shape["gy"], m.shape["gx"]) == (4, 2)
+    with pytest.raises(ValueError):
+        grid_mesh((1, 2, 4), grid_shape=(8, 8))
