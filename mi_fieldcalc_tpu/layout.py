@@ -78,8 +78,14 @@ def padded_shape_sharded(ny: int, nx: int, gy: int = 1,
     ``nx_p/gx % 128 == 0``.  The sharded fused pipeline exchanges 8-row
     y-halos (one row tile) and no x-halo when ``gx == 1``, so local
     alignment makes every per-shard Pallas transfer tile-aligned too.
-    With ``gx > 1`` the 2-lane x-halos still leave local lanes ragged —
-    prefer (lev, gy) decompositions on TPU (lanes are the scarce axis)."""
+    With ``gx > 1`` the non-overlap path's 2-lane x-halos make the
+    kernel's input blocks ``nx_loc + 4`` lanes (ragged — the ~2x
+    ragged-DMA penalty applies to those reads), while the overlap path
+    runs the interior kernel on the exact tile-aligned local block and
+    recomputes the seam columns from narrow strips — at 64+ chips the
+    2-D split's smaller padded footprint wins either way (PERF.md "2-D
+    (gy, gx) decomposition"; footprint is AOT byte accounting, not a
+    measured multi-chip step time)."""
     return (_up(-(-ny // gy), ROW_TILE) * gy,
             _up(-(-nx // gx), LANE_TILE) * gx)
 

@@ -53,11 +53,14 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
     fields in any real projection).  Returns a sharded
     :class:`DerivedFields`.
 
-    ``overlap=True`` (gy-decomposed meshes, ``gx == 1``) hides the halo
-    latency: the kernel runs on the *unpadded* local block concurrently
-    with the 2-row ``ppermute`` strips, and only the 2 seam rows per side
-    are recomputed from 8-row strip kernels and patched in — the interior
-    pass has no data dependence on the collective, so XLA overlaps them.
+    ``overlap=True`` hides the halo latency on any (gy, gx) spatial
+    mesh: the kernel runs on the *unpadded* tile-aligned local block
+    concurrently with the seam-strip ``ppermute``\\ s, and only the seam
+    bands (2 rows / 2 columns per interior side) are recomputed from
+    strip kernels and patched in — the interior pass has no data
+    dependence on any collective, so XLA overlaps them.  On ``gx > 1``
+    meshes this also keeps the hot kernel off the ragged ``nx_loc + 4``
+    lane extent that the non-overlap path's x-halo concat creates.
 
     ``global_shape`` is the logical ``(ny, nx)`` when the global arrays
     are padded to :func:`..layout.padded_shape_sharded` extents (masks
@@ -75,10 +78,6 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
             jnp.asarray(fcoriolis, jnp.float32))
     leaves = tuple(jax.tree_util.tree_flatten(args)[0])
     if overlap:
-        names = mesh.axis_names
-        if ("gx" in names and mesh.shape["gx"] > 1) or "gy" not in names:
-            raise ValueError("overlap mode needs a gy-only spatial "
-                             "decomposition (gx == 1)")
         fn = _sharded_fn_overlap(mesh, (nyg, nxg), bool(interpret))
     else:
         fn = _sharded_fn(mesh, (nyg, nxg), bool(interpret))
@@ -193,10 +192,18 @@ def derived_fields_isobaric_sharded(mesh: Mesh, tk: Field, q: Field,
                                     u: Field, v: Field, ps: Field,
                                     alevel, blevel, xmapr, ymapr, fcoriolis,
                                     plevels, interpret: bool = False,
-                                    global_shape=None):
+                                    global_shape=None,
+                                    overlap: bool = False):
     """Sharded 3-D isobaric pipeline (BASELINE config 5's per-host program):
     hybrid -> pressure-level interpolation followed by the 12-output
     derived-field kernel, domain-decomposed over ``mesh``.
+
+    ``overlap=True`` routes the post-interpolation stage through the
+    seam-strip machinery (:func:`_overlap_core`): the interior pipeline
+    kernel has no data dependence on the halo collectives, so XLA runs
+    the ICI exchange behind it, and on ``gx > 1`` meshes the hot kernel
+    streams the tile-aligned local block instead of a ragged
+    ``nx_loc + 4``-lane one.
 
     The column interpolation is local to each shard (columns never cross
     the (gy, gx) decomposition), so the ONLY communication is the
@@ -222,12 +229,14 @@ def derived_fields_isobaric_sharded(mesh: Mesh, tk: Field, q: Field,
             jnp.asarray(xmapr, jnp.float32), jnp.asarray(ymapr, jnp.float32),
             jnp.asarray(fcoriolis, jnp.float32))
     leaves = tuple(jax.tree_util.tree_flatten(args)[0])
-    fn = _isobaric_sharded_fn(mesh, (nyg, nxg), plevels, bool(interpret))
+    fn = _isobaric_sharded_fn(mesh, (nyg, nxg), plevels, bool(interpret),
+                              bool(overlap))
     return fn(leaves)
 
 
 @functools.lru_cache(maxsize=64)
-def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool):
+def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool,
+                         overlap: bool = False):
     from ..ops.vertical_fused import hlevel_to_plevel_fused
 
     nyg, nxg = global_shape
@@ -242,6 +251,20 @@ def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool):
         # local column interpolation (no communication)
         tki, qi, ui, vi = hlevel_to_plevel_fused(
             (tk, q, u, v), ps, al, bl, plevels, interpret=interpret)
+
+        if overlap:
+            ny_loc, nx_loc = tk.values.shape[-2:]
+            gy = mesh.shape["gy"] if "gy" in names else 1
+            gx = mesh.shape["gx"] if "gx" in names else 1
+            # constant-pressure surfaces: alevel = plevels, blevel = 0,
+            # ps = 0 defined everywhere (models/pipeline.py
+            # derived_fields_isobaric)
+            ps1 = Field(jnp.zeros((ny_loc, nx_loc), jnp.float32),
+                        jnp.ones((ny_loc, nx_loc), bool))
+            return _overlap_core(
+                names, gy, gx, nyg, nxg, interpret, tki, qi, ui, vi, ps1,
+                jnp.asarray(plevels, jnp.float32),
+                jnp.zeros(np_, jnp.float32), xm, ym, fc)
 
         flat = []
         for f in (tki, qi, ui, vi):
@@ -281,42 +304,124 @@ def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool):
 
 @functools.lru_cache(maxsize=64)
 def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
-    """Overlapped variant: interior kernel on the unpadded block runs
-    concurrently with the seam-strip exchange; 2 rows per seam side are
-    recomputed from 8-row strips and patched in."""
+    """Overlapped variant: the interior kernel runs on the exact
+    tile-aligned local block with NO data dependence on any collective,
+    and only the seam bands (2 rows and/or 2 columns per shard side) are
+    recomputed from small strip kernels and patched in.
+
+    y-seams: 8-row strips (one sublane tile) of full local width, as in
+    round 1.  x-seams (``gx > 1`` meshes): 2-lane edge columns are
+    exchanged *after* being extended with the y-halo rows received in the
+    y-leg — the received columns therefore carry the diagonal-corner
+    data — and each side's strip kernel runs on ``[2 recv lanes | W
+    local lanes]`` (W = min(126, nx_loc), i.e. one 128-lane tile on
+    production shards), harvesting the 2 seam columns over the FULL
+    local height.  Patch order: rows first, then columns overwrite the
+    corners with the corner-complete x-strip values.  Unlike the
+    non-overlap path, the hot interior kernel never sees the ragged
+    ``nx_loc + 4`` lane extent — it streams the aligned local block.
+    """
     nyg, nxg = global_shape
-    gy = mesh.shape["gy"]
+    names = mesh.axis_names
+    gy = mesh.shape["gy"] if "gy" in names else 1
+    gx = mesh.shape["gx"] if "gx" in names else 1
+
+    def body(leaves):
+        args = jax.tree_util.tree_unflatten(_TREEDEF, leaves)
+        return _overlap_core(names, gy, gx, nyg, nxg, interpret, *args)
+
+    in_specs, out_specs = _pipeline_specs(mesh)
+    return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
+                             out_specs=out_specs, check_vma=False))
+
+
+def _overlap_core(names, gy, gx, nyg, nxg, interpret,
+                  tk, q, u, v, ps, al, bl, xm, ym, fc):
+    """Seam machinery shared by the overlapped pipeline variants
+    (:func:`_sharded_fn_overlap`, and the isobaric path after its
+    local column interpolation): interior kernel on the unpadded
+    local block with no collective dependence, seam bands recomputed
+    from strip kernels and patched in (rows first, then columns).
+    Must be called inside ``shard_map`` over a mesh with axis names
+    ``names`` and spatial extents ``(gy, gx)``.
+    """
     # Seam-strip geometry, all derived from the composed stencil radius:
-    # each seam kernel runs on a STRIP-row block (one 8-row sublane tile,
-    # the minimum that keeps strip DMAs tile-aligned) made of an R-row
-    # halo from the neighbour plus LOC local rows; the R harvested rows
-    # sit >= R rows from either strip edge, so their composed-radius
+    # each y-seam kernel runs on a STRIP-row block (one 8-row sublane
+    # tile, the minimum that keeps strip DMAs tile-aligned) made of an
+    # R-row halo from the neighbour plus LOC local rows; the R harvested
+    # rows sit >= R rows from either strip edge, so their composed-radius
     # neighbourhoods are complete.
     R = RADIUS
     STRIP = 8
     LOC = STRIP - R
     assert STRIP >= 3 * R, "strip too short to harvest R valid rows"
+    ny_loc, nx_loc = tk.values.shape[-2:]
+    if gy > 1 and ny_loc < STRIP:
+        raise ValueError(f"overlap mode needs >= {STRIP} local rows")
+    if gx > 1 and nx_loc < 3 * R + 2:
+        raise ValueError(f"overlap mode needs >= {3 * R + 2} local "
+                         "columns per gx shard")
+    dead = ny_loc * gy - nyg     # bottom shard's global-padding rows
+    iy = lax.axis_index("gy") if "gy" in names else 0
+    ix = lax.axis_index("gx") if "gx" in names else 0
+    row0 = iy * ny_loc
+    col0 = ix * nx_loc
 
-    def body(leaves):
-        tk, q, u, v, ps, al, bl, xm, ym, fc = \
-            jax.tree_util.tree_unflatten(_TREEDEF, leaves)
-        ny_loc = tk.values.shape[-2]
-        if ny_loc < STRIP:
-            raise ValueError(f"overlap mode needs >= {STRIP} local rows")
-        dead = ny_loc * gy - nyg     # bottom shard's global-padding rows
-        iy = lax.axis_index("gy")
-        row0 = iy * ny_loc
+    from .halo import packed_sendrecv, packed_strip_exchange
+    flat = []
+    for f in (tk, q, u, v, ps):
+        flat += [f.values, f.mask]
+    flat += [xm, ym, fc]
 
-        # one packed ppermute per (direction, dtype): 4 collectives for
-        # all 13 seam strips instead of 26 — the scheduled v5e HLO
-        # showed only the first in-flight wave hiding behind the
-        # interior kernel, the rest serializing on launch latency
-        from .halo import packed_strip_exchange
-        flat = []
-        for f in (tk, q, u, v, ps):
-            flat += [f.values, f.mask]
-        flat += [xm, ym, fc]
-        tops, bots = packed_strip_exchange(flat, RADIUS, "gy", gy)
+    # ---- y-leg: one packed ppermute per (direction, dtype) — 4
+    # collectives for all 13 seam strips instead of 26 (the scheduled
+    # v5e HLO showed only the first in-flight wave hiding behind the
+    # interior kernel, the rest serializing on launch latency)
+    tops = bots = None
+    if gy > 1:
+        tops, bots = packed_strip_exchange(flat, R, "gy", gy)
+
+    # ---- x-leg: exchange the y-EXTENDED 2-lane edge columns (the
+    # neighbour's strip then includes its own y-halo rows = our
+    # diagonal-corner data); sequential with the y-leg by design —
+    # only the seam kernels, never the interior, wait on it
+    HYe = R if gy > 1 else 0
+    nys = ny_loc + 2 * HYe
+
+    def extcols(i, lo, hi):
+        a = flat[i]
+        ctr = a[..., :, lo:hi]
+        if not HYe:
+            return ctr
+        return jnp.concatenate(
+            [tops[i][..., :, lo:hi], ctr, bots[i][..., :, lo:hi]],
+            axis=a.ndim - 2)
+
+    lefts = rights = None
+    if gx > 1:
+        nf = len(flat)
+        lefts, rights = packed_sendrecv(
+            [extcols(i, 0, R) for i in range(nf)],
+            [extcols(i, nx_loc - R, nx_loc) for i in range(nf)],
+            "gx", gx)
+
+    # ---- interior: no halo, no dependence on any ppermute above
+    offs0 = jnp.stack([row0, col0]).astype(jnp.int32)
+    interior = derived_fields_fused(
+        tk, q, u, v, ps, al, bl, xm, ym, fc, interpret=interpret,
+        global_shape=(nyg, nxg), grid_offsets=offs0, halo_rows=dead)
+
+    ax = tk.values.ndim - 2
+
+    def sl(a, lo, hi):
+        return lax.slice_in_dim(a, lo, hi, axis=a.ndim - 2)
+
+    def slx(a, lo, hi):
+        return lax.slice_in_dim(a, lo, hi, axis=a.ndim - 1)
+
+    out = interior
+
+    if gy > 1:
         tk_t, q_t, u_t, v_t, ps_t = ((tops[2 * i], tops[2 * i + 1])
                                      for i in range(5))
         tk_b, q_b, u_b, v_b, ps_b = ((bots[2 * i], bots[2 * i + 1])
@@ -324,26 +429,17 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
         xm_t, ym_t, fc_t = tops[10:]
         xm_b, ym_b, fc_b = bots[10:]
 
-        # interior: no halo, no dependence on the ppermutes above
-        offs0 = jnp.stack([row0, 0]).astype(jnp.int32)
-        interior = derived_fields_fused(
-            tk, q, u, v, ps, al, bl, xm, ym, fc, interpret=interpret,
-            global_shape=(nyg, nxg), grid_offsets=offs0, halo_rows=dead)
-
-        ax = tk.values.ndim - 2
-
-        def sl(a, lo, hi):
-            return lax.slice_in_dim(a, lo, hi, axis=a.ndim - 2)
-
         def strip_field(f, halo, top):
             hv, hm = halo
             axv = f.values.ndim - 2
-            if not top:      # bottom strip: local rows first, halo last
+            if not top:  # bottom strip: local rows first, halo last
                 return Field(
-                    jnp.concatenate([sl(f.values, ny_loc - LOC, ny_loc), hv],
-                                    axis=axv),
-                    jnp.concatenate([sl(f.mask, ny_loc - LOC, ny_loc), hm],
-                                    axis=axv))
+                    jnp.concatenate(
+                        [sl(f.values, ny_loc - LOC, ny_loc), hv],
+                        axis=axv),
+                    jnp.concatenate(
+                        [sl(f.mask, ny_loc - LOC, ny_loc), hm],
+                        axis=axv))
             return Field(
                 jnp.concatenate([hv, sl(f.values, 0, LOC)], axis=axv),
                 jnp.concatenate([hm, sl(f.mask, 0, LOC)], axis=axv))
@@ -351,8 +447,8 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
         def strip2(a, halo, top):
             if top:
                 return jnp.concatenate([halo, a[..., 0:LOC, :]], axis=-2)
-            return jnp.concatenate([a[..., ny_loc - LOC:ny_loc, :], halo],
-                                   axis=-2)
+            return jnp.concatenate(
+                [a[..., ny_loc - LOC:ny_loc, :], halo], axis=-2)
 
         # top seam: rows [row0-2, row0+6); harvest local rows 0..1
         top_out = derived_fields_fused(
@@ -362,33 +458,85 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
             strip2(xm, xm_t, True), strip2(ym, ym_t, True),
             strip2(fc, fc_t, True), interpret=interpret,
             global_shape=(nyg, nxg),
-            grid_offsets=jnp.stack([row0 - RADIUS, 0]).astype(jnp.int32),
+            grid_offsets=jnp.stack([row0 - R, col0]).astype(jnp.int32),
             halo_rows=0)
-        # bottom seam: rows [row0+ny_loc-6, row0+ny_loc+2); harvest the two
-        # rows before the halo
+        # bottom seam: rows [row0+ny_loc-6, row0+ny_loc+2); harvest
+        # the two rows before the halo
         bot_out = derived_fields_fused(
-            strip_field(tk, tk_b, False),
-            strip_field(q, q_b, False),
-            strip_field(u, u_b, False),
-            strip_field(v, v_b, False),
+            strip_field(tk, tk_b, False), strip_field(q, q_b, False),
+            strip_field(u, u_b, False), strip_field(v, v_b, False),
             strip_field(ps, ps_b, False), al, bl,
             strip2(xm, xm_b, False), strip2(ym, ym_b, False),
             strip2(fc, fc_b, False), interpret=interpret,
             global_shape=(nyg, nxg),
-            grid_offsets=jnp.stack([row0 + ny_loc - LOC, 0]).astype(jnp.int32),
+            grid_offsets=jnp.stack([row0 + ny_loc - LOC, col0]
+                                   ).astype(jnp.int32),
             halo_rows=0)
 
         has_above = iy > 0
         has_below = iy < gy - 1
 
-        def patch(inter, topv, botv):
-            t = jnp.where(has_above, sl(topv, R, 2 * R), sl(inter, 0, R))
+        def patch_rows(inter, topv, botv):
+            t = jnp.where(has_above, sl(topv, R, 2 * R),
+                          sl(inter, 0, R))
             b = jnp.where(has_below, sl(botv, STRIP - 2 * R, STRIP - R),
                           sl(inter, ny_loc - R, ny_loc))
-            return jnp.concatenate([t, sl(inter, R, ny_loc - R), b], axis=ax)
+            return jnp.concatenate([t, sl(inter, R, ny_loc - R), b],
+                                   axis=ax)
 
-        return jax.tree_util.tree_map(patch, interior, top_out, bot_out)
+        out = jax.tree_util.tree_map(patch_rows, out, top_out, bot_out)
 
-    in_specs, out_specs = _pipeline_specs(mesh)
-    return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
-                             out_specs=out_specs, check_vma=False))
+    if gx > 1:
+        # one 128-lane tile per strip on production shards; smaller
+        # (ragged, correctness-only) on toy grids
+        W = min(nx_loc, 128 - R)
+
+        def xstrip_arr(i, left):
+            lo, hi = (0, W) if left else (nx_loc - W, nx_loc)
+            ctx = extcols(i, lo, hi)
+            if left:
+                return jnp.concatenate([lefts[i], ctx],
+                                       axis=ctx.ndim - 1)
+            return jnp.concatenate([ctx, rights[i]], axis=ctx.ndim - 1)
+
+        def xargs(left):
+            fld = lambda k: Field(xstrip_arr(2 * k, left),
+                                  xstrip_arr(2 * k + 1, left))
+            return (fld(0), fld(1), fld(2), fld(3), fld(4), al, bl,
+                    xstrip_arr(10, left), xstrip_arr(11, left),
+                    xstrip_arr(12, left))
+
+        # strips span ALL local rows (plus the y-halo), so their
+        # harvested columns are valid at the y-seam corners too
+        left_out = derived_fields_fused(
+            *xargs(True), interpret=interpret,
+            global_shape=(nyg, nxg),
+            grid_offsets=jnp.stack([row0 - HYe, col0 - R]
+                                   ).astype(jnp.int32),
+            halo_rows=dead + HYe)
+        right_out = derived_fields_fused(
+            *xargs(False), interpret=interpret,
+            global_shape=(nyg, nxg),
+            grid_offsets=jnp.stack([row0 - HYe, col0 + nx_loc - W]
+                                   ).astype(jnp.int32),
+            halo_rows=dead + HYe)
+
+        has_left = ix > 0
+        has_right = ix < gx - 1
+
+        def localrows(a):
+            return sl(a, HYe, HYe + ny_loc)
+
+        def patch_cols(a, lv, rv):
+            left = jnp.where(has_left, slx(localrows(lv), R, 2 * R),
+                             slx(a, 0, R))
+            right = jnp.where(has_right,
+                              slx(localrows(rv), W - R, W),
+                              slx(a, nx_loc - R, nx_loc))
+            return jnp.concatenate(
+                [left, slx(a, R, nx_loc - R), right], axis=a.ndim - 1)
+
+        out = jax.tree_util.tree_map(patch_cols, out, left_out,
+                                     right_out)
+
+    return out

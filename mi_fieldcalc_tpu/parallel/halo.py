@@ -46,8 +46,9 @@ from ..field import Field
 from ..ops import stencil as _stencil_mod
 from .mesh import partition_spec
 
-__all__ = ["halo_exchange", "packed_strip_exchange", "packed_exchange_rows",
-           "packed_exchange_cols", "run_sharded", "EdgeContext"]
+__all__ = ["halo_exchange", "packed_strip_exchange", "packed_sendrecv",
+           "packed_exchange_rows", "packed_exchange_cols", "run_sharded",
+           "EdgeContext"]
 
 
 def _exchange_1d(a, h: int, axis: int, name: str, size: int):
@@ -142,6 +143,55 @@ def packed_strip_exchange(arrays: Sequence, h: int, name: str, size: int,
                 t, b = t != 0, b != 0
             tops[i], bots[i] = t, b
     return tops, bots
+
+
+def packed_sendrecv(lo_strips: Sequence, hi_strips: Sequence, name: str,
+                    size: int):
+    """ppermute PRE-SLICED strips with packed collectives: ``lo_strips[i]``
+    goes to the preceding neighbour on mesh axis ``name``, ``hi_strips[i]``
+    to the following.  Returns ``(from_prev, from_next)`` per array —
+    the preceding neighbour's ``hi_strip`` and the following neighbour's
+    ``lo_strip`` (zeros at physical edges), dtypes restored.
+
+    Unlike :func:`packed_strip_exchange` (which slices the edge strips of
+    whole arrays itself), this takes the strips ready-made — needed when
+    the payload is not a plain edge slice, e.g. the 2-D overlap path's
+    y-extended corner columns (parallel/fused.py).  Strips must be
+    shard-uniform (every shard sends the same shapes).  One collective
+    per (direction, dtype class), bools ride as int8.
+    """
+    cast = lambda a: a.astype(jnp.int8) if a.dtype == jnp.bool_ else a
+    lo = [cast(a) for a in lo_strips]
+    hi = [cast(a) for a in hi_strips]
+    groups = {}
+    for i, a in enumerate(lo):
+        groups.setdefault(a.dtype, []).append(i)
+
+    fwd = [(i, i + 1) for i in range(size - 1)]
+    bwd = [(i + 1, i) for i in range(size - 1)]
+    from_prev = [None] * len(lo)
+    from_next = [None] * len(lo)
+    def unpack(buf, shapes):
+        out, r = [], 0
+        for shape in shapes:
+            n = 1
+            for d in shape[:-1]:
+                n *= d
+            out.append(lax.slice_in_dim(buf, r, r + n, axis=0)
+                       .reshape(shape))
+            r += n
+        return out
+
+    for idxs in groups.values():
+        prev = lax.ppermute(_pack_strips([hi[i] for i in idxs]), name, fwd)
+        nxt = lax.ppermute(_pack_strips([lo[i] for i in idxs]), name, bwd)
+        for i, p, n in zip(idxs,
+                           unpack(prev, [hi[i].shape for i in idxs]),
+                           unpack(nxt, [lo[i].shape for i in idxs])):
+            if lo_strips[i].dtype == jnp.bool_:
+                p, n = p != 0, n != 0
+            from_prev[i], from_next[i] = p, n
+    return from_prev, from_next
 
 
 def packed_exchange_rows(arrays: Sequence, h: int, mesh: Mesh):

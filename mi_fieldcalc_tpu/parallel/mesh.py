@@ -47,11 +47,16 @@ def factor_devices_for_grid(ny: int, nx: int, n: int) -> Tuple[int, int, int]:
     721 -> 1024 rows (live fraction 0.66) while (gy, gx) = (32, 4) stays
     at 0.88 and streams 25% fewer bytes per chip (PERF.md "2-D (gy, gx)
     decomposition").  This picks the divisor pair minimising padded
-    points, breaking ties toward fewer gx shards (x-halos are 2 lanes of
-    every row and lanes are the scarce axis; y-halos ride 8-row tiles)."""
+    points among the pairs the fused sharded pipeline can actually run
+    (``ny >= 8 * gy`` — its 8-row y-halo strips must fit the local
+    block, fused._require_local_rows); pairs violating that are
+    considered only when no divisor pair satisfies it (the jnp
+    ``run_sharded`` path has no such constraint).  Ties break toward
+    fewer gx shards (x-halos are 2 lanes of every row and lanes are the
+    scarce axis; y-halos ride 8-row tiles)."""
     from ..layout import padded_shape_sharded
 
-    best = None
+    candidates = []
     for gx in range(1, n + 1):
         if n % gx:
             continue
@@ -59,12 +64,11 @@ def factor_devices_for_grid(ny: int, nx: int, n: int) -> Tuple[int, int, int]:
         if gy > ny or gx > nx:
             continue
         ny_p, nx_p = padded_shape_sharded(ny, nx, gy, gx)
-        key = (ny_p * nx_p, gx)
-        if best is None or key < best[0]:
-            best = (key, (1, gy, gx))
-    if best is None:
+        fused_ok = gy == 1 or ny >= 8 * gy
+        candidates.append(((not fused_ok, ny_p * nx_p, gx), (1, gy, gx)))
+    if not candidates:
         raise ValueError(f"cannot decompose {ny}x{nx} over {n} devices")
-    return best[1]
+    return min(candidates)[1]
 
 
 def grid_mesh(mesh_shape: Optional[Sequence[int]] = None,

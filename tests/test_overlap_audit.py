@@ -20,3 +20,15 @@ def test_interior_kernel_independent_of_collectives():
     assert res["interior_reads_collective"] is False
     assert res["strip_kernels"] >= 1
     assert res["ok"] is True
+
+
+def test_interior_kernel_independent_on_2d_mesh():
+    """Same invariant on a (gy, gx) = (2, 2) mesh: the y-seam, x-seam
+    and corner exchange all stay off the interior kernel's input cone."""
+    from overlap_audit import check_jaxpr_independence
+
+    res = check_jaxpr_independence(ny=64, nx=768, gy=2, gx=2)
+    assert res["interior_kernels"] >= 1
+    assert res["interior_reads_collective"] is False
+    assert res["strip_kernels"] >= 2     # y-strips + x-strips
+    assert res["ok"] is True

@@ -234,8 +234,14 @@ def test_factor_devices_for_grid():
                for n in [128] for g in range(1, n + 1) if n % g == 0)
     assert ny_p * nx_p == best
 
-    # tiny grid: all devices fit on rows, no x split needed
-    assert factor_devices_for_grid(32, 48, 8) == (1, 8, 1)
+    # tiny grid: (8, 1) and (4, 2) tie at 8192 padded points, but the
+    # fused sharded pipeline needs ny >= 8*gy (32 < 64 rejects gy=8) —
+    # the recommended default must build a mesh the flagship path runs on
+    assert factor_devices_for_grid(32, 48, 8) == (1, 4, 2)
+    # ...and the constraint is a filter, not just a tie-break: usable
+    # pairs win even when an unusable pair pads strictly fewer points
+    # (gy=2 pads 16x384=6144 < gx=2's 16x512, but needs ny >= 16)
+    assert factor_devices_for_grid(15, 257, 2) == (1, 1, 2)
 
     # impossible decomposition raises
     import pytest as _pytest

@@ -29,8 +29,6 @@ def test_sharded_fused_matches_unsharded(mesh_shape, nlev, ny, nx, overlap):
     ndev = int(np.prod(mesh_shape))
     if len(jax.devices()) < ndev:
         pytest.skip("not enough devices")
-    if overlap and mesh_shape[2] > 1:
-        pytest.skip("overlap mode is gy-only")
     mesh = grid_mesh(mesh_shape, devices=jax.devices()[:ndev])
     args = _inputs(nlev, ny, nx, seed=ny + nx, undefs=True)
 
@@ -55,7 +53,9 @@ def test_sharded_fused_matches_unsharded(mesh_shape, nlev, ny, nx, overlap):
     ((1, 4, 1), 8, 64, 96),
     ((1, 1, 4), 8, 32, 128),
 ])
-def test_sharded_isobaric_matches_unsharded(mesh_shape, nlev, ny, nx):
+@pytest.mark.parametrize("overlap", [False, True])
+def test_sharded_isobaric_matches_unsharded(mesh_shape, nlev, ny, nx,
+                                            overlap):
     """Config-5 per-host program: per-shard column interpolation + halo
     exchange on the interpolated stack + per-shard pipeline kernel equals
     the unsharded fused isobaric pipeline (masks bit-for-bit)."""
@@ -78,7 +78,7 @@ def test_sharded_isobaric_matches_unsharded(mesh_shape, nlev, ny, nx):
 
     ref = derived_fields_isobaric(*args, plevels=plv, fused=True)
     got = derived_fields_isobaric_sharded(mesh, *args, plevels=plv,
-                                          interpret=True)
+                                          interpret=True, overlap=overlap)
     for name in ref._fields:
         rv = np.asarray(getattr(ref, name).values)
         rm = np.asarray(getattr(ref, name).mask)
@@ -120,8 +120,6 @@ def test_sharded_padded_layout_matches(mesh_shape, nlev, ny, nx, overlap):
     ndev = int(np.prod(mesh_shape))
     if len(jax.devices()) < ndev:
         pytest.skip("not enough devices")
-    if overlap and mesh_shape[2] > 1:
-        pytest.skip("overlap mode is gy-only")
     mesh = grid_mesh(mesh_shape, devices=jax.devices()[:ndev])
     args = _inputs(nlev, ny, nx, seed=5 * ny + nx, undefs=True)
     ref = jax.jit(derived_fields)(*args)

@@ -67,7 +67,20 @@ def main():
     topo = topologies.get_topology_desc(platform="tpu",
                                         topology_name=args.topology)
     gx = args.gx
-    gy = args.gy or len(topo.devices) // gx
+    ndev = len(topo.devices)
+    if gx < 1 or ndev % gx:
+        raise SystemExit(f"--gx {gx} must divide the topology's "
+                         f"{ndev} devices ({args.topology})")
+    gy = args.gy or ndev // gx
+    if gy * gx > ndev:
+        raise SystemExit(f"--gy {gy} x --gx {gx} = {gy * gx} devices, but "
+                         f"{args.topology} has only {ndev}")
+    # Flat enumeration order, not mesh_utils.create_device_mesh: the
+    # audit inspects collective structure and byte counts, which do not
+    # depend on placement — but it means gy/gx neighbours here are not
+    # necessarily ICI-adjacent (production meshes should come from
+    # parallel.mesh.grid_mesh, which uses create_device_mesh).  The
+    # caveat is echoed in the JSON output as "device_order".
     devs = np.asarray(topo.devices[:gy * gx]).reshape(1, gy, gx)
     mesh = Mesh(devs, ("lev", "gy", "gx"))
 
@@ -118,6 +131,9 @@ def main():
         "collective_permutes_sync": sync_cp, "all_gathers": ag,
         "mosaic_kernels": kernels,
         "per_chip_memory": per_chip,
+        "device_order": "enumeration (audit only; gy/gx neighbours may "
+                        "not be ICI-adjacent — use parallel.mesh.grid_mesh "
+                        "for production placement)",
         "ok": bool(kernels >= 2),
     }), flush=True)
 

@@ -60,7 +60,7 @@ def _abstract_leaves(mesh, nlev, ny, nx):
     return tuple(leaves)
 
 
-def check_jaxpr_independence(nlev=4, ny=64, nx=256, gy=4):
+def check_jaxpr_independence(nlev=4, ny=64, nx=256, gy=4, gx=1):
     """Interior pallas_call must not (transitively) read ppermute output."""
     import jax
     from mi_fieldcalc_tpu.parallel.fused import _sharded_fn_overlap
@@ -68,7 +68,7 @@ def check_jaxpr_independence(nlev=4, ny=64, nx=256, gy=4):
 
     # abstract trace only — use the host CPU devices for the mesh even
     # when the TPU backend is primary (works with 1 physical chip)
-    mesh = grid_mesh((1, gy, 1), devices=jax.devices("cpu")[:gy])
+    mesh = grid_mesh((1, gy, gx), devices=jax.devices("cpu")[:gy * gx])
     fn = _sharded_fn_overlap(mesh, (ny, nx), False)
     leaves = _abstract_leaves(mesh, nlev, ny, nx)
     jaxpr = jax.make_jaxpr(fn)(leaves)
@@ -103,11 +103,12 @@ def check_jaxpr_independence(nlev=4, ny=64, nx=256, gy=4):
             sub = eqn.params.get("jaxpr")
             sub = getattr(sub, "jaxpr", sub) if sub is not None else None
             if eqn.primitive.name == "pallas_call":
-                # row extent of the first >=2-D output: interior kernels
-                # cover the whole local block, seam strips 8 rows
+                # (rows, cols) extent of the first >=2-D output: the
+                # interior kernel covers the whole local block; y-seam
+                # strips are 8 rows, x-seam strips <= 128+ragged lanes
                 shp = [ov.aval.shape for ov in eqn.outvars
                        if len(ov.aval.shape) >= 2]
-                pallas.append((shp[0][-2] if shp else 0, reads))
+                pallas.append((shp[0][-2:] if shp else (0, 0), reads))
                 if reads:
                     tainted.update(eqn.outvars)
             elif sub is not None and hasattr(sub, "eqns"):
@@ -123,12 +124,17 @@ def check_jaxpr_independence(nlev=4, ny=64, nx=256, gy=4):
     walk(inner, set())
 
     assert pallas, "no pallas_call in the shard_map body"
-    interior = [p for p in pallas if p[0] > 8]
-    strips = [p for p in pallas if p[0] <= 8]
+    ny_loc, nx_loc = ny // gy, nx // gx
+    # x-seam strips span all local rows but <= 130 lanes; pick audit
+    # shapes with nx_loc > 130 so the classification is unambiguous
+    assert gx == 1 or nx_loc > 130, "audit shape too narrow to classify"
+    is_interior = [rc[0] >= ny_loc and rc[1] >= nx_loc for rc, _ in pallas]
+    interior = [p for p, it in zip(pallas, is_interior) if it]
+    strips = [p for p, it in zip(pallas, is_interior) if not it]
     ok = (interior and all(not reads for _, reads in interior)
           and all(reads for _, reads in strips))
     res = {
-        "check": "jaxpr_independence",
+        "check": "jaxpr_independence", "mesh": [1, gy, gx],
         "interior_kernels": len(interior),
         "interior_reads_collective": any(r for _, r in interior),
         "strip_kernels": len(strips),
@@ -139,7 +145,7 @@ def check_jaxpr_independence(nlev=4, ny=64, nx=256, gy=4):
     return res
 
 
-def check_tpu_schedule(nlev=8, ny=384, nx=1024, gy=4,
+def check_tpu_schedule(nlev=8, ny=384, nx=1024, gy=4, gx=1,
                        topology="v5e:2x2"):
     """AOT-compile for a 4-chip v5e and scan the scheduled HLO."""
     import jax
@@ -149,7 +155,7 @@ def check_tpu_schedule(nlev=8, ny=384, nx=1024, gy=4,
 
     topo = topologies.get_topology_desc(platform="tpu",
                                         topology_name=topology)
-    devs = np.asarray(topo.devices[:gy]).reshape(1, gy, 1)
+    devs = np.asarray(topo.devices[:gy * gx]).reshape(1, gy, gx)
     mesh = Mesh(devs, ("lev", "gy", "gx"))
     fn = _sharded_fn_overlap(mesh, (ny, nx), False)
     leaves = _abstract_leaves(mesh, nlev, ny, nx)
@@ -200,19 +206,23 @@ def main():
     if not on_tpu:
         jax.config.update("jax_platforms", "cpu")
     r1 = check_jaxpr_independence()
+    r1b = check_jaxpr_independence(ny=64, nx=768, gy=2, gx=2)
 
     ok2 = True               # vacuous off-TPU / when AOT is unavailable
     if on_tpu:
-        try:
-            r2, hlo = check_tpu_schedule()
-            ok2 = bool(r2["ok"])
-            with open("/root/repo/.hlo_overlap_v5e_2x2.txt", "w") as f:
-                f.write(hlo)
-        except Exception as e:  # topology AOT not available everywhere
-            print(json.dumps({"check": "tpu_schedule", "ok": None,
-                              "error": f"{type(e).__name__}: {e}"}),
-                  flush=True)
-    print(json.dumps({"check": "summary", "ok": bool(r1["ok"] and ok2)}),
+        for gy, gx, tag in ((4, 1, "v5e_2x2"), (2, 2, "v5e_2x2_gx2")):
+            try:
+                r2, hlo = check_tpu_schedule(gy=gy, gx=gx)
+                ok2 = ok2 and bool(r2["ok"])
+                with open(f"/root/repo/.hlo_overlap_{tag}.txt", "w") as f:
+                    f.write(hlo)
+            except Exception as e:  # topology AOT not available everywhere
+                print(json.dumps({"check": "tpu_schedule", "ok": None,
+                                  "mesh": [1, gy, gx],
+                                  "error": f"{type(e).__name__}: {e}"}),
+                      flush=True)
+    print(json.dumps({"check": "summary",
+                      "ok": bool(r1["ok"] and r1b["ok"] and ok2)}),
           flush=True)
 
 
