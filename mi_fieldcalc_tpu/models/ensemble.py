@@ -84,7 +84,10 @@ def ensemble_derived_summary(tk: Field, q: Field, u: Field, v: Field,
         def member_mask(i):
             if st.masks.ndim == st.values.ndim - 1:   # packed bit-plane
                 return ((st.masks >> i) & 1) != 0
-            m = st.masks[:, i]
+            from .pipeline import DerivedFieldsStacked
+            j = (DerivedFieldsStacked.MASK9[i]
+                 if st.masks.shape[1] == 9 else i)    # deduplicated stack
+            m = st.masks[:, j]
             return m if m.dtype == jnp.bool_ else m != 0
 
         out = DerivedFields(*[Field(st.values[:, i], member_mask(i))

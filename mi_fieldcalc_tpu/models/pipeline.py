@@ -69,21 +69,28 @@ class DerivedFieldsStacked(NamedTuple):
     (``derived_fields_fused(..., stacked=True)``): two output buffers
     instead of 24 means fewer, larger DMA writes, and downstream
     consumers (file writers, ensemble reducers) usually want the planes
-    contiguous anyway.  ``masks`` is a per-field int8 plane stack (the
-    kernel's DEFAULT — ``packed_masks=False``: twelve early per-plane
-    stores overlap compute better, PERF.md), or with
-    ``packed_masks=True`` ONE ``(nlev, ny, nx)`` int32 bit-plane with
-    bit ``k`` = field ``k`` defined (fewer mask bytes, measured slightly
-    slower; kept as an ABI option).  Named accessors slice / unpack
-    lazily — outside ``jit`` each access is one device-side op."""
+    contiguous anyway.  ``masks`` is an int8 plane stack — by DEFAULT
+    the 9 DEDUPLICATED planes (``dedup_masks=True``: td/duc/dv are
+    bitwise-identical to rh/the/vo by construction, so the kernel skips
+    3 of 12 plane writes per step on a DMA-byte-bound path), indexed
+    through :data:`MASK9`; ``dedup_masks=False`` restores the plain
+    12-plane stack, and ``packed_masks=True`` ONE ``(nlev, ny, nx)``
+    int32 bit-plane with bit ``k`` = field ``k`` defined (fewer mask
+    bytes, measured slightly slower; kept as an ABI option).  Named
+    accessors slice / unpack lazily — outside ``jit`` each access is
+    one device-side op."""
     values: jax.Array
     masks: jax.Array
+
+    #: field index -> plane index in the deduplicated 9-plane mask stack
+    #: (DerivedFields order: p th rh td the duc ws vo dv ad gt tf)
+    MASK9 = (0, 1, 2, 2, 3, 3, 4, 5, 5, 6, 7, 8)
 
     def field(self, i: int) -> Field:
         m = self.masks
         if m.ndim == self.values.ndim - 1:     # packed int32 bit-plane
             return Field(self.values[i], ((m >> i) & 1) != 0)
-        mi = m[i]
+        mi = m[self.MASK9[i] if m.shape[0] == 9 else i]
         return Field(self.values[i],
                      mi if mi.dtype == jnp.bool_ else mi != 0)
 

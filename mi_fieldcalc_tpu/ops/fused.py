@@ -310,10 +310,18 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
         if stacked == "packed":
             acc = [None] * 12
             mslots = [_PackedBit(acc, k) for k in range(12)]
+            (m_p, m_th, m_rh, m_td, m_the, m_duc, m_ws, m_vo, m_dv, m_ad,
+             m_gt, m_tf) = mslots
+        elif stacked == "dedup9":
+            # 9 deduplicated mask planes (td/duc/dv share rh/the/vo, as
+            # in the non-stacked layout): 3 fewer int8 plane writes per
+            # step on a DMA-byte-bound kernel
+            (m_p, m_th, m_rh, m_the, m_ws, m_vo, m_ad, m_gt, m_tf) = \
+                [_StackedSlot(om_ref, k) for k in range(9)]
         else:
             mslots = [_StackedSlot(om_ref, k) for k in range(12)]
-        (m_p, m_th, m_rh, m_td, m_the, m_duc, m_ws, m_vo, m_dv, m_ad,
-         m_gt, m_tf) = mslots
+            (m_p, m_th, m_rh, m_td, m_the, m_duc, m_ws, m_vo, m_dv, m_ad,
+             m_gt, m_tf) = mslots
     elif part == "all":
         (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
          o_gt, o_tf,
@@ -523,7 +531,7 @@ def fused_supported(ny: int, nx: int) -> bool:
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "global_shape", "halo_rows",
                                     "ty", "stacked", "mask8", "split",
-                                    "ty_ew", "packed_masks"))
+                                    "ty_ew", "packed_masks", "dedup_masks"))
 def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                          alevel, blevel, xmapr, ymapr, fcoriolis,
                          interpret: bool = False,
@@ -531,7 +539,8 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                          halo_rows: int = 2, ty: int | None = None,
                          stacked: bool = False, mask8: bool = True,
                          split: bool = False, ty_ew: int | None = None,
-                         packed_masks: bool = False):
+                         packed_masks: bool = False,
+                         dedup_masks: bool = True):
     """Fused single-pass equivalent of
     :func:`mi_fieldcalc_tpu.models.derived_fields` (same signature, same
     :class:`DerivedFields` result).
@@ -701,11 +710,14 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                     jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.float32),
                     jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int32))
             else:
-                out_specs = (vspec, vspec)
+                nmp = 9 if dedup_masks else 12
+                mspec = pl.BlockSpec((nmp, 1, TY, nx), im4,
+                                     memory_space=pltpu.VMEM)
+                out_specs = (vspec, mspec)
                 sdt = jnp.int8 if mask8 else jnp.bool_
                 out_shape = (
                     jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.float32),
-                    jax.ShapeDtypeStruct((12, nlev, ny, nx), sdt))
+                    jax.ShapeDtypeStruct((nmp, nlev, ny, nx), sdt))
         else:
             # values + deduplicated masks: td/duc/dv reuse rh/the/vo's
             # mask planes (bitwise-identical by construction).  mask8
@@ -721,11 +733,13 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
             in_specs=in_specs,
             out_specs=out_specs,
         )
+        skind = stacked
+        if stacked:
+            skind = ("packed" if packed_masks
+                     else ("dedup9" if dedup_masks else True))
         return pl.pallas_call(
             functools.partial(_kernel, ny, nx, TY, nlev, nyg, nxg,
-                              full_x,
-                              ("packed" if stacked and packed_masks
-                               else stacked), part),
+                              full_x, skind, part),
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,

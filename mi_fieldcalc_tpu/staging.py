@@ -112,8 +112,11 @@ def _compute_fetch(staged, shape, on_tpu: bool):
 
     if on_tpu:
         from .ops.fused import derived_fields_fused
+        # dedup_masks=False: the native encode_trim_batch codec wants the
+        # mask stack plane-aligned with the 12 value planes; the 3 extra
+        # device plane writes are noise next to the host codec pass
         out = derived_fields_fused(*staged, global_shape=shape,
-                                   stacked=True)
+                                   stacked=True, dedup_masks=False)
         return np.asarray(out.values), np.asarray(out.masks)
     from .models import derived_fields
     out = jax.jit(derived_fields)(*staged)

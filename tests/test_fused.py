@@ -126,17 +126,18 @@ def test_fused_stacked_matches_per_field():
     layout, and the lazy accessors recover each Field bitwise."""
     args = _inputs(2, 37, 61, seed=5, undefs=True)
     ref = derived_fields_fused(*args, interpret=True)
-    for packed in (True, False):
+    for packed, dedup in ((True, False), (False, True), (False, False)):
         got = derived_fields_fused(*args, interpret=True, stacked=True,
-                                   packed_masks=packed)
+                                   packed_masks=packed, dedup_masks=dedup)
         assert got.values.shape == (12, 2, 37, 61)
         if packed:
             # ONE int32 bit-plane (bit k = field k defined)
             assert got.masks.dtype == np.int32
             assert got.masks.shape == (2, 37, 61)
         else:
+            # default: 9 deduplicated planes (td/duc/dv share rh/the/vo)
             assert got.masks.dtype == np.int8   # boundary dtype
-            assert got.masks.shape == (12, 2, 37, 61)
+            assert got.masks.shape == (9 if dedup else 12, 2, 37, 61)
         assert got.field(0).mask.dtype == np.bool_
         fields = got.as_fields()
         for i, name in enumerate(ref._fields):
