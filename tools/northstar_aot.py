@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--topology", default="v5e:4x4")
     ap.add_argument("--gy", type=int, default=0,
                     help="devices on the gy axis (default: all / gx)")
+    ap.add_argument("--overlap", action="store_true",
+                    help="audit the seam-strip overlap variant (interior "
+                         "kernel independent of the halo collectives)")
     ap.add_argument("--gx", type=int, default=1,
                     help="devices on the gx axis: a 2-D (gy, gx) "
                     "decomposition pays 128-lane alignment per shard on x "
@@ -85,7 +88,8 @@ def main():
     mesh = Mesh(devs, ("lev", "gy", "gx"))
 
     ny_p, nx_p = padded_shape_sharded(NY, NX, gy, gx)
-    fn = _isobaric_sharded_fn(mesh, (NY, NX), PLEVELS, False)
+    fn = _isobaric_sharded_fn(mesh, (NY, NX), PLEVELS, False,
+                          overlap=args.overlap)
 
     def sds(shape, dtype, ndim):
         return jax.ShapeDtypeStruct(
@@ -123,6 +127,7 @@ def main():
     print(json.dumps({
         "workload": "config5_isobaric_global_0.25deg_137L",
         "topology": args.topology, "mesh": [1, gy, gx],
+        "overlap": bool(args.overlap),
         "global_grid": [NLEV, NY, NX], "padded": [ny_p, nx_p],
         "live_fraction": round(NY * NX / (ny_p * nx_p), 3),
         "plevels": len(PLEVELS),

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--local-nx", type=int, default=360)
     ap.add_argument("--nlev", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--overlap", action="store_true",
+                    help="route the TPU path through the seam-strip "
+                         "overlap variant (interior kernel independent "
+                         "of the halo collectives)")
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
                     help="force an N-device virtual CPU mesh (the axon "
                          "plugin pins the platform, so the env var alone "
@@ -74,7 +78,7 @@ def main():
 
         if on_tpu:
             step = lambda: derived_fields_fused_sharded(
-                mesh, *inp[:7], xm2, ym2, fc2)
+                mesh, *inp[:7], xm2, ym2, fc2, overlap=args_ns.overlap)
         else:
             fn = jax.jit(lambda *a: run_sharded(
                 derived_fields, mesh, RADIUS, *a))
@@ -93,6 +97,7 @@ def main():
             base_pps = pps
         print(json.dumps({
             "devices": n, "mesh": [1, gy, gx], "grid": [args_ns.nlev, ny, nx],
+            "overlap": bool(args_ns.overlap and on_tpu),
             "points_per_sec": round(pps, 1), "ms_per_step": round(dt * 1e3, 2),
             "weak_scaling_efficiency": round(pps / (base_pps * n), 4),
         }), flush=True)
