@@ -104,7 +104,8 @@ def main():
     # step phase produces ratios anywhere in 0.5-1.8 on identical code.
     # Interleave (calibrate, step) ROUNDS and report the median ratio —
     # each round's comparison is adjacent in time, the median rejects
-    # rounds where the chip shifted mid-round.
+    # rounds where the chip shifted mid-round (5 rounds ~2 s: cheap
+    # insurance against a 2-good-1-bad split landing on the bad one).
     add1 = jax.jit(lambda x: x + 1.0)
     big = args[0].values                          # nlev x ny x nx f32
     small = big[: max(NLEV // 4, 1)]
@@ -117,7 +118,7 @@ def main():
     points = NLEV * NY * NX
     bytes_step = _hbm_bytes_per_step(NLEV, NY, NX)
     ratios, dts = [], []
-    for _ in range(3):
+    for _ in range(5):
         t_big = qtime(lambda: add1(big), probe, 30)
         t_small = qtime(lambda: add1(small), probe, 30)
         dt = qtime(lambda: step(*args),

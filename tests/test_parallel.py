@@ -212,6 +212,55 @@ def test_packed_strip_exchange_matches_per_array(axis, mesh_shape):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+def test_packed_sendrecv_roundtrip():
+    """packed_sendrecv delivers PRE-SLICED strips (the 2-D overlap
+    path's corner-extended columns) to the right neighbours with dtypes
+    restored and zeros at physical edges."""
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from mi_fieldcalc_tpu.parallel.halo import packed_sendrecv
+
+    import jax as _jax
+    mesh = grid_mesh((1, 1, 4), devices=_jax.devices()[:4])
+    gx = mesh.shape["gx"]
+    rng = np.random.default_rng(9)
+    nys, nyl = 20, 16      # strips taller than the local block (y-ext)
+    f3 = rng.normal(size=(2, nys, 2)).astype(np.float32)
+    f2 = rng.normal(size=(nys, 2)).astype(np.float32)
+    b3 = rng.random((2, nys, 2)) < 0.5
+    # strips are shard-LOCAL payloads: replicate in, index by shard
+    import jax
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+             out_specs=(P("gx"), P("gx"), P("gx")),
+             check_rep=False)
+    def run(a3, a2, m3):
+        ix = jax.lax.axis_index("gx").astype(np.float32)
+        lo = [a3 + ix, a2 + ix, m3]
+        hi = [a3 - ix, a2 - ix, ~m3]
+        prev, nxt = packed_sendrecv(lo, hi, "gx", gx)
+        # return something shard-indexed for inspection
+        return (prev[0][None], nxt[1][None], prev[2][None])
+
+    got_prev3, got_next2, got_prevb = run(f3, f2, b3)
+    got_prev3 = np.asarray(got_prev3).reshape(gx, 2, nys, 2)
+    got_next2 = np.asarray(got_next2).reshape(gx, nys, 2)
+    got_prevb = np.asarray(got_prevb).reshape(gx, 2, nys, 2)
+    for i in range(gx):
+        if i == 0:      # physical edge: zeros
+            assert not got_prev3[0].any()
+            assert not got_prevb[0].any()
+        else:           # neighbour i-1's hi strip: f3 - (i-1)
+            np.testing.assert_allclose(got_prev3[i], f3 - (i - 1))
+            np.testing.assert_array_equal(got_prevb[i], ~b3)
+        if i == gx - 1:
+            assert not got_next2[i].any()
+        else:           # neighbour i+1's lo strip: f2 + (i+1)
+            np.testing.assert_allclose(got_next2[i], f2 + (i + 1))
+        assert got_prevb.dtype == np.bool_
+
+
 def test_factor_devices_for_grid():
     """Grid-aware factorization picks the (gy, gx) split minimising the
     padded footprint: deep 1-D gy meshes round tiny local rows up to
