@@ -157,8 +157,11 @@ def packed_sendrecv(lo_strips: Sequence, hi_strips: Sequence, name: str,
     whole arrays itself), this takes the strips ready-made — needed when
     the payload is not a plain edge slice, e.g. the 2-D overlap path's
     y-extended corner columns (parallel/fused.py).  Strips must be
-    shard-uniform (every shard sends the same shapes).  One collective
-    per (direction, dtype class), bools ride as int8.
+    shard-uniform (every shard sends the same shapes) and share one
+    trailing dim within each dtype class — the packer flattens to
+    ``(-1, last)`` and a mismatched trailing dim would silently
+    desynchronise every later unpack offset, so it is asserted.  One
+    collective per (direction, dtype class), bools ride as int8.
     """
     cast = lambda a: a.astype(jnp.int8) if a.dtype == jnp.bool_ else a
     lo = [cast(a) for a in lo_strips]
@@ -166,6 +169,12 @@ def packed_sendrecv(lo_strips: Sequence, hi_strips: Sequence, name: str,
     groups = {}
     for i, a in enumerate(lo):
         groups.setdefault(a.dtype, []).append(i)
+    for idxs in groups.values():
+        lasts = {lo[i].shape[-1] for i in idxs} | \
+                {hi[i].shape[-1] for i in idxs}
+        if len(lasts) != 1:
+            raise ValueError("packed_sendrecv: strips in one dtype group "
+                             f"must share a trailing dim, got {lasts}")
 
     fwd = [(i, i + 1) for i in range(size - 1)]
     bwd = [(i + 1, i) for i in range(size - 1)]

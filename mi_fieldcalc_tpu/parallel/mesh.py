@@ -48,9 +48,11 @@ def factor_devices_for_grid(ny: int, nx: int, n: int) -> Tuple[int, int, int]:
     at 0.88 and streams 25% fewer bytes per chip (PERF.md "2-D (gy, gx)
     decomposition").  This picks the divisor pair minimising padded
     points among the pairs the fused sharded pipeline can actually run
-    (``ny >= 8 * gy`` — its 8-row y-halo strips must fit the local
-    block, fused._require_local_rows); pairs violating that are
-    considered only when no divisor pair satisfies it (the jnp
+    (fused._require_local_rows needs >= 8 CARRIED rows per gy shard:
+    with unpadded carriage — only possible when ``ny % gy == 0`` —
+    that means ``ny // gy >= 8``; padded carriage always satisfies it
+    because local blocks round up to 8-row tiles); pairs violating that
+    are considered only when no divisor pair satisfies it (the jnp
     ``run_sharded`` path has no such constraint).  Ties break toward
     fewer gx shards (x-halos are 2 lanes of every row and lanes are the
     scarce axis; y-halos ride 8-row tiles)."""
@@ -64,7 +66,7 @@ def factor_devices_for_grid(ny: int, nx: int, n: int) -> Tuple[int, int, int]:
         if gy > ny or gx > nx:
             continue
         ny_p, nx_p = padded_shape_sharded(ny, nx, gy, gx)
-        fused_ok = gy == 1 or ny >= 8 * gy
+        fused_ok = gy == 1 or ny % gy != 0 or ny // gy >= 8
         candidates.append(((not fused_ok, ny_p * nx_p, gx), (1, gy, gx)))
     if not candidates:
         raise ValueError(f"cannot decompose {ny}x{nx} over {n} devices")

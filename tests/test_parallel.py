@@ -217,7 +217,10 @@ def test_packed_sendrecv_roundtrip():
     path's corner-extended columns) to the right neighbours with dtypes
     restored and zeros at physical edges."""
     from functools import partial
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
     from mi_fieldcalc_tpu.parallel.halo import packed_sendrecv
 
@@ -234,7 +237,7 @@ def test_packed_sendrecv_roundtrip():
 
     @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P()),
              out_specs=(P("gx"), P("gx"), P("gx")),
-             check_rep=False)
+             check_vma=False)
     def run(a3, a2, m3):
         ix = jax.lax.axis_index("gx").astype(np.float32)
         lo = [a3 + ix, a2 + ix, m3]
@@ -289,8 +292,12 @@ def test_factor_devices_for_grid():
     assert factor_devices_for_grid(32, 48, 8) == (1, 4, 2)
     # ...and the constraint is a filter, not just a tie-break: usable
     # pairs win even when an unusable pair pads strictly fewer points
-    # (gy=2 pads 16x384=6144 < gx=2's 16x512, but needs ny >= 16)
-    assert factor_devices_for_grid(15, 257, 2) == (1, 1, 2)
+    # (gy=8 carries 4 unpadded rows/shard, below the fused path's 8)
+    assert factor_devices_for_grid(32, 257, 8) == (1, 4, 2)
+    # ...but it keys on CARRIED rows: ny % gy != 0 forces padded
+    # carriage, whose 8-row tiles always satisfy the constraint — the
+    # padding-optimal (2, 1) must win here (16x384 < 16x512 points)
+    assert factor_devices_for_grid(15, 257, 2) == (1, 2, 1)
 
     # impossible decomposition raises
     import pytest as _pytest
