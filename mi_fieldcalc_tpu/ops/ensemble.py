@@ -127,7 +127,8 @@ def extreme_value(compute: int, members) -> Field:
 
 
 def probability(compute: int, members, limits: Sequence[float],
-                member_defined: Optional[Sequence[ValuesDefined]] = None) -> Field:
+                member_defined: Optional[Sequence[ValuesDefined]] = None,
+                member_defined_mask=None) -> Field:
     """Ensemble probability / count of values above/below/between limits
     (FieldCalculations.cc:2807-2860).
 
@@ -137,8 +138,15 @@ def probability(compute: int, members, limits: Sequence[float],
     denominator counts members whose *whole-field* flag is not
     NONE_DEFINED, even if the member's value at this point is undefined —
     per-point undefs lower the probability instead of shrinking the
-    denominator.  ``member_defined`` supplies those flags; if omitted they
-    are derived from each member's mask (``any`` reduction).
+    denominator.  ``member_defined`` supplies those flags as static
+    Python values; ``member_defined_mask`` supplies them as a TRACED
+    ``[nmem]`` bool array instead — the whole-field flag is a *global*
+    decision, so spatially sharded callers must reduce it across shards
+    (``lax.pmax`` over the mesh axes; parallel/fused.py
+    ensemble_summary_sharded) rather than let the default per-shard
+    ``any`` diverge between shards.  If both are omitted the flags are
+    derived from each member's mask (``any`` reduction over this
+    call's view of the field).
     """
     s = _stack(members)
     n_members = s.values.shape[0]
@@ -157,11 +165,20 @@ def probability(compute: int, members, limits: Sequence[float],
     if check_below:
         passes = passes & (s.values < value_below)
 
+    require(member_defined is None or member_defined_mask is None,
+            "probability: pass member_defined or member_defined_mask, "
+            "not both")
     if member_defined is not None:
         counted = [int(d) != int(ValuesDefined.NONE_DEFINED)
                    for d in member_defined]
         nfields_defined = jnp.asarray(sum(counted), jnp.int32)
         member_sel = jnp.asarray(counted, bool)
+        passes = passes & member_sel.reshape((-1,) + (1,) * (s.values.ndim - 1))
+    elif member_defined_mask is not None:
+        member_sel = jnp.asarray(member_defined_mask).astype(bool)
+        require(member_sel.ndim == 1,
+                "probability: member_defined_mask must be a [nmem] vector")
+        nfields_defined = jnp.sum(member_sel).astype(jnp.int32)
         passes = passes & member_sel.reshape((-1,) + (1,) * (s.values.ndim - 1))
     else:
         axes = tuple(range(1, s.mask.ndim))

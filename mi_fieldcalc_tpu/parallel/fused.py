@@ -34,7 +34,8 @@ from ..field import Field
 from ..ops.fused import derived_fields_fused
 from .mesh import partition_spec
 
-__all__ = ["derived_fields_fused_sharded", "derived_fields_isobaric_sharded"]
+__all__ = ["derived_fields_fused_sharded", "derived_fields_isobaric_sharded",
+           "ensemble_summary_sharded"]
 
 #: Composed stencil radius of the pipeline (TFP through |grad T|).
 RADIUS = 2
@@ -540,3 +541,93 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
                                      right_out)
 
     return out
+
+
+def ensemble_summary_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
+                             v: Field, ps: Field, alevel, blevel,
+                             xmapr, ymapr, fcoriolis,
+                             wind_limit: float = 15.0,
+                             interpret: bool = False,
+                             global_shape=None):
+    """Sharded ensemble pipeline: per-member derived fields + ensemble
+    summary, spatially decomposed over ``mesh``.
+
+    Inputs as :func:`..models.ensemble.ensemble_derived_summary`
+    (``[nmem, nlev, ny, nx]`` member stacks, ``[nmem, ny, nx]`` surface
+    pressure; map factors as ``(ny, nx)`` arrays).  The member axis
+    stays LOCAL (members are embarrassingly parallel and the summary
+    reduces over them), each member runs through the seam-strip overlap
+    machinery (:func:`_overlap_core`) vmapped over the local block, and
+    the probability denominators use *globally* reduced per-member
+    whole-field flags (``lax.pmax`` over the spatial axes) — the
+    reference's flag is a whole-field decision
+    (FieldCalculations.cc:2840-2847), so a per-shard ``any`` would
+    diverge between shards whose subdomain sees no defined point of a
+    member.  The mesh must have ``lev == 1``.
+    """
+    if dict(mesh.shape).get("lev", 1) != 1:
+        raise ValueError("ensemble sharding needs lev == 1 (the member "
+                         "axis stays local; spatial axes shard)")
+    nyg, nxg = (tk.values.shape[-2:] if global_shape is None
+                else global_shape)
+    _require_local_rows(mesh, tk.values.shape[-2])
+    args = (tk, q, u, v, ps, jnp.asarray(alevel, jnp.float32),
+            jnp.asarray(blevel, jnp.float32),
+            jnp.asarray(xmapr, jnp.float32), jnp.asarray(ymapr, jnp.float32),
+            jnp.asarray(fcoriolis, jnp.float32))
+    leaves = tuple(jax.tree_util.tree_flatten(args)[0])
+    fn = _ensemble_sharded_fn(mesh, (nyg, nxg), float(wind_limit),
+                              bool(interpret))
+    return fn(leaves)
+
+
+@functools.lru_cache(maxsize=64)
+def _ensemble_sharded_fn(mesh: Mesh, global_shape, wind_limit: float,
+                         interpret: bool):
+    from ..models.ensemble import EnsembleSummary
+    from ..models.pipeline import DerivedFields
+    from ..ops import mean_value, probability, stddev_value
+
+    nyg, nxg = global_shape
+    names = mesh.axis_names
+    gy = mesh.shape["gy"] if "gy" in names else 1
+    gx = mesh.shape["gx"] if "gx" in names else 1
+    spatial = tuple(n for n in ("gy", "gx") if n in names)
+
+    def body(leaves):
+        tk, q, u, v, ps, al, bl, xm, ym, fc = \
+            jax.tree_util.tree_unflatten(_TREEDEF, leaves)
+
+        per_member = jax.vmap(
+            lambda tkm, qm, um, vm, psm: _overlap_core(
+                names, gy, gx, nyg, nxg, interpret,
+                tkm, qm, um, vm, psm, al, bl, xm, ym, fc))
+        out = per_member(tk, q, u, v, ps)   # DerivedFields of [nmem, ...]
+
+        def member_flags(f):
+            # whole-field per-member flag, reduced across shards so the
+            # probability denominator is the reference's global decision
+            local = jnp.any(f.mask, axis=tuple(range(1, f.mask.ndim)))
+            if not spatial:
+                return local
+            return lax.pmax(local.astype(jnp.int32), spatial) != 0
+
+        mean = DerivedFields(*[mean_value(f) for f in out])
+        spread = DerivedFields(*[stddev_value(f) for f in out])
+        prob_wind = probability(1, out.wspeed, (wind_limit,),
+                                member_defined_mask=member_flags(out.wspeed))
+        prob_t_freeze = probability(2, out.tadv, (0.0,),
+                                    member_defined_mask=member_flags(out.tadv))
+        return EnsembleSummary(mean=mean, spread=spread,
+                               prob_wind=prob_wind,
+                               prob_t_freeze=prob_t_freeze)
+
+    spec3 = partition_spec(3, mesh)
+    fld3 = Field(spec3, spec3)
+    df3 = DerivedFields(*[fld3] * 12)
+    out_specs = EnsembleSummary(mean=df3, spread=df3, prob_wind=fld3,
+                                prob_t_freeze=fld3)
+    in_specs = tuple(partition_spec(nd, mesh)
+                     for nd in [4] * 8 + [3] * 2 + [1] * 2 + [2] * 3)
+    return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
+                             out_specs=out_specs, check_vma=False))

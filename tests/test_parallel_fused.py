@@ -180,3 +180,60 @@ def test_sharded_isobaric_padded_layout_matches():
         rv, gv = np.asarray(ra.values), np.asarray(ga.values)
         with np.errstate(all="ignore"):
             assert np.allclose(rv[rm], gv[rm], rtol=2e-5, atol=5e-6), name
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2, 2), (1, 4, 1)])
+def test_sharded_ensemble_matches_unsharded(mesh_shape):
+    """Sharded ensemble pipeline (per-member overlap kernel + summary):
+    mean/spread/probabilities equal the unsharded jnp path, including
+    the probability denominator's whole-field member flags — member 2
+    below is defined ONLY inside shard (0, 0)'s subdomain, so a
+    per-shard `any` would give other shards a different denominator."""
+    import jax.numpy as jnp
+    from mi_fieldcalc_tpu.field import Field
+    from mi_fieldcalc_tpu.models.ensemble import ensemble_derived_summary
+    from mi_fieldcalc_tpu.parallel.fused import ensemble_summary_sharded
+
+    ndev = int(np.prod(mesh_shape))
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mesh = grid_mesh(mesh_shape, devices=jax.devices()[:ndev])
+    nmem, nlev, ny, nx = 3, 2, 32, 64
+
+    members = [_inputs(nlev, ny, nx, seed=100 + m, undefs=True)
+               for m in range(nmem)]
+
+    def stack(i):
+        vals = jnp.stack([np.asarray(mm[i].values) for mm in members])
+        msks = jnp.stack([np.asarray(mm[i].mask) for mm in members])
+        if i == 0:   # tk: member 2 defined only in the top-left corner
+            m2 = np.zeros((nlev, ny, nx), bool)
+            m2[:, :4, :4] = np.asarray(members[2][0].mask)[:, :4, :4]
+            msks = msks.at[2].set(jnp.asarray(m2))
+        return Field(vals, msks)
+
+    tk, q, u, v, ps = (stack(i) for i in range(5))
+    al, bl, xm, ym, fc = members[0][5:]
+    xm2 = jnp.broadcast_to(xm, (ny, nx))
+    ym2 = jnp.broadcast_to(ym, (ny, nx))
+    fc2 = jnp.broadcast_to(fc, (ny, nx))
+
+    ref = jax.jit(lambda *a: ensemble_derived_summary(*a))(
+        tk, q, u, v, ps, al, bl, xm2, ym2, fc2)
+    got = ensemble_summary_sharded(mesh, tk, q, u, v, ps, al, bl,
+                                   xm2, ym2, fc2, interpret=True)
+
+    def cmp(r, g, name):
+        rm, gm = np.asarray(r.mask), np.asarray(g.mask)
+        assert np.array_equal(rm, gm), f"{name}: mask"
+        rv, gv = np.asarray(r.values), np.asarray(g.values)
+        with np.errstate(all="ignore"):
+            assert np.allclose(rv[rm], gv[rm], rtol=2e-5, atol=1e-5), \
+                f"{name}: values"
+
+    for fam in ("mean", "spread"):
+        for fname in ref.mean._fields:
+            cmp(getattr(getattr(ref, fam), fname),
+                getattr(getattr(got, fam), fname), f"{fam}.{fname}")
+    cmp(ref.prob_wind, got.prob_wind, "prob_wind")
+    cmp(ref.prob_t_freeze, got.prob_t_freeze, "prob_t_freeze")
