@@ -337,7 +337,8 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
 
 
 def _overlap_core(names, gy, gx, nyg, nxg, interpret,
-                  tk, q, u, v, ps, al, bl, xm, ym, fc):
+                  tk, q, u, v, ps, al, bl, xm, ym, fc,
+                  stacked=False):
     """Seam machinery shared by the overlapped pipeline variants
     (:func:`_sharded_fn_overlap`, and the isobaric path after its
     local column interpolation): interior kernel on the unpadded
@@ -410,9 +411,8 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
     offs0 = jnp.stack([row0, col0]).astype(jnp.int32)
     interior = derived_fields_fused(
         tk, q, u, v, ps, al, bl, xm, ym, fc, interpret=interpret,
+        stacked=stacked,
         global_shape=(nyg, nxg), grid_offsets=offs0, halo_rows=dead)
-
-    ax = tk.values.ndim - 2
 
     def sl(a, lo, hi):
         return lax.slice_in_dim(a, lo, hi, axis=a.ndim - 2)
@@ -457,7 +457,7 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
             strip_field(u, u_t, True), strip_field(v, v_t, True),
             strip_field(ps, ps_t, True), al, bl,
             strip2(xm, xm_t, True), strip2(ym, ym_t, True),
-            strip2(fc, fc_t, True), interpret=interpret,
+            strip2(fc, fc_t, True), interpret=interpret, stacked=stacked,
             global_shape=(nyg, nxg),
             grid_offsets=jnp.stack([row0 - R, col0]).astype(jnp.int32),
             halo_rows=0)
@@ -468,7 +468,7 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
             strip_field(u, u_b, False), strip_field(v, v_b, False),
             strip_field(ps, ps_b, False), al, bl,
             strip2(xm, xm_b, False), strip2(ym, ym_b, False),
-            strip2(fc, fc_b, False), interpret=interpret,
+            strip2(fc, fc_b, False), interpret=interpret, stacked=stacked,
             global_shape=(nyg, nxg),
             grid_offsets=jnp.stack([row0 + ny_loc - LOC, col0]
                                    ).astype(jnp.int32),
@@ -483,7 +483,7 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
             b = jnp.where(has_below, sl(botv, STRIP - 2 * R, STRIP - R),
                           sl(inter, ny_loc - R, ny_loc))
             return jnp.concatenate([t, sl(inter, R, ny_loc - R), b],
-                                   axis=ax)
+                                   axis=inter.ndim - 2)
 
         out = jax.tree_util.tree_map(patch_rows, out, top_out, bot_out)
 
@@ -510,13 +510,13 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
         # strips span ALL local rows (plus the y-halo), so their
         # harvested columns are valid at the y-seam corners too
         left_out = derived_fields_fused(
-            *xargs(True), interpret=interpret,
+            *xargs(True), interpret=interpret, stacked=stacked,
             global_shape=(nyg, nxg),
             grid_offsets=jnp.stack([row0 - HYe, col0 - R]
                                    ).astype(jnp.int32),
             halo_rows=dead + HYe)
         right_out = derived_fields_fused(
-            *xargs(False), interpret=interpret,
+            *xargs(False), interpret=interpret, stacked=stacked,
             global_shape=(nyg, nxg),
             grid_offsets=jnp.stack([row0 - HYe, col0 + nx_loc - W]
                                    ).astype(jnp.int32),
@@ -601,8 +601,18 @@ def _ensemble_sharded_fn(mesh: Mesh, global_shape, wind_limit: float,
         per_member = jax.vmap(
             lambda tkm, qm, um, vm, psm: _overlap_core(
                 names, gy, gx, nyg, nxg, interpret,
-                tkm, qm, um, vm, psm, al, bl, xm, ym, fc))
-        out = per_member(tk, q, u, v, ps)   # DerivedFields of [nmem, ...]
+                tkm, qm, um, vm, psm, al, bl, xm, ym, fc, stacked=True))
+        st = per_member(tk, q, u, v, ps)    # SoA: values [nmem, 12, ...]
+        from ..models.pipeline import DerivedFieldsStacked
+        m9 = st.masks.shape[1] == 9
+
+        def member_field(i):
+            j = DerivedFieldsStacked.MASK9[i] if m9 else i
+            m = st.masks[:, j]
+            return Field(st.values[:, i],
+                         m if m.dtype == jnp.bool_ else m != 0)
+
+        out = DerivedFields(*[member_field(i) for i in range(12)])
 
         def member_flags(f):
             # whole-field per-member flag, reduced across shards so the
