@@ -104,6 +104,37 @@ def test_probability12():
     assert abs(float(out.values[0, 0])) < 1e-6
 
 
+def test_probability_traced_member_flags():
+    """member_defined_mask (a traced [nmem] bool vector — the sharded
+    path's globally-reduced flags) reproduces the static member_defined
+    semantics exactly, and passing both raises."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    n_ens = 10
+    vals = np.full((n_ens, 1, 1), UNDEF, np.float32)
+    vals[2] = 940
+    vals[4] = 3500
+    members = from_sentinel(vals, undef=UNDEF)
+    defined = [SOME] * n_ens
+    defined[0] = NONE
+    defined[8] = NONE
+    mask_vec = jnp.asarray([d != NONE for d in defined])
+
+    for compute, limits, expect in ((2, [3000, 3000], 100.0 / 8),
+                                    (1, [3000, 3000], 100.0 / 8),
+                                    (3, [500, 4000], 200.0 / 8)):
+        ref = ops.probability(compute, members, limits, defined)
+        got = ops.probability(compute, members, limits,
+                              member_defined_mask=mask_vec)
+        assert float(ref.values[0, 0]) == float(got.values[0, 0])
+        assert got.defined_state() == ALL
+
+    with _pytest.raises(ValueError):
+        ops.probability(1, members, [3000], defined,
+                        member_defined_mask=mask_vec)
+
+
 def test_probability_counts():
     vals = np.array([[[1.0]], [[5.0]], [[9.0]]], np.float32)
     members = from_sentinel(vals, undef=UNDEF)
