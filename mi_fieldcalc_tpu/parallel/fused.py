@@ -46,7 +46,8 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
                                  xmapr, ymapr, fcoriolis,
                                  interpret: bool = False,
                                  overlap: bool = False,
-                                 global_shape=None):
+                                 global_shape=None,
+                                 stacked: bool = False):
     """Run the fused pipeline kernel per-shard over ``mesh``.
 
     Arguments as :func:`..models.pipeline.derived_fields`; ``xmapr`` /
@@ -69,6 +70,12 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
     ragged-DMA penalty (layout.py); y-halos are one 8-row tile wide and
     ``gx == 1`` meshes exchange no x-halo, so every per-shard transfer
     stays aligned.  Outputs come back padded (trim at the host boundary).
+
+    ``stacked=True`` returns the 2-buffer SoA
+    :class:`..models.pipeline.DerivedFieldsStacked` layout instead of 12
+    per-field Fields — the per-field output layout is most of the
+    shard_map premium on one device (PERF.md), and file writers usually
+    want the planes contiguous anyway.
     """
     nyg, nxg = (tk.values.shape[-2:] if global_shape is None
                 else global_shape)
@@ -79,9 +86,10 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
             jnp.asarray(fcoriolis, jnp.float32))
     leaves = tuple(jax.tree_util.tree_flatten(args)[0])
     if overlap:
-        fn = _sharded_fn_overlap(mesh, (nyg, nxg), bool(interpret))
+        fn = _sharded_fn_overlap(mesh, (nyg, nxg), bool(interpret),
+                                 bool(stacked))
     else:
-        fn = _sharded_fn(mesh, (nyg, nxg), bool(interpret))
+        fn = _sharded_fn(mesh, (nyg, nxg), bool(interpret), bool(stacked))
     return fn(leaves)
 
 
@@ -125,7 +133,8 @@ def _exchange_all(arrays, mesh: Mesh, hy: int, hx: int):
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_fn(mesh: Mesh, global_shape, interpret: bool):
+def _sharded_fn(mesh: Mesh, global_shape, interpret: bool,
+                stacked: bool = False):
     """One jitted shard_map program per (mesh, logical grid) — repeat
     calls dispatch the cached executable instead of re-tracing."""
     nyg, nxg = global_shape
@@ -158,13 +167,14 @@ def _sharded_fn(mesh: Mesh, global_shape, interpret: bool):
 
         out = derived_fields_fused(tkp, qp, up, vp, psp, al, bl, xmp, ymp,
                                    fcp, interpret=interpret,
+                                   stacked=stacked,
                                    global_shape=(nyg, nxg),
                                    grid_offsets=offs,
                                    halo_rows=HY + dead)
         return jax.tree_util.tree_map(
             lambda a: a[..., HY:HY + ny_loc, HX:HX + nx_loc], out)
 
-    in_specs, out_specs = _pipeline_specs(mesh)
+    in_specs, out_specs = _pipeline_specs(mesh, stacked)
     return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
                              out_specs=out_specs, check_vma=False))
 
@@ -175,15 +185,22 @@ _TREEDEF = jax.tree_util.tree_structure(
      0, 0, 0, 0, 0))
 
 
-def _pipeline_specs(mesh: Mesh):
+def _pipeline_specs(mesh: Mesh, stacked: bool = False):
     """(in_specs, out_specs) for the 13-leaf pipeline argument tree and
     the DerivedFields result — ONE definition for all three shard_map
     builders, kept next to _TREEDEF whose leaf order it encodes:
     (values, mask) x tk,q,u,v [3-D], ps [2-D], alevel/blevel [1-D],
-    xmapr/ymapr/fcoriolis [2-D]."""
-    from ..models.pipeline import DerivedFields
-    out_spec = partition_spec(3, mesh)
-    out_specs = DerivedFields(*[Field(out_spec, out_spec)] * 12)
+    xmapr/ymapr/fcoriolis [2-D].  ``stacked`` swaps the result spec for
+    the 2-array SoA layout (leading field-plane axis unsharded)."""
+    from jax.sharding import PartitionSpec
+    from ..models.pipeline import DerivedFields, DerivedFieldsStacked
+    if stacked:
+        p3 = partition_spec(3, mesh)
+        sspec = PartitionSpec(None, *p3)
+        out_specs = DerivedFieldsStacked(values=sspec, masks=sspec)
+    else:
+        out_spec = partition_spec(3, mesh)
+        out_specs = DerivedFields(*[Field(out_spec, out_spec)] * 12)
     in_specs = tuple(partition_spec(nd, mesh)
                      for nd in [3] * 8 + [2] * 2 + [1] * 2 + [2] * 3)
     return in_specs, out_specs
@@ -304,7 +321,8 @@ def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool,
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
+def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool,
+                        stacked: bool = False):
     """Overlapped variant: the interior kernel runs on the exact
     tile-aligned local block with NO data dependence on any collective,
     and only the seam bands (2 rows and/or 2 columns per shard side) are
@@ -329,9 +347,10 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool):
 
     def body(leaves):
         args = jax.tree_util.tree_unflatten(_TREEDEF, leaves)
-        return _overlap_core(names, gy, gx, nyg, nxg, interpret, *args)
+        return _overlap_core(names, gy, gx, nyg, nxg, interpret, *args,
+                             stacked=stacked)
 
-    in_specs, out_specs = _pipeline_specs(mesh)
+    in_specs, out_specs = _pipeline_specs(mesh, stacked)
     return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
                              out_specs=out_specs, check_vma=False))
 

@@ -237,3 +237,28 @@ def test_sharded_ensemble_matches_unsharded(mesh_shape):
                 getattr(getattr(got, fam), fname), f"{fam}.{fname}")
     cmp(ref.prob_wind, got.prob_wind, "prob_wind")
     cmp(ref.prob_t_freeze, got.prob_t_freeze, "prob_t_freeze")
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_sharded_stacked_matches_per_field(overlap):
+    """stacked=True on the sharded entry returns the SoA layout with the
+    same values/masks as the per-field result (accessors recover each
+    Field bitwise)."""
+    mesh_shape, nlev, ny, nx = (1, 2, 2), 2, 32, 64
+    ndev = int(np.prod(mesh_shape))
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mesh = grid_mesh(mesh_shape, devices=jax.devices()[:ndev])
+    args = _inputs(nlev, ny, nx, seed=17, undefs=True)
+
+    ref = derived_fields_fused_sharded(mesh, *args, interpret=True,
+                                       overlap=overlap)
+    got = derived_fields_fused_sharded(mesh, *args, interpret=True,
+                                       overlap=overlap, stacked=True)
+    assert got.values.shape == (12, nlev, ny, nx)
+    for i, name in enumerate(ref._fields):
+        ra, ga = getattr(ref, name), got.field(i)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, np.asarray(ga.mask)), name
+        assert np.array_equal(np.asarray(ra.values)[rm],
+                              np.asarray(ga.values)[rm]), name
