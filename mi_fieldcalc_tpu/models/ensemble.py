@@ -15,9 +15,12 @@ jitted program over a ``[nmem, nlev, ny, nx]`` member stack:
 * everything fuses: member fields never round-trip HBM between the
   pipeline and the reductions.
 
-Sharding: the member axis maps naturally onto the mesh's ``lev`` axis
-(members are embarrassingly parallel); the y/x axes shard exactly like
-the single-member pipeline (parallel/mesh.py).
+Sharding: the production form is
+:func:`..parallel.fused.ensemble_summary_sharded` — spatial (gy, gx)
+decomposition with the member axis local (each member runs through the
+seam-strip overlap kernel, the summary reduces locally, and the
+probability denominators' whole-field member flags are pmax-reduced
+across shards so every shard sees the reference's global decision).
 """
 
 from __future__ import annotations

@@ -34,10 +34,26 @@ import jax.numpy as jnp
 
 from ..field import Field
 from ._harness import require
+from .stencil import _SHARD_CTX
 
 __all__ = ["neighbour_prob_functions", "neighbour_functions"]
 
 _f32 = jnp.float32
+
+
+def _grid_ctx(shape):
+    """(row0, col0, nyg, nxg): the local block's global origin and the
+    global extents.  Unsharded these are (0, 0, ny, nx); under
+    ``run_sharded`` the installed :class:`..ops.stencil.ShardCtx`
+    supplies them — the border-undef ring and the strided block grid are
+    GLOBAL-coordinate semantics (reference cc:2992-3011, 3003), so a
+    local iota would put borders at shard seams and shift every shard's
+    sample grid."""
+    ctx = _SHARD_CTX.get()
+    ny, nx = shape[-2], shape[-1]
+    if ctx is None:
+        return 0, 0, ny, nx
+    return ctx.row0, ctx.col0, ctx.nyg, ctx.nxg
 
 
 def _box_sum_sat(ind, rng: int):
@@ -65,9 +81,10 @@ def _box_sum_sat(ind, rng: int):
 
 def _border_mask(shape, rng: int):
     ny, nx = shape[-2], shape[-1]
-    y = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
-    x = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
-    inner = (y >= rng) & (y < ny - rng) & (x >= rng) & (x < nx - rng)
+    row0, col0, nyg, nxg = _grid_ctx(shape)
+    y = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0) + row0
+    x = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1) + col0
+    inner = (y >= rng) & (y < nyg - rng) & (x >= rng) & (x < nxg - rng)
     return jnp.broadcast_to(inner, shape)
 
 
@@ -154,7 +171,8 @@ def neighbour_functions(f: Field, constants: Sequence[float],
         if len(constants) == 3:
             step = int(constants[2])
     ny, nx = f.shape[-2], f.shape[-1]
-    require(rng <= nx and rng <= ny and rng >= 1,
+    row0, col0, nyg, nxg = _grid_ctx(f.shape)
+    require(rng <= nxg and rng <= nyg and rng >= 1,
             "neighbourFunctions: bad range")
     require(step >= 1, "neighbourFunctions: bad step")
 
@@ -199,10 +217,16 @@ def neighbour_functions(f: Field, constants: Sequence[float],
     # map each output point to its sample point (strided block fill).
     # Every block is a contiguous step x step cell around a sample, so the
     # fill is a strided slice + repeat — no gather (TPU gathers on full
-    # grids cost ~10x the window statistic itself).
+    # grids cost ~10x the window statistic itself).  Coordinates are
+    # GLOBAL: under run_sharded the block grid must not restart at shard
+    # seams, so the sharded form selects among ``step`` rolled copies per
+    # axis by the (traced) phase of the global block grid instead of the
+    # static strided slice.  Sharded callers pass composed radius
+    # ``rng + step - 1`` (the sample point of a seam cell sits up to
+    # step-1 rows into the neighbour shard).
     first = rng
-    y = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
-    x = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+    y = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0) + row0
+    x = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1) + col0
 
     def axis_meta(dim):
         n_blocks = max((dim - 2 * rng + step - 1) // step, 0)
@@ -217,12 +241,31 @@ def neighbour_functions(f: Field, constants: Sequence[float],
         hi = s - (step - 1) // 2 + step  # exclusive end of the block
         return valid & (coord < hi)
 
-    valid = valid_of(y, ny) & valid_of(x, nx)
+    valid = valid_of(y, nyg) & valid_of(x, nxg)
+    sharded = _SHARD_CTX.get() is not None
     if step == 1:
         gathered = stat          # every point is its own sample
+    elif sharded:
+        # gathered[l] = stat[l + (t - o)] with o = (g - lo) % step the
+        # within-block offset and t = first - lo static: select among
+        # the step possible shifts per axis (2*step rolled copies — a
+        # post-processing op, not the hot path)
+        t = (step - 1) // 2
+
+        def fill_axis(a, axis, origin):
+            lo = first - (step - 1) // 2
+            o = (jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+                 + (origin - lo) % step) % step
+            res = a if t == 0 else jnp.roll(a, -t, axis=axis)
+            for k in range(1, step):
+                res = jnp.where(o == k, jnp.roll(a, k - t, axis=axis), res)
+            return res
+
+        gathered = fill_axis(fill_axis(stat, stat.ndim - 2, row0),
+                             stat.ndim - 1, col0)
     else:
-        nby, lo_y = axis_meta(ny)
-        nbx, lo_x = axis_meta(nx)
+        nby, lo_y = axis_meta(nyg)
+        nbx, lo_x = axis_meta(nxg)
         samples = stat[..., rng:rng + (nby - 1) * step + 1:step,
                        rng:rng + (nbx - 1) * step + 1:step]
         up = jnp.repeat(jnp.repeat(samples, step, axis=-2), step, axis=-1)

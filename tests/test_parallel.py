@@ -315,3 +315,38 @@ def test_grid_mesh_grid_shape_kwarg():
     assert (m.shape["gy"], m.shape["gx"]) == (4, 2)
     with pytest.raises(ValueError):
         grid_mesh((1, 2, 4), grid_shape=(8, 8))
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (1, 4, 1), (1, 1, 8)])
+@pytest.mark.parametrize("compute,consts", [
+    (1, (3.0, 3.0)),        # mean, rng=3 step=3
+    (2, (2.0, 4.0)),        # max, rng=2 step=4
+    (4, (30.0, 2.0, 3.0)),  # 30th percentile, rng=2 step=3
+    (5, (280.0, 3.0, 2.0)),  # prob above, rng=3 step=2
+    (1, (2.0, 1.0)),        # step=1: every point its own sample
+])
+def test_sharded_neighbour_functions(mesh_shape, compute, consts):
+    """neighbour_functions under domain decomposition: the border-undef
+    ring and the strided sample/block grid are GLOBAL-coordinate
+    semantics — every shard must agree with the unsharded run bit for
+    bit (composed halo radius = range + step - 1)."""
+    from mi_fieldcalc_tpu.ops import neighbour_functions
+
+    z, t, xm, ym, fc = _grids(ny=40, nx=64, holes=False)
+    ndev = int(np.prod(mesh_shape))
+    mesh = grid_mesh(mesh_shape, devices=jax.devices()[:ndev])
+    rng = int(consts[0] if compute < 4 else consts[1])
+    step = int(consts[-1]) if len(consts) >= (2 if compute < 4 else 3) else 3
+    radius = rng + step - 1
+    fn = lambda f: neighbour_functions(f, consts, compute)
+    _assert_field_equal(fn(t), run_sharded(fn, mesh, radius, t))
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (1, 8, 1)])
+def test_sharded_neighbour_prob_functions(mesh_shape):
+    from mi_fieldcalc_tpu.ops import neighbour_prob_functions
+
+    z, t, xm, ym, fc = _grids(ny=40, nx=64, holes=False)
+    mesh = grid_mesh(mesh_shape)
+    fn = lambda f: neighbour_prob_functions(f, (280.0, 4.0), 5)
+    _assert_field_equal(fn(t), run_sharded(fn, mesh, 4, t))
