@@ -49,9 +49,11 @@ def cvtemp(t: Field, compute: int) -> Field:
     grid; batched stacks decide each slice independently) computed as a
     deterministic tree reduction, whereas the reference uses an
     order-dependent OpenMP float reduction — values agree except exactly
-    at the t0/2 threshold.  Under spatial sharding the auto-detect mean
-    is per-shard (a well-mixed field decides identically on every
-    shard; run the detection on the host for pathological inputs).
+    at the t0/2 threshold.  Under ``run_sharded`` the partial sums are
+    ``psum``-combined across the spatial mesh axes before the branch
+    (SURVEY §7 hard part 4): every shard decides on the GLOBAL mean, so
+    the sharded result matches the unsharded one even on fields whose
+    shards straddle the threshold.
     """
     require(compute in (1, 2, 3, 4), f"cvtemp: bad compute {compute}")
     tconvert = -t0 if compute in (1, 3) else t0
@@ -63,8 +65,14 @@ def cvtemp(t: Field, compute: int) -> Field:
     # stack must decide each slice independently (one global mean would
     # convert Kelvin levels stacked with Celsius ones)
     navg = jnp.sum(t.mask, axis=(-2, -1))
-    tavg = jnp.sum(jnp.where(t.mask, t.values, _f32(0)), axis=(-2, -1))
-    tavg = jnp.where(navg > 0, tavg / navg.astype(_f32), _f32(0))
+    tsum = jnp.sum(jnp.where(t.mask, t.values, _f32(0)), axis=(-2, -1))
+    from jax import lax as _lax
+    from .stencil import _SHARD_CTX
+    ctx = _SHARD_CTX.get()
+    if ctx is not None and ctx.mesh_axes:
+        navg = _lax.psum(navg, ctx.mesh_axes)
+        tsum = _lax.psum(tsum, ctx.mesh_axes)
+    tavg = jnp.where(navg > 0, tsum / navg.astype(_f32), _f32(0))
     skip = (tavg < t0 / 2) if compute == 3 else (tavg > t0 / 2)
     out = jnp.where(skip[..., None, None], t.values, converted)
     return Field(out, t.mask)

@@ -183,6 +183,13 @@ def probability(compute: int, members, limits: Sequence[float],
     else:
         axes = tuple(range(1, s.mask.ndim))
         member_any = jnp.any(s.mask, axis=axes)
+        from .stencil import _SHARD_CTX
+        ctx = _SHARD_CTX.get()
+        if ctx is not None and ctx.mesh_axes:
+            # the whole-field flag is a GLOBAL decision — reduce across
+            # spatial shards or the denominators diverge per shard
+            member_any = jax.lax.pmax(member_any.astype(jnp.int32),
+                                      ctx.mesh_axes) != 0
         nfields_defined = jnp.sum(member_any).astype(jnp.int32)
         passes = passes & member_any.reshape((-1,) + (1,) * (s.values.ndim - 1))
 

@@ -350,3 +350,39 @@ def test_sharded_neighbour_prob_functions(mesh_shape):
     mesh = grid_mesh(mesh_shape)
     fn = lambda f: neighbour_prob_functions(f, (280.0, 4.0), 5)
     _assert_field_equal(fn(t), run_sharded(fn, mesh, 4, t))
+
+
+def test_sharded_cvtemp_autodetect_global_mean():
+    """cvtemp modes 3/4 branch on the GLOBAL defined-value mean: a field
+    whose top shards look like Celsius and bottom like Kelvin must make
+    the same convert/skip decision on every shard (psum of the partial
+    sums — SURVEY §7 hard part 4)."""
+    from mi_fieldcalc_tpu.ops import cvtemp
+
+    ny, nx = 32, 48
+    v = np.zeros((ny, nx), np.float32)
+    v[:16] = 10.0          # Celsius-looking half
+    v[16:] = 290.0         # Kelvin-looking half; global mean = 150 > t0/2
+    f = from_sentinel(v)
+    mesh = grid_mesh((1, 4, 2))
+    for compute in (3, 4):
+        ref = cvtemp(f, compute)
+        shd = run_sharded(lambda a: cvtemp(a, compute), mesh, 0, f)
+        _assert_field_equal(ref, shd)
+
+
+def test_sharded_probability_global_member_flags():
+    """probability's whole-field member flag under run_sharded: member 1
+    is defined only in the top-left corner — shards that see none of it
+    must still count it in the denominator (pmax across shards)."""
+    from mi_fieldcalc_tpu.ops import probability
+
+    n_ens, ny, nx = 4, 32, 48
+    vals = np.full((n_ens, ny, nx), 12.0, np.float32)
+    vals[1] = UNDEF
+    vals[1, :4, :4] = 9.0       # defined only in shard (0, 0)
+    members = from_sentinel(vals)
+    mesh = grid_mesh((1, 2, 4))
+    ref = probability(1, members, [10.0])
+    shd = run_sharded(lambda m: probability(1, m, [10.0]), mesh, 0, members)
+    _assert_field_equal(ref, shd)
