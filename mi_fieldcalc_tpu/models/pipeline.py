@@ -86,11 +86,23 @@ class DerivedFieldsStacked(NamedTuple):
     #: (DerivedFields order: p th rh td the duc ws vo dv ad gt tf)
     MASK9 = (0, 1, 2, 2, 3, 3, 4, 5, 5, 6, 7, 8)
 
+    #: field index -> plane index in the ALL_DEFINED 2-plane mask stack
+    #: (plane 0 = humidity table gate for rh/td, plane 1 = TFP's
+    #: |grad T| != 0 gate; -1 = constant True)
+    MASK2 = (-1, -1, 0, 0, -1, -1, -1, -1, -1, -1, -1, 1)
+
     def field(self, i: int) -> Field:
         m = self.masks
         if m.ndim == self.values.ndim - 1:     # packed int32 bit-plane
             return Field(self.values[i], ((m >> i) & 1) != 0)
-        mi = m[self.MASK9[i] if m.shape[0] == 9 else i]
+        if m.shape[0] == 2:                    # all_defined fast path
+            k = self.MASK2[i]
+            if k < 0:
+                return Field(self.values[i],
+                             jnp.ones(self.values[i].shape, bool))
+            mi = m[k]
+        else:
+            mi = m[self.MASK9[i] if m.shape[0] == 9 else i]
         return Field(self.values[i],
                      mi if mi.dtype == jnp.bool_ else mi != 0)
 

@@ -277,33 +277,64 @@ def _flush_packed(acc, om_ref):
     om_ref[0] = packed
 
 
-def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
+def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
     """Kernel body for all three layouts: ``part`` = "all" (monolith),
     "elementwise" (no halos, no stencils - bigger row tiles), or
     "stencil" (halo blocks + the 5 derivative outputs).  The split
     halves the DMA-descriptor count per step, which is what bounds this
-    kernel on v5e (~0.65 us per buffer per grid step; see PERF.md)."""
+    kernel on v5e (~0.65 us per buffer per grid step; see PERF.md).
+
+    ``allm`` is the ALL_DEFINED fast path (the reference's
+    ``inAllDefined`` shortcut, FieldCalculations.cc:100): no mask planes
+    enter the kernel, and of the outputs only the humidity gate ``ok``
+    (the ewt table-range predicate, MetConstants.h:69 — data-dependent
+    even on fully defined inputs) is written; every other output mask is
+    constant True."""
     alev_ref, blev_ref, off_ref = refs[:3]
     r = refs[3:]
+    tkm_c = tkm_p = tkm_n = um_c = um_p = um_n = vm_c = qm_c = psm = None
     if part == "all":
-        (tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n, q_c,
-         tkm_c, tkm_p, tkm_n, um_c, um_p, um_n, vm_c, qm_c,
-         ps, psm, xm_c, xm_p, xm_n, ym_c, ym_p, ym_n, tab_ref) = r[:27]
-        out_refs = r[27:]
+        if allm:
+            (tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n, q_c,
+             ps, xm_c, xm_p, xm_n, ym_c, ym_p, ym_n, tab_ref) = r[:18]
+            out_refs = r[18:]
+        else:
+            (tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n, q_c,
+             tkm_c, tkm_p, tkm_n, um_c, um_p, um_n, vm_c, qm_c,
+             ps, psm, xm_c, xm_p, xm_n, ym_c, ym_p, ym_n, tab_ref) = r[:27]
+            out_refs = r[27:]
     elif part == "elementwise":
-        (tk_c, u_c, v_c, q_c, tkm_c, um_c, vm_c, qm_c, ps, psm,
-         tab_ref) = r[:11]
-        out_refs = r[11:]
+        if allm:
+            (tk_c, u_c, v_c, q_c, ps, tab_ref) = r[:6]
+            out_refs = r[6:]
+        else:
+            (tk_c, u_c, v_c, q_c, tkm_c, um_c, vm_c, qm_c, ps, psm,
+             tab_ref) = r[:11]
+            out_refs = r[11:]
     else:   # "stencil"
-        (tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n,
-         tkm_c, tkm_p, tkm_n, um_c, um_p, um_n, vm_c,
-         xm_c, xm_p, xm_n, ym_c, ym_p, ym_n) = r[:22]
-        out_refs = r[22:]
+        if allm:
+            (tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n,
+             xm_c, xm_p, xm_n, ym_c, ym_p, ym_n) = r[:15]
+            out_refs = r[15:]
+        else:
+            (tk_c, tk_p, tk_n, u_c, u_p, u_n, v_c, v_p, v_n,
+             tkm_c, tkm_p, tkm_n, um_c, um_p, um_n, vm_c,
+             xm_c, xm_p, xm_n, ym_c, ym_p, ym_n) = r[:22]
+            out_refs = r[22:]
 
     o_p = o_vo = None
-    m_td = m_duc = m_dv = None
+    m_p = m_th = m_rh = m_td = m_the = m_duc = m_ws = None
+    m_vo = m_dv = m_ad = m_gt = m_tf = None
     acc = None
-    if stacked:
+    if stacked and allm:
+        ov_ref, om_ref = out_refs
+        (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
+         o_gt, o_tf) = [_StackedSlot(ov_ref, k) for k in range(12)]
+        # 2 data-dependent mask planes survive the fast path: the
+        # humidity table gate (rh/td) and TFP's |grad T| != 0 gate
+        m_rh = _StackedSlot(om_ref, 0)
+        m_tf = _StackedSlot(om_ref, 1)
+    elif stacked:
         ov_ref, om_ref = out_refs
         (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
          o_gt, o_tf) = [_StackedSlot(ov_ref, k) for k in range(12)]
@@ -323,14 +354,24 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
             (m_p, m_th, m_rh, m_td, m_the, m_duc, m_ws, m_vo, m_dv, m_ad,
              m_gt, m_tf) = mslots
     elif part == "all":
-        (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
-         o_gt, o_tf,
-         m_p, m_th, m_rh, m_the, m_ws, m_vo, m_ad, m_gt, m_tf) = out_refs
+        if allm:
+            (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
+             o_gt, o_tf, m_rh, m_tf) = out_refs
+        else:
+            (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, o_vo, o_dv, o_ad,
+             o_gt, o_tf,
+             m_p, m_th, m_rh, m_the, m_ws, m_vo, m_ad, m_gt, m_tf) = out_refs
     elif part == "elementwise":
-        (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws,
-         m_p, m_th, m_rh, m_the, m_ws) = out_refs
+        if allm:
+            (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws, m_rh) = out_refs
+        else:
+            (o_p, o_th, o_rh, o_td, o_the, o_duc, o_ws,
+             m_p, m_th, m_rh, m_the, m_ws) = out_refs
     else:
-        (o_vo, o_dv, o_ad, o_gt, o_tf, m_vo, m_ad, m_gt, m_tf) = out_refs
+        if allm:
+            (o_vo, o_dv, o_ad, o_gt, o_tf, m_tf) = out_refs
+        else:
+            (o_vo, o_dv, o_ad, o_gt, o_tf, m_vo, m_ad, m_gt, m_tf) = out_refs
     j = pl.program_id(0)
     lev = pl.program_id(1)
     # global coordinates of this block's first row / first lane: offsets
@@ -354,34 +395,44 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
 
     tkv = tk_c[0]
     uv, vv = u_c[0], v_c[0]
-    tkm, um, vm = _b(tkm_c[0]), _b(um_c[0]), _b(vm_c[0])
+    if not allm:
+        tkm, um, vm = _b(tkm_c[0]), _b(um_c[0]), _b(vm_c[0])
 
     if o_p is not None:
         # ---- elementwise family (levels.py formulas) ----------------------
-        qv, qm = q_c[0], _b(qm_c[0])
-        psv, psvm = ps[...], _b(psm[...])
+        qv = q_c[0]
+        psv = ps[...]
+        if not allm:
+            qm, psvm = _b(qm_c[0]), _b(psm[...])
         a = alev_ref[lev]
         b = blev_ref[lev]
         p_raw = a + b * psv
         o_p[0] = p_raw
-        put_ref(m_p, psvm)
+        if not allm:
+            put_ref(m_p, psvm)
 
         pidcp = jnp.power(p_raw * p0inv, kappa)
         o_th[0] = tkv / pidcp
-        put_ref(m_th, tkm & psvm)
+        if not allm:
+            put_ref(m_th, tkm & psvm)
 
         if _V("MF_FUSED_NO_THERMO"):
             for o in (o_rh, o_td, o_the, o_duc):
                 o[0] = tkv / pidcp
             for m in (m_rh, m_td, m_the, m_duc):
                 if m is not None:
-                    put_ref(m, tkm & psvm)
+                    put_ref(m, jnp.ones(tkv.shape, jnp.int32) if allm
+                            else tkm & psvm)
         else:
-            p_sent = jnp.where(psvm != 0, p_raw, _f32(UNDEF))  # alevelhum
+            # alevelhum sentinel-pressure gate: with every input defined
+            # the gate is identity (p_raw == p_sent)
+            p_sent = (p_raw if allm
+                      else jnp.where(psvm != 0, p_raw, _f32(UNDEF)))
             et, ok, l = _esat(tab_ref, tkv)
             qsat = eps * et / p_sent
             o_rh[0] = _f32(100.0) * qv / qsat
-            put_ref(m_rh, (tkm & qm) * ok)
+            put_ref(m_rh, ok.astype(jnp.int32) if allm
+                    else (tkm & qm) * ok)
 
             rhc = jnp.clip(qv / qsat, rhmin, rhmax)
             if _V("MF_FUSED_NO_TD"):
@@ -392,7 +443,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
                 put_ref(m_td, (tkm & qm) * ok)
 
             o_the[0] = (tkv * cp + qv * xlh) / (cp * pidcp)
-            put_ref(m_the, tkm & qm & psvm)
+            if m_the is not None:
+                put_ref(m_the, tkm & qm & psvm)
 
             o_duc[0] = (_f32(77.6) * (p_raw / tkv)
                         + _f32(373000.0) * (qv * p_raw)
@@ -401,7 +453,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
                 put_ref(m_duc, tkm & qm & psvm)
 
         o_ws[0] = jnp.sqrt(uv * uv + vv * vv)
-        put_ref(m_ws, um & vm)
+        if m_ws is not None:
+            put_ref(m_ws, um & vm)
 
     if o_vo is None:
         return
@@ -410,8 +463,9 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
     tke, ue, ve = (ext(tk_c[...], tk_p[...], tk_n[...]),
                    ext(u_c[...], u_p[...], u_n[...]),
                    ext(v_c[...], v_p[...], v_n[...]))
-    tkme = ext(_b(tkm_c[...]), _b(tkm_p[...]), _b(tkm_n[...]))
-    ume = ext(_b(um_c[...]), _b(um_p[...]), _b(um_n[...]))
+    if not allm:
+        tkme = ext(_b(tkm_c[...]), _b(tkm_p[...]), _b(tkm_n[...]))
+        ume = ext(_b(um_c[...]), _b(um_p[...]), _b(um_n[...]))
     xme = ext2d(xm_c[...], xm_p[...], xm_n[...])
     yme = ext2d(ym_c[...], ym_p[...], ym_n[...])
     xmv, ymv = xm_c[...], ym_c[...]
@@ -431,9 +485,10 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
         ws = jnp.sqrt(uv * uv + vv * vv)
         for o in (o_vo, o_dv, o_ad, o_gt, o_tf):
             o[0] = ws
+        ones = jnp.ones(ws.shape, jnp.int32)
         for m in (m_vo, m_dv, m_ad, m_gt, m_tf):
             if m is not None:
-                put_ref(m, um & vm)
+                put_ref(m, ones if allm else um & vm)
         if acc is not None:
             _flush_packed(acc, om_ref)
         return
@@ -441,17 +496,19 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
     half = _f32(0.5)
     vort = (half * xmv * (_xshift(c_(ve), 1) - _xshift(c_(ve), -1))
             - half * ymv * (yp1(ue) - ym1(ue)))
-    vort_m = (_xshift(vm, -1) & _xshift(vm, 1) & ym1(ume) & yp1(ume))
     dive = (half * xmv * (_xshift(c_(ue), 1) - _xshift(c_(ue), -1))
             + half * ymv * (yp1(ve) - ym1(ve)))
     adv = (uv * half * xmv * (_xshift(c_(tke), 1) - _xshift(c_(tke), -1))
            + vv * half * ymv * (yp1(tke) - ym1(tke))) * _f32(-3600.0)
-    adv_m = (um & vm & _xshift(tkm, -1) & _xshift(tkm, 1)
-             & ym1(tkme) & yp1(tkme))
-    stores = [(o_vo, vort), (m_vo, vort_m), (o_dv, dive), (o_ad, adv),
-              (m_ad, adv_m)]
-    if m_dv is not None:               # reference quirk: vort's inputs
-        stores.insert(3, (m_dv, vort_m))
+    stores = [(o_vo, vort), (o_dv, dive), (o_ad, adv)]
+    if not allm:
+        vort_m = (_xshift(vm, -1) & _xshift(vm, 1) & ym1(ume) & yp1(ume))
+        adv_m = (um & vm & _xshift(tkm, -1) & _xshift(tkm, 1)
+                 & ym1(tkme) & yp1(tkme))
+        stores = [(o_vo, vort), (m_vo, vort_m), (o_dv, dive), (o_ad, adv),
+                  (m_ad, adv_m)]
+        if m_dv is not None:           # reference quirk: vort's inputs
+            stores.insert(3, (m_dv, vort_m))
     for ref, val in stores:
         _edge_store(ref, val, gy0, cx0, nyg, nxg, TY, full_x)
 
@@ -462,13 +519,15 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
     dfdx = half * xmw * (_xshift(tcw, 1) - _xshift(tcw, -1))
     dfdy = half * ymw * (tke[2:TY + 4] - tke[0:TY + 2])
     absd = jnp.sqrt(dfdx * dfdx + dfdy * dfdy)
-    absd_m = (_xshift(tkme[1:TY + 3], -1) & _xshift(tkme[1:TY + 3], 1)
-              & tkme[0:TY + 2] & tkme[2:TY + 4])
     absd = _fill(absd, gy0 - 1, nyg, cx0, nxg, full_x)
-    absd_m = _fill(absd_m, gy0 - 1, nyg, cx0, nxg, full_x)
+    if not allm:
+        absd_m = (_xshift(tkme[1:TY + 3], -1) & _xshift(tkme[1:TY + 3], 1)
+                  & tkme[0:TY + 2] & tkme[2:TY + 4])
+        absd_m = _fill(absd_m, gy0 - 1, nyg, cx0, nxg, full_x)
 
     o_gt[0] = absd[1:TY + 1]
-    put_ref(m_gt, absd_m[1:TY + 1])
+    if m_gt is not None:
+        put_ref(m_gt, absd_m[1:TY + 1])
 
     a_c = absd[1:TY + 1]
     dadx = half * xmv * (_xshift(a_c, 1) - _xshift(a_c, -1))
@@ -478,10 +537,16 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, *refs):
     dtdxa = half * xmv * (_xshift(c_(tke), 1) - _xshift(c_(tke), -1)) * ainv
     dtdya = half * ymv * (yp1(tke) - ym1(tke)) * ainv
     tfp = -(dadx * dtdxa + dady * dtdya)
-    am_c = absd_m[1:TY + 1]
-    tfp_m = (ym1(tkme) & _xshift(tkm, 1) & _xshift(tkm, -1) & yp1(tkme)
-             & absd_m[0:TY] & _xshift(am_c, 1) & am_c & _xshift(am_c, -1)
-             & absd_m[2:TY + 2] & nonzero.astype(jnp.int32))
+    if allm:
+        # every input-mask term is constant True; only |grad T| != 0
+        # (the reference's division gate, FieldCalculations.cc:2293)
+        # survives
+        tfp_m = nonzero.astype(jnp.int32)
+    else:
+        am_c = absd_m[1:TY + 1]
+        tfp_m = (ym1(tkme) & _xshift(tkm, 1) & _xshift(tkm, -1) & yp1(tkme)
+                 & absd_m[0:TY] & _xshift(am_c, 1) & am_c & _xshift(am_c, -1)
+                 & absd_m[2:TY + 2] & nonzero.astype(jnp.int32))
     _edge_store(o_tf, tfp, gy0, cx0, nyg, nxg, TY, full_x)
     _edge_store(m_tf, tfp_m, gy0, cx0, nyg, nxg, TY, full_x)
 
@@ -531,7 +596,8 @@ def fused_supported(ny: int, nx: int) -> bool:
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "global_shape", "halo_rows",
                                     "ty", "stacked", "mask8", "split",
-                                    "ty_ew", "packed_masks", "dedup_masks"))
+                                    "ty_ew", "packed_masks", "dedup_masks",
+                                    "all_defined"))
 def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                          alevel, blevel, xmapr, ymapr, fcoriolis,
                          interpret: bool = False,
@@ -540,7 +606,8 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                          stacked: bool = False, mask8: bool = True,
                          split: bool = False, ty_ew: int | None = None,
                          packed_masks: bool = False,
-                         dedup_masks: bool = True):
+                         dedup_masks: bool = True,
+                         all_defined: bool = False):
     """Fused single-pass equivalent of
     :func:`mi_fieldcalc_tpu.models.derived_fields` (same signature, same
     :class:`DerivedFields` result).
@@ -565,6 +632,21 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
     elementwise kernel (no halo blocks → ``ty_ew`` rows/tile, no fill
     constraint) and a stencil kernel.  Descriptor cost per output row
     drops from 48/TY to 23/ty_ew + 31/TY; see PERF.md for measurements.
+
+    ``all_defined=True`` is the ALL_DEFINED fast path — the TPU analog
+    of the reference's ``inAllDefined`` shortcut at the top of every
+    operator (FieldCalculations.cc:100): the caller asserts every
+    *logical* input point is defined (padded-layout dead lanes are fine
+    — they are trimmed at the host boundary), input masks are ignored
+    (not even read), and only the 2 data-dependent output mask planes
+    are written: the humidity table gate (shared by rh/td,
+    MetConstants.h:69) and TFP's ``|grad T| != 0`` gate
+    (FieldCalculations.cc:2293).  The other 10 masks come back
+    constant-True.  On a DMA-byte-bound kernel dropping 5 input + 7
+    output mask planes is a ~15% step-time cut (PERF.md).  Values are
+    bit-identical to the default path on all-defined inputs.  The
+    staging layer auto-routes here when the decode counts prove every
+    input fully defined.
     """
     from ..models.pipeline import DerivedFields
 
@@ -591,12 +673,18 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         raise ValueError("derived_fields_fused: bad ty override")
     if stacked and split:
         raise ValueError("derived_fields_fused: stacked+split unsupported")
+    if all_defined and packed_masks:
+        raise ValueError("derived_fields_fused: all_defined+packed_masks "
+                         "unsupported (the fast path already writes only "
+                         "the 2 data-dependent planes)")
     # elementwise tile: no halos, no fills -> any multiple of 8
     TY_E = ty_ew if ty_ew is not None else min(-(-ny // 8) * 8, 96)
     if TY_E % 8 != 0 or TY_E <= 0:
         raise ValueError("derived_fields_fused: bad ty_ew override")
 
-    if mask8:
+    if all_defined:
+        tkm = um = vm = qm = psm = None      # masks never touch the device
+    elif mask8:
         # bitcast, not convert: XLA:TPU stores bool as one 0/1 byte, so the
         # reinterpret is traffic-free where astype is a round trip per mask
         # plane.  Measured a wash end-to-end on this backend (the small
@@ -657,38 +745,42 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
             return pl.BlockSpec((TY, nx), im2_c, memory_space=pltpu.VMEM)
 
         tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        p82 = functools.partial(pl.BlockSpec, (8, nx),
+                                memory_space=pltpu.VMEM)
         if part == "all":
-            in_specs = ([c3(), p83(), n83()] * 3 + [c3()]          # tk,u,v,q
-                        + [c3(), p83(), n83()] * 2 + [c3(), c3()]  # masks
-                        + [c2(), c2()]                             # ps(+m)
-                        + [c2(), pl.BlockSpec((8, nx), im2_p8,
-                                              memory_space=pltpu.VMEM),
-                           pl.BlockSpec((8, nx), im2_n8,
-                                        memory_space=pltpu.VMEM)] * 2
-                        + [tabspec])
-            operands = (tk.values, tk.values, tk.values,
+            in_specs = [c3(), p83(), n83()] * 3 + [c3()]           # tk,u,v,q
+            operands = [tk.values, tk.values, tk.values,
                         u.values, u.values, u.values,
-                        v.values, v.values, v.values, q.values,
-                        tkm, tkm, tkm, um, um, um, vm, qm,
-                        ps.values, psm, xm2, xm2, xm2, ym2, ym2, ym2, tab)
-            nv, nm = 12, 9
+                        v.values, v.values, v.values, q.values]
+            if not all_defined:
+                in_specs += [c3(), p83(), n83()] * 2 + [c3(), c3()]
+                operands += [tkm, tkm, tkm, um, um, um, vm, qm]
+            in_specs += [c2()] + ([] if all_defined else [c2()])   # ps(+m)
+            operands += [ps.values] + ([] if all_defined else [psm])
+            in_specs += [c2(), p82(im2_p8), p82(im2_n8)] * 2 + [tabspec]
+            operands += [xm2, xm2, xm2, ym2, ym2, ym2, tab]
+            nv, nm = 12, (2 if all_defined else 9)
         elif part == "elementwise":
-            in_specs = [c3()] * 8 + [c2(), c2(), tabspec]
-            operands = (tk.values, u.values, v.values, q.values,
-                        tkm, um, vm, qm, ps.values, psm, tab)
-            nv, nm = 7, 5
+            if all_defined:
+                in_specs = [c3()] * 4 + [c2(), tabspec]
+                operands = [tk.values, u.values, v.values, q.values,
+                            ps.values, tab]
+            else:
+                in_specs = [c3()] * 8 + [c2(), c2(), tabspec]
+                operands = [tk.values, u.values, v.values, q.values,
+                            tkm, um, vm, qm, ps.values, psm, tab]
+            nv, nm = 7, (1 if all_defined else 5)
         else:   # "stencil"
-            in_specs = ([c3(), p83(), n83()] * 5 + [c3()]
-                        + [c2(), pl.BlockSpec((8, nx), im2_p8,
-                                              memory_space=pltpu.VMEM),
-                           pl.BlockSpec((8, nx), im2_n8,
-                                        memory_space=pltpu.VMEM)] * 2)
-            operands = (tk.values, tk.values, tk.values,
+            in_specs = [c3(), p83(), n83()] * 3
+            operands = [tk.values, tk.values, tk.values,
                         u.values, u.values, u.values,
-                        v.values, v.values, v.values,
-                        tkm, tkm, tkm, um, um, um, vm,
-                        xm2, xm2, xm2, ym2, ym2, ym2)
-            nv, nm = 5, 4
+                        v.values, v.values, v.values]
+            if not all_defined:
+                in_specs += [c3(), p83(), n83()] * 2 + [c3()]
+                operands += [tkm, tkm, tkm, um, um, um, vm]
+            in_specs += [c2(), p82(im2_p8), p82(im2_n8)] * 2
+            operands += [xm2, xm2, xm2, ym2, ym2, ym2]
+            nv, nm = 5, (1 if all_defined else 4)
         if stacked:
             def im4(j, lev, *_):
                 return (0, lev, j, 0)
@@ -710,7 +802,7 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                     jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.float32),
                     jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int32))
             else:
-                nmp = 9 if dedup_masks else 12
+                nmp = 2 if all_defined else (9 if dedup_masks else 12)
                 mspec = pl.BlockSpec((nmp, 1, TY, nx), im4,
                                      memory_space=pltpu.VMEM)
                 out_specs = (vspec, mspec)
@@ -739,7 +831,7 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                      else ("dedup9" if dedup_masks else True))
         return pl.pallas_call(
             functools.partial(_kernel, ny, nx, TY, nlev, nyg, nxg,
-                              full_x, skind, part),
+                              full_x, skind, part, all_defined),
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
@@ -760,7 +852,13 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         # put_ref stores strictly-0/1 bytes, so a bool view is valid
         m9 = [m != 0 for m in m9] if _V("MF_FUSED_MASK_CONVERT") else \
              [m.view(jnp.bool_) for m in m9]
-    # expand 9 written masks to the 12-field order (shared buffers for
-    # the twins: td<-rh, duc<-the, dv<-vo)
-    masks = [m9[i] for i in (0, 1, 2, 2, 3, 3, 4, 5, 5, 6, 7, 8)]
+    if all_defined:
+        # m9 is [humidity gate, tfp gate]; the other 10 are constant True
+        ones = jnp.ones(vals[0].shape, jnp.bool_)
+        masks = [ones, ones, m9[0], m9[0], ones, ones, ones, ones, ones,
+                 ones, ones, m9[1]]
+    else:
+        # expand 9 written masks to the 12-field order (shared buffers
+        # for the twins: td<-rh, duc<-the, dv<-vo)
+        masks = [m9[i] for i in (0, 1, 2, 2, 3, 3, 4, 5, 5, 6, 7, 8)]
     return DerivedFields(*[Field(v, m) for v, m in zip(vals, masks)])

@@ -148,3 +148,78 @@ def test_fused_stacked_matches_per_field():
                                   np.asarray(fb.values)[ma]), name
             assert np.array_equal(np.asarray(fc.values)[ma],
                                   np.asarray(fields[i].values)[ma]), name
+
+
+@pytest.mark.parametrize("nlev,ny,nx", [
+    (3, 37, 61),
+    (2, 33, 135),
+])
+def test_fused_all_defined_fast_path(nlev, ny, nx):
+    """all_defined=True (the reference's inAllDefined shortcut,
+    FieldCalculations.cc:100) skips every mask plane except the 2
+    data-dependent gates and is bitwise-identical to the default path on
+    fully defined inputs — including an out-of-table temperature (the
+    humidity gate) and a |grad T| == 0 plateau (the TFP gate), which stay
+    data-dependent even with all inputs defined."""
+    args = _inputs(nlev, ny, nx, seed=7 * ny + nx, undefs=False)
+    tk = args[0]
+    v = np.asarray(tk.values).copy()
+    v[0, 2, 2] = 500.0            # beyond the e_sat table: rh/td gate
+    v[-1, 5:10, 5:10] = 300.0     # constant-T plateau: |grad T| = 0
+    args = (type(tk)(jnp.asarray(v), tk.mask),) + args[1:]
+
+    ref = derived_fields_fused(*args, interpret=True)
+    for kw in ({}, {"split": True}):
+        got = derived_fields_fused(*args, interpret=True,
+                                   all_defined=True, **kw)
+        for name in ref._fields:
+            ra, ga = getattr(ref, name), getattr(got, name)
+            rm = np.asarray(ra.mask)
+            assert np.array_equal(rm, np.asarray(ga.mask)), (kw, name)
+            assert np.array_equal(np.asarray(ra.values)[rm],
+                                  np.asarray(ga.values)[rm]), (kw, name)
+    # the interesting gates actually fired
+    assert not np.asarray(ref.rh.mask)[0, 2, 2]
+    assert not np.asarray(ref.tfp.mask)[-1, 7, 7]
+
+    # stacked: 2-plane mask stack + lazy accessors
+    got = derived_fields_fused(*args, interpret=True, stacked=True,
+                               all_defined=True)
+    assert got.masks.shape == (2, nlev, ny, nx)
+    for i, name in enumerate(ref._fields):
+        ra, ga = getattr(ref, name), got.field(i)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, np.asarray(ga.mask)), name
+        assert np.array_equal(np.asarray(ra.values)[rm],
+                              np.asarray(ga.values)[rm]), name
+
+
+def test_fused_all_defined_padded_layout():
+    """Fast path on the canonical padded layout: dead rows/lanes are
+    allowed (they are not logically defined points) and the logical
+    region is bitwise-identical after trimming."""
+    from mi_fieldcalc_tpu.layout import pad_array, pad_field
+
+    nlev, ny, nx = 2, 21, 150
+    args = _inputs(nlev, ny, nx, seed=11, undefs=False)
+    ref = derived_fields_fused(*args, interpret=True)
+    pargs = tuple(
+        pad_field(a) if hasattr(a, "mask") else
+        (pad_array(a) if a.ndim == 2 else a)
+        for a in args)
+    got = derived_fields_fused(*pargs, interpret=True, stacked=True,
+                               global_shape=(ny, nx), all_defined=True)
+    for i, name in enumerate(ref._fields):
+        ra = getattr(ref, name)
+        gv = np.asarray(got.field(i).values)[..., :ny, :nx]
+        gm = np.asarray(got.field(i).mask)[..., :ny, :nx]
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, gm), name
+        assert np.array_equal(np.asarray(ra.values)[rm], gv[rm]), name
+
+
+def test_fused_all_defined_rejects_packed():
+    args = _inputs(1, 9, 9, seed=1, undefs=False)
+    with pytest.raises(ValueError):
+        derived_fields_fused(*args, interpret=True, stacked=True,
+                             all_defined=True, packed_masks=True)
