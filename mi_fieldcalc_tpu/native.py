@@ -40,7 +40,7 @@ __all__ = [
     "defined_state_host",
 ]
 
-_ABI = 3
+_ABI = 4
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_REPO, "native", "build", "libmifieldcalc_host.so")
@@ -85,6 +85,10 @@ def _bind(lib: ctypes.CDLL) -> Optional[ctypes.CDLL]:
     lib.mf_encode_trim_batch.restype = None
     lib.mf_encode_trim_batch.argtypes = [f32p, u8p, i64, i64, i64, i64,
                                          i64, i64, f32, f32pp]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.mf_encode_trim_batch_map.restype = None
+    lib.mf_encode_trim_batch_map.argtypes = [f32p, u8p, i64p, i64, i64,
+                                             i64, i64, i64, i64, f32, f32pp]
     return lib
 
 
@@ -258,33 +262,59 @@ def decode_pad_batch(arrays, ny_p: Optional[int] = None,
 
 
 def encode_trim_batch(values, mask, ny: int, nx: int,
-                      undef: float = UNDEF) -> list:
+                      undef: float = UNDEF, mask_map=None) -> list:
     """K padded device results ``[K, ..., ny_p, nx_p]`` (one contiguous
     values block + one mask block) -> list of K logical ``[..., ny, nx]``
     sentinel arrays in one parallel pass (:func:`decode_pad_batch`'s
-    output-side dual)."""
+    output-side dual).
+
+    ``mask_map`` (length K, or None for the identity) lets the mask
+    block carry FEWER planes than the values block: ``mask_map[f]`` is
+    value plane f's plane index in the mask block, and ``-1`` means
+    "constant defined" (plain trim, no sentinel pass).  This serves the
+    fused kernel's deduplicated 9-plane stack
+    (``DerivedFieldsStacked.MASK9``) and the ALL_DEFINED fast path's
+    2-plane stack (``MASK2``) without expanding masks host-side."""
     v = _f32c(values)
     ny_p, nx_p = v.shape[-2:]
     if ny_p < ny or nx_p < nx:
         raise ValueError(f"padded shape ({ny_p}, {nx_p}) smaller than "
                          f"logical ({ny}, {nx})")
-    m = np.ascontiguousarray(mask)
-    if m.shape != v.shape:
-        m = np.ascontiguousarray(np.broadcast_to(m, v.shape))
-    m = m.astype(np.uint8, copy=False)
     k = v.shape[0]
+    m = np.ascontiguousarray(mask)
+    if mask_map is None:
+        if m.shape != v.shape:
+            m = np.ascontiguousarray(np.broadcast_to(m, v.shape))
+        mmap = np.arange(k, dtype=np.int64)
+    else:
+        mmap = np.asarray(mask_map, np.int64)
+        if mmap.shape != (k,):
+            raise ValueError(f"mask_map must have length {k}")
+        if m.shape[1:] != v.shape[1:] or \
+                (mmap.max(initial=-1) >= m.shape[0]):
+            raise ValueError("mask block does not cover mask_map")
+    m = m.astype(np.uint8, copy=False)
     lead = int(np.prod(v.shape[1:-2], dtype=np.int64)) if v.ndim > 3 else 1
     lib = _load()
     if lib is None:
-        return [encode_trim(v[f], m[f], ny, nx, undef) for f in range(k)]
+        return [v[f, ..., :ny, :nx].copy() if mmap[f] < 0 else
+                encode_trim(v[f], m[mmap[f]], ny, nx, undef)
+                for f in range(k)]
     outs = [np.empty(v.shape[1:-2] + (ny, nx), np.float32)
             for _ in range(k)]
     f32p = ctypes.POINTER(ctypes.c_float)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     optrs = (f32p * k)(*[o.ctypes.data_as(f32p) for o in outs])
-    lib.mf_encode_trim_batch(v.ctypes.data_as(f32p),
-                             m.ctypes.data_as(u8p), k, lead, ny, nx,
-                             ny_p, nx_p, ctypes.c_float(undef), optrs)
+    if mask_map is None:
+        lib.mf_encode_trim_batch(v.ctypes.data_as(f32p),
+                                 m.ctypes.data_as(u8p), k, lead, ny, nx,
+                                 ny_p, nx_p, ctypes.c_float(undef), optrs)
+    else:
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.mf_encode_trim_batch_map(
+            v.ctypes.data_as(f32p), m.ctypes.data_as(u8p),
+            mmap.ctypes.data_as(i64p), k, lead, ny, nx,
+            ny_p, nx_p, ctypes.c_float(undef), optrs)
     return outs
 
 

@@ -91,9 +91,15 @@ def _stage_step(args, stager: HostStager, undef: float, on_tpu: bool):
     ny_p, nx_p = padded_shape(ny, nx) if on_tpu else (ny, nx)
 
     tkf, qf, uf, vf = stager.stage(tk, q, u, v)
-    psp, psm, _ = native.decode_pad(np.asarray(ps, np.float32),
-                                    ny_p, nx_p, undef)
+    psp, psm, ps_ndef = native.decode_pad(np.asarray(ps, np.float32),
+                                          ny_p, nx_p, undef)
     psf = Field(jnp.asarray(psp), jnp.asarray(psm))
+    # the decode counts prove (or disprove) full definedness over the
+    # LOGICAL points — the gate for the kernel's ALL_DEFINED fast path
+    # (the reference's inAllDefined shortcut, FieldCalculations.cc:100)
+    logical = nlev * ny * nx
+    all_defined = (ps_ndef == ny * nx
+                   and all(c == logical for c in stager.counts))
 
     def pad2(a):
         a = np.asarray(a, np.float32)
@@ -103,20 +109,22 @@ def _stage_step(args, stager: HostStager, undef: float, on_tpu: bool):
     al = jnp.asarray(np.asarray(alevel, np.float32))
     bl = jnp.asarray(np.asarray(blevel, np.float32))
     return ((tkf, qf, uf, vf, psf, al, bl, pad2(xmapr), pad2(ymapr),
-             pad2(fcoriolis)), (ny, nx))
+             pad2(fcoriolis)), (ny, nx), all_defined)
 
 
-def _compute_fetch(staged, shape, on_tpu: bool):
+def _compute_fetch(staged, shape, on_tpu: bool, all_defined: bool = False):
     """Dispatch the pipeline and fetch (values, masks) numpy stacks."""
     import jax
 
     if on_tpu:
         from .ops.fused import derived_fields_fused
-        # dedup_masks=False: the native encode_trim_batch codec wants the
-        # mask stack plane-aligned with the 12 value planes; the 3 extra
-        # device plane writes are noise next to the host codec pass
+        # the mask-mapped encode codec (encode_trim_batch mask_map=...)
+        # consumes the kernel's native mask layouts directly: the
+        # deduplicated 9-plane stack, or the ALL_DEFINED fast path's
+        # 2 data-dependent planes (~23% step time, PERF.md) — no
+        # plane-aligned 12-stack expansion on device or host
         out = derived_fields_fused(*staged, global_shape=shape,
-                                   stacked=True, dedup_masks=False)
+                                   stacked=True, all_defined=all_defined)
         return np.asarray(out.values), np.asarray(out.masks)
     from .models import derived_fields
     out = jax.jit(derived_fields)(*staged)
@@ -125,9 +133,12 @@ def _compute_fetch(staged, shape, on_tpu: bool):
 
 
 def _encode_step(values, masks, ny, nx, undef) -> Dict[str, np.ndarray]:
-    from .models.pipeline import DerivedFields
+    from .models.pipeline import DerivedFields, DerivedFieldsStacked
 
-    planes = native.encode_trim_batch(values, masks, ny, nx, undef)
+    mask_map = {12: None, 9: DerivedFieldsStacked.MASK9,
+                2: DerivedFieldsStacked.MASK2}[masks.shape[0]]
+    planes = native.encode_trim_batch(values, masks, ny, nx, undef,
+                                      mask_map=mask_map)
     return dict(zip(DerivedFields._fields, planes))
 
 
@@ -150,10 +161,10 @@ def run_derived_fields_np(tk, q, u, v, ps, alevel, blevel, xmapr, ymapr,
 
     on_tpu = jax.devices()[0].platform == "tpu"
     stager = _stager_cache(k=4, undef=undef, pad=on_tpu)
-    staged, (ny, nx) = _stage_step(
+    staged, (ny, nx), all_defined = _stage_step(
         (tk, q, u, v, ps, alevel, blevel, xmapr, ymapr, fcoriolis),
         stager, undef, on_tpu)
-    values, masks = _compute_fetch(staged, (ny, nx), on_tpu)
+    values, masks = _compute_fetch(staged, (ny, nx), on_tpu, all_defined)
     return _encode_step(values, masks, ny, nx, undef)
 
 
@@ -195,11 +206,12 @@ def stream_derived_fields_np(steps, undef: float = UNDEF):
         prev_encode = None
         i = 0
         while fut_stage is not None:
-            staged, (ny, nx) = fut_stage.result()
+            staged, (ny, nx), all_defined = fut_stage.result()
             nxt = next(it, None)
             fut_stage = None if nxt is None else ex_in.submit(
                 _stage_step, nxt, stagers[(i + 1) % 2], undef, on_tpu)
-            values, masks = _compute_fetch(staged, (ny, nx), on_tpu)
+            values, masks = _compute_fetch(staged, (ny, nx), on_tpu,
+                                           all_defined)
             if prev_encode is not None:
                 yield prev_encode.result()
             prev_encode = ex_out.submit(_encode_step, values, masks,

@@ -21,6 +21,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstdlib>
+#include <cstring>
 #include <functional>
 #include <mutex>
 #include <thread>
@@ -178,7 +179,7 @@ inline bool is_defined(float v, float undef) {
 
 extern "C" {
 
-int mf_native_abi_version() { return 3; }
+int mf_native_abi_version() { return 4; }
 
 // Decode: out[i] = defined ? v[i] : fill; mask[i] = defined.  `out` may
 // alias `v` (in-place sanitize).  Returns the number of defined points.
@@ -331,6 +332,36 @@ void mf_encode_trim_batch(const float* v, const uint8_t* mask, int64_t k,
       const uint8_t* sm = mask + ((f * lead + l) * ny_p + r) * nx_p;
       float* ov = outs[f] + rem * nx;
       for (int64_t i = 0; i < nx; ++i) ov[i] = sm[i] ? sv[i] : undef;
+    }
+  });
+}
+
+// Mask-mapped trim+encode (ABI v4): like mf_encode_trim_batch but the
+// mask block holds `km <= k` planes and `mask_map[f]` names value plane
+// f's mask plane (-1 = no mask: plain trim copy).  Serves two device
+// layouts without host-side mask expansion: the fused kernel's
+// deduplicated 9-plane mask stack (td/duc/dv share rh/the/vo) and the
+// ALL_DEFINED fast path's 2-plane stack (10 of 12 outputs constant
+// defined).
+void mf_encode_trim_batch_map(const float* v, const uint8_t* mask,
+                              const int64_t* mask_map, int64_t k,
+                              int64_t lead, int64_t ny, int64_t nx,
+                              int64_t ny_p, int64_t nx_p, float undef,
+                              float** outs) {
+  parallel_for(k * lead * ny, [&](int64_t b, int64_t e) {
+    for (int64_t row = b; row < e; ++row) {
+      int64_t f = row / (lead * ny);
+      int64_t rem = row % (lead * ny);
+      int64_t l = rem / ny, r = rem % ny;
+      const float* sv = v + ((f * lead + l) * ny_p + r) * nx_p;
+      float* ov = outs[f] + rem * nx;
+      int64_t mf = mask_map[f];
+      if (mf < 0) {
+        std::memcpy(ov, sv, nx * sizeof(float));
+      } else {
+        const uint8_t* sm = mask + ((mf * lead + l) * ny_p + r) * nx_p;
+        for (int64_t i = 0; i < nx; ++i) ov[i] = sm[i] ? sv[i] : undef;
+      }
     }
   });
 }

@@ -204,3 +204,42 @@ def test_concurrent_codec_calls_overlap_correctly():
         np.testing.assert_array_equal(wv, gv)
         np.testing.assert_array_equal(wm, gm)
         assert wn == gn
+
+
+def test_encode_trim_batch_mask_map():
+    """mask_map consumes deduplicated / partial mask stacks (ABI v4):
+    plane f uses mask plane mask_map[f]; -1 means constant defined
+    (plain trim).  Native and numpy fallback agree."""
+    rng = np.random.default_rng(21)
+    k, lead, ny, nx, ny_p, nx_p = 4, 2, 21, 140, 24, 256
+    vals = rng.normal(size=(k, lead, ny_p, nx_p)).astype(np.float32)
+    masks = (rng.uniform(size=(2, lead, ny_p, nx_p)) > 0.3)
+    mask_map = (0, 1, 0, -1)
+
+    outs = native.encode_trim_batch(vals, masks, ny, nx,
+                                    mask_map=mask_map)
+    assert len(outs) == k
+    for f, mf in enumerate(mask_map):
+        want = vals[f, :, :ny, :nx].copy()
+        if mf >= 0:
+            want = np.where(masks[mf, :, :ny, :nx], want,
+                            np.float32(native.UNDEF))
+        np.testing.assert_array_equal(outs[f], want)
+
+    # numpy fallback path (forced by hiding the lib)
+    import mi_fieldcalc_tpu.native as nat
+    saved = nat._lib, nat._tried
+    try:
+        nat._lib, nat._tried = None, True
+        fb = nat.encode_trim_batch(vals, masks, ny, nx,
+                                   mask_map=mask_map)
+    finally:
+        nat._lib, nat._tried = saved
+    for a, b in zip(outs, fb):
+        np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError):
+        native.encode_trim_batch(vals, masks, ny, nx, mask_map=(0, 1))
+    with pytest.raises(ValueError):
+        native.encode_trim_batch(vals, masks, ny, nx,
+                                 mask_map=(0, 1, 2, -1))

@@ -98,3 +98,64 @@ def test_stream_empty_and_single():
     assert list(stream_derived_fields_np(iter(()))) == []
     one = list(stream_derived_fields_np(iter([_inputs(seed=9)])))
     assert len(one) == 1 and "tfp" in one[0]
+
+
+def test_stage_step_all_defined_gate():
+    """The decode counts route fully defined steps to the kernel's
+    ALL_DEFINED fast path (and only those)."""
+    from mi_fieldcalc_tpu.staging import HostStager, _stage_step
+
+    args = list(_inputs())          # has undefs in tk and q
+    stager = HostStager(k=4, pad=True)
+    _, _, all_defined = _stage_step(tuple(args), stager, UNDEF, True)
+    assert not all_defined
+
+    clean = list(_inputs(seed=9))
+    clean[0] = np.abs(clean[0])     # fresh arrays, no sentinels planted
+    for a in clean[:5]:
+        a[np.isnan(a)] = 1.0
+        a[a == np.float32(UNDEF)] = 1.0
+    _, _, all_defined = _stage_step(tuple(clean), stager, UNDEF, True)
+    assert all_defined
+
+    dirty_ps = [a.copy() if isinstance(a, np.ndarray) else a
+                for a in clean]
+    dirty_ps[4][0, 0] = UNDEF       # a single undef in ps flips the gate
+    _, _, all_defined = _stage_step(tuple(dirty_ps), stager, UNDEF, True)
+    assert not all_defined
+
+
+def test_encode_step_mask_map_layouts():
+    """_encode_step consumes the kernel's native mask stacks (12-plane,
+    9-plane dedup, 2-plane fast path) and produces identical sentinel
+    output dicts."""
+    from mi_fieldcalc_tpu.layout import pad_array, pad_field
+    from mi_fieldcalc_tpu.ops.fused import derived_fields_fused
+    from mi_fieldcalc_tpu.staging import _encode_step
+
+    nlev, ny, nx = 2, 21, 140
+    clean = list(_inputs(nlev, ny, nx, seed=4))
+    for a in clean[:5]:
+        a[np.isnan(a)] = 1.0
+        a[a == np.float32(UNDEF)] = 1.0
+    tk, q, u, v = [pad_field(from_sentinel(a)) for a in clean[:4]]
+    ps = pad_field(from_sentinel(clean[4]))
+    al, bl = jnp.asarray(clean[5]), jnp.asarray(clean[6])
+    xm, ym = pad_array(clean[7]), pad_array(clean[8])
+    fc = jnp.asarray(clean[9])
+
+    outs = {}
+    for tag, kw in (("12", dict(dedup_masks=False)),
+                    ("9", {}),
+                    ("2", dict(all_defined=True))):
+        o = derived_fields_fused(tk, q, u, v, ps, al, bl, xm, ym, fc,
+                                 interpret=True, stacked=True,
+                                 global_shape=(ny, nx), **kw)
+        assert o.masks.shape[0] == int(tag)
+        outs[tag] = _encode_step(np.asarray(o.values),
+                                 np.asarray(o.masks), ny, nx, UNDEF)
+    for tag in ("9", "2"):
+        assert outs[tag].keys() == outs["12"].keys()
+        for name in outs["12"]:
+            np.testing.assert_array_equal(outs["12"][name],
+                                          outs[tag][name]), (tag, name)
