@@ -47,7 +47,8 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
                                  interpret: bool = False,
                                  overlap: bool = False,
                                  global_shape=None,
-                                 stacked: bool = False):
+                                 stacked: bool = False,
+                                 all_defined: bool = False):
     """Run the fused pipeline kernel per-shard over ``mesh``.
 
     Arguments as :func:`..models.pipeline.derived_fields`; ``xmapr`` /
@@ -76,6 +77,14 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
     per-field Fields — the per-field output layout is most of the
     shard_map premium on one device (PERF.md), and file writers usually
     want the planes contiguous anyway.
+
+    ``all_defined=True`` asserts every logical input point is defined
+    and runs the kernel's ALL_DEFINED fast path per shard (~23% step
+    time single-chip, PERF.md): no mask planes are exchanged — the
+    packed halo legs carry only f32 strips, halving the collective
+    count (one ppermute per direction instead of one per (direction,
+    dtype)) — and only the 2 data-dependent output mask planes are
+    written.  Works with ``overlap=True`` (mask-free seam strips).
     """
     nyg, nxg = (tk.values.shape[-2:] if global_shape is None
                 else global_shape)
@@ -87,9 +96,10 @@ def derived_fields_fused_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
     leaves = tuple(jax.tree_util.tree_flatten(args)[0])
     if overlap:
         fn = _sharded_fn_overlap(mesh, (nyg, nxg), bool(interpret),
-                                 bool(stacked))
+                                 bool(stacked), bool(all_defined))
     else:
-        fn = _sharded_fn(mesh, (nyg, nxg), bool(interpret), bool(stacked))
+        fn = _sharded_fn(mesh, (nyg, nxg), bool(interpret), bool(stacked),
+                         bool(all_defined))
     return fn(leaves)
 
 
@@ -134,7 +144,7 @@ def _exchange_all(arrays, mesh: Mesh, hy: int, hx: int):
 
 @functools.lru_cache(maxsize=64)
 def _sharded_fn(mesh: Mesh, global_shape, interpret: bool,
-                stacked: bool = False):
+                stacked: bool = False, all_defined: bool = False):
     """One jitted shard_map program per (mesh, logical grid) — repeat
     calls dispatch the cached executable instead of re-tracing."""
     nyg, nxg = global_shape
@@ -145,15 +155,23 @@ def _sharded_fn(mesh: Mesh, global_shape, interpret: bool,
         tk, q, u, v, ps, al, bl, xm, ym, fc = \
             jax.tree_util.tree_unflatten(_TREEDEF, leaves)
 
-        # masks ride through int8: bool ppermute support varies
-        flat = []
-        for f in (tk, q, u, v, ps):
-            flat += [f.values, f.mask.astype(jnp.int8)]
-        flat += [xm, ym, fc]
-        flat = _exchange_all(flat, mesh, HY, HX)
-        tkp, qp, up, vp, psp = (Field(flat[2 * i], flat[2 * i + 1] != 0)
-                                for i in range(5))
-        xmp, ymp, fcp = flat[10:]
+        if all_defined:
+            # no mask halos: one dtype per packed leg -> one ppermute
+            # per direction; the kernel never reads masks
+            flat = [f.values for f in (tk, q, u, v, ps)] + [xm, ym, fc]
+            flat = _exchange_all(flat, mesh, HY, HX)
+            tkp, qp, up, vp, psp = (Field(v, None) for v in flat[:5])
+            xmp, ymp, fcp = flat[5:]
+        else:
+            # masks ride through int8: bool ppermute support varies
+            flat = []
+            for f in (tk, q, u, v, ps):
+                flat += [f.values, f.mask.astype(jnp.int8)]
+            flat += [xm, ym, fc]
+            flat = _exchange_all(flat, mesh, HY, HX)
+            tkp, qp, up, vp, psp = (Field(flat[2 * i], flat[2 * i + 1] != 0)
+                                    for i in range(5))
+            xmp, ymp, fcp = flat[10:]
 
         ny_loc, nx_loc = tk.values.shape[-2:]
         gy = mesh.shape["gy"] if "gy" in names else 1
@@ -168,6 +186,7 @@ def _sharded_fn(mesh: Mesh, global_shape, interpret: bool,
         out = derived_fields_fused(tkp, qp, up, vp, psp, al, bl, xmp, ymp,
                                    fcp, interpret=interpret,
                                    stacked=stacked,
+                                   all_defined=all_defined,
                                    global_shape=(nyg, nxg),
                                    grid_offsets=offs,
                                    halo_rows=HY + dead)
@@ -322,7 +341,7 @@ def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool,
 
 @functools.lru_cache(maxsize=64)
 def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool,
-                        stacked: bool = False):
+                        stacked: bool = False, all_defined: bool = False):
     """Overlapped variant: the interior kernel runs on the exact
     tile-aligned local block with NO data dependence on any collective,
     and only the seam bands (2 rows and/or 2 columns per shard side) are
@@ -348,7 +367,7 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool,
     def body(leaves):
         args = jax.tree_util.tree_unflatten(_TREEDEF, leaves)
         return _overlap_core(names, gy, gx, nyg, nxg, interpret, *args,
-                             stacked=stacked)
+                             stacked=stacked, all_defined=all_defined)
 
     in_specs, out_specs = _pipeline_specs(mesh, stacked)
     return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
@@ -357,7 +376,7 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool,
 
 def _overlap_core(names, gy, gx, nyg, nxg, interpret,
                   tk, q, u, v, ps, al, bl, xm, ym, fc,
-                  stacked=False):
+                  stacked=False, all_defined=False):
     """Seam machinery shared by the overlapped pipeline variants
     (:func:`_sharded_fn_overlap`, and the isobaric path after its
     local column interpolation): interior kernel on the unpadded
@@ -389,10 +408,14 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
     col0 = ix * nx_loc
 
     from .halo import packed_sendrecv, packed_strip_exchange
+    # all_defined: no mask strips ride the wire — the packed legs then
+    # carry ONE dtype, so each direction is a single ppermute
+    VM = 1 if all_defined else 2
     flat = []
     for f in (tk, q, u, v, ps):
-        flat += [f.values, f.mask]
+        flat += [f.values] if all_defined else [f.values, f.mask]
     flat += [xm, ym, fc]
+    MAPS = 5 * VM            # index of xm in `flat`
 
     # ---- y-leg: one packed ppermute per (direction, dtype) — 4
     # collectives for all 13 seam strips instead of 26 (the scheduled
@@ -430,7 +453,7 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
     offs0 = jnp.stack([row0, col0]).astype(jnp.int32)
     interior = derived_fields_fused(
         tk, q, u, v, ps, al, bl, xm, ym, fc, interpret=interpret,
-        stacked=stacked,
+        stacked=stacked, all_defined=all_defined,
         global_shape=(nyg, nxg), grid_offsets=offs0, halo_rows=dead)
 
     def sl(a, lo, hi):
@@ -442,14 +465,20 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
     out = interior
 
     if gy > 1:
-        tk_t, q_t, u_t, v_t, ps_t = ((tops[2 * i], tops[2 * i + 1])
-                                     for i in range(5))
-        tk_b, q_b, u_b, v_b, ps_b = ((bots[2 * i], bots[2 * i + 1])
-                                     for i in range(5))
-        xm_t, ym_t, fc_t = tops[10:]
-        xm_b, ym_b, fc_b = bots[10:]
+        if all_defined:
+            tk_t, q_t, u_t, v_t, ps_t = (tops[i] for i in range(5))
+            tk_b, q_b, u_b, v_b, ps_b = (bots[i] for i in range(5))
+        else:
+            tk_t, q_t, u_t, v_t, ps_t = ((tops[2 * i], tops[2 * i + 1])
+                                         for i in range(5))
+            tk_b, q_b, u_b, v_b, ps_b = ((bots[2 * i], bots[2 * i + 1])
+                                         for i in range(5))
+        xm_t, ym_t, fc_t = tops[MAPS:]
+        xm_b, ym_b, fc_b = bots[MAPS:]
 
         def strip_field(f, halo, top):
+            if all_defined:
+                return Field(strip2(f.values, halo, top), None)
             hv, hm = halo
             axv = f.values.ndim - 2
             if not top:  # bottom strip: local rows first, halo last
@@ -477,6 +506,7 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
             strip_field(ps, ps_t, True), al, bl,
             strip2(xm, xm_t, True), strip2(ym, ym_t, True),
             strip2(fc, fc_t, True), interpret=interpret, stacked=stacked,
+            all_defined=all_defined,
             global_shape=(nyg, nxg),
             grid_offsets=jnp.stack([row0 - R, col0]).astype(jnp.int32),
             halo_rows=0)
@@ -488,6 +518,7 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
             strip_field(ps, ps_b, False), al, bl,
             strip2(xm, xm_b, False), strip2(ym, ym_b, False),
             strip2(fc, fc_b, False), interpret=interpret, stacked=stacked,
+            all_defined=all_defined,
             global_shape=(nyg, nxg),
             grid_offsets=jnp.stack([row0 + ny_loc - LOC, col0]
                                    ).astype(jnp.int32),
@@ -520,22 +551,27 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
             return jnp.concatenate([ctx, rights[i]], axis=ctx.ndim - 1)
 
         def xargs(left):
-            fld = lambda k: Field(xstrip_arr(2 * k, left),
-                                  xstrip_arr(2 * k + 1, left))
+            if all_defined:
+                fld = lambda k: Field(xstrip_arr(k, left), None)
+            else:
+                fld = lambda k: Field(xstrip_arr(2 * k, left),
+                                      xstrip_arr(2 * k + 1, left))
             return (fld(0), fld(1), fld(2), fld(3), fld(4), al, bl,
-                    xstrip_arr(10, left), xstrip_arr(11, left),
-                    xstrip_arr(12, left))
+                    xstrip_arr(MAPS, left), xstrip_arr(MAPS + 1, left),
+                    xstrip_arr(MAPS + 2, left))
 
         # strips span ALL local rows (plus the y-halo), so their
         # harvested columns are valid at the y-seam corners too
         left_out = derived_fields_fused(
             *xargs(True), interpret=interpret, stacked=stacked,
+            all_defined=all_defined,
             global_shape=(nyg, nxg),
             grid_offsets=jnp.stack([row0 - HYe, col0 - R]
                                    ).astype(jnp.int32),
             halo_rows=dead + HYe)
         right_out = derived_fields_fused(
             *xargs(False), interpret=interpret, stacked=stacked,
+            all_defined=all_defined,
             global_shape=(nyg, nxg),
             grid_offsets=jnp.stack([row0 - HYe, col0 + nx_loc - W]
                                    ).astype(jnp.int32),

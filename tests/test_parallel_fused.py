@@ -262,3 +262,50 @@ def test_sharded_stacked_matches_per_field(overlap):
         assert np.array_equal(rm, np.asarray(ga.mask)), name
         assert np.array_equal(np.asarray(ra.values)[rm],
                               np.asarray(ga.values)[rm]), name
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+@pytest.mark.parametrize("mesh_shape,nlev,ny,nx", [
+    ((1, 2, 2), 2, 48, 64),
+    ((1, 4, 1), 2, 64, 96),
+    ((1, 1, 4), 2, 32, 128),
+])
+def test_sharded_all_defined_matches(mesh_shape, nlev, ny, nx, overlap):
+    """The sharded ALL_DEFINED fast path (mask-free halo legs + the
+    2-gate kernel) equals the default sharded path bitwise on fully
+    defined inputs, per-field and stacked, with and without seam-strip
+    overlap."""
+    ndev = int(np.prod(mesh_shape))
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mesh = grid_mesh(mesh_shape, devices=jax.devices()[:ndev])
+    args = list(_inputs(nlev, ny, nx, seed=5 * ny + nx, undefs=False))
+    # exercise both data-dependent gates
+    import jax.numpy as jnp
+    from mi_fieldcalc_tpu.field import Field
+    tv = np.asarray(args[0].values).copy()
+    tv[0, 3, 3] = 500.0            # beyond the e_sat table
+    tv[-1, ny // 2:ny // 2 + 4, 5:9] = 290.0    # |grad T| = 0 plateau
+    args[0] = Field(jnp.asarray(tv), args[0].mask)
+
+    ref = derived_fields_fused_sharded(mesh, *args, interpret=True,
+                                       overlap=overlap)
+    got = derived_fields_fused_sharded(mesh, *args, interpret=True,
+                                       overlap=overlap, all_defined=True)
+    for name in ref._fields:
+        ra, ga = getattr(ref, name), getattr(got, name)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, np.asarray(ga.mask)), name
+        assert np.array_equal(np.asarray(ra.values)[rm],
+                              np.asarray(ga.values)[rm]), name
+
+    st = derived_fields_fused_sharded(mesh, *args, interpret=True,
+                                      overlap=overlap, stacked=True,
+                                      all_defined=True)
+    assert st.masks.shape[0] == 2
+    for i, name in enumerate(ref._fields):
+        ra, ga = getattr(ref, name), st.field(i)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, np.asarray(ga.mask)), name
+        assert np.array_equal(np.asarray(ra.values)[rm],
+                              np.asarray(ga.values)[rm]), name
