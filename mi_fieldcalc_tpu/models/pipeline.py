@@ -170,7 +170,8 @@ def derived_fields_isobaric(tk: Field, q: Field, u: Field, v: Field,
                             plevels=STANDARD_PLEVELS,
                             fused: bool = False,
                             global_shape=None,
-                            stacked: bool = False) -> DerivedFields:
+                            stacked: bool = False,
+                            all_defined: bool = False) -> DerivedFields:
     """The 3-D vertical pipeline (BASELINE.json config 4): interpolate the
     prognostic fields from hybrid model levels to standard isobaric
     surfaces (log-p linear, mask-aware — ops/vertical.py), then run the
@@ -188,19 +189,27 @@ def derived_fields_isobaric(tk: Field, q: Field, u: Field, v: Field,
 
     ``global_shape`` (fused path only): the logical ``(ny, nx)`` when
     the inputs are in the canonical padded layout (layout.py) — edge
-    fills fire at the logical boundary; outputs come back padded."""
+    fills fire at the logical boundary; outputs come back padded.
+
+    ``all_defined=True`` (fused path only) asserts every input point is
+    defined: the interpolation kernel skips its 5 input mask planes and
+    writes ONE shared bracket-gate mask.  The derived-field tail keeps
+    its full mask machinery — the interpolated masks are data-dependent
+    (below-surface / above-top points are undefined) even on fully
+    defined inputs."""
     from ..ops import hlevel_to_plevel
 
-    if (global_shape is not None or stacked) and not fused:
-        raise ValueError("derived_fields_isobaric: global_shape/stacked "
-                         "require fused=True")
+    if (global_shape is not None or stacked or all_defined) and not fused:
+        raise ValueError("derived_fields_isobaric: global_shape/stacked/"
+                         "all_defined require fused=True")
     nlev = tk.values.shape[0]
     plevels = tuple(float(t) for t in plevels)
     if fused:
         from ..ops.vertical_fused import hlevel_to_plevel_fused
         tki, qi, ui, vi = hlevel_to_plevel_fused(
             (tk, q, u, v), ps, alevel, blevel, plevels,
-            interpret=jax.devices()[0].platform != "tpu")
+            interpret=jax.devices()[0].platform != "tpu",
+            all_defined=all_defined)
     else:
         tki = hlevel_to_plevel(tk, ps, alevel, blevel, plevels)
         qi = hlevel_to_plevel(q, ps, alevel, blevel, plevels)

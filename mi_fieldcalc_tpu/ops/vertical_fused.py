@@ -51,13 +51,35 @@ __all__ = ["hlevel_to_plevel_fused"]
 _f32 = jnp.float32
 
 
-def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant, unroll,
+def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant, unroll, allm,
                    a_ref, b_ref, xt_ref, *refs):
     fvals = refs[:nvar]
-    fmasks = refs[nvar:2 * nvar]
-    ps_ref, psm_ref = refs[2 * nvar], refs[2 * nvar + 1]
-    outs = refs[2 * nvar + 2: 3 * nvar + 2]
-    omasks = refs[3 * nvar + 2:]
+    if allm:
+        # ALL_DEFINED fast path: no input mask planes, no ps mask; the
+        # per-var defined bits collapse to the shared bracket gate
+        # (in-range & non-degenerate), which stays data-dependent —
+        # written once as a single shared output mask plane
+        fmasks = psm_ref = None
+        ps_ref = refs[nvar]
+        outs = refs[nvar + 1: 2 * nvar + 1]
+        omasks = refs[2 * nvar + 1:]
+    else:
+        fmasks = refs[nvar:2 * nvar]
+        ps_ref, psm_ref = refs[2 * nvar], refs[2 * nvar + 1]
+        outs = refs[2 * nvar + 2: 3 * nvar + 2]
+        omasks = refs[3 * nvar + 2:]
+
+    def var_bits(k, okm):
+        """int32 plane with bit v = (var v defined at k and k+1) & ok;
+        in the fast path every var shares the ok bit (bit 0)."""
+        if allm:
+            return okm & jnp.int32(1)
+        packed = jnp.zeros((TY, CX), jnp.int32)
+        for v in range(nvar):
+            mk2 = (fmasks[v][k].astype(jnp.int32)
+                   & fmasks[v][k + 1].astype(jnp.int32))
+            packed = packed | (mk2 << v)
+        return packed & okm
 
     psv = ps_ref[...]                       # (TY, CX)
 
@@ -86,9 +108,10 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant, unroll,
 
     if variant == "inplace":
         # interpolate at the bracketing iteration; carry per-var results
+        nmask = 1 if allm else nvar
         carry0 = (p_at(0), lx(p_at(0)),
                   tuple(zf for _ in range(nvar)),   # out per var
-                  tuple(zi for _ in range(nvar)))   # defined per var (i32)
+                  tuple(zi for _ in range(nmask)))  # defined per var (i32)
 
         def body(k, carry):
             p_k, x0, os_, ms = carry
@@ -105,10 +128,13 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant, unroll,
             for v in range(nvar):
                 fk = fvals[v][k]
                 dv = fvals[v][k + 1] - fk
-                mk2 = (fmasks[v][k].astype(jnp.int32)
-                       & fmasks[v][k + 1].astype(jnp.int32))[None] & ok
                 no.append(jnp.where(sel, fk[None] + dv[None] * w, os_[v]))
-                nm.append(jnp.where(sel, mk2, ms[v]))
+                if not allm:
+                    mk2 = (fmasks[v][k].astype(jnp.int32)
+                           & fmasks[v][k + 1].astype(jnp.int32))[None] & ok
+                    nm.append(jnp.where(sel, mk2, ms[v]))
+            if allm:
+                nm.append(jnp.where(sel, ok, ms[0]))
             return p_k1, x1, tuple(no), tuple(nm)
 
         _, _, os_, ms = jax.lax.fori_loop(0, nlev - 1, body, carry0)
@@ -128,12 +154,7 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant, unroll,
             denom = x1 - x0
             dinv = _f32(1.0) / jnp.where(denom != 0, denom, _f32(1.0))
             okm = -(denom != 0).astype(jnp.int32)      # 0 or all-ones
-            packed = jnp.zeros((TY, CX), jnp.int32)
-            for v in range(nvar):
-                mk2 = (fmasks[v][k].astype(jnp.int32)
-                       & fmasks[v][k + 1].astype(jnp.int32))
-                packed = packed | (mk2 << v)
-            packed = packed & okm
+            packed = var_bits(k, okm)
             sel = jnp.stack([(p_k <= t) & (p_k1 > t) for t in xts])
             w = jnp.stack([(t - x0) * dinv for t in lxts])
             no = tuple(
@@ -158,7 +179,8 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant, unroll,
         p_k, x0, os_, mp = carry
         for k in range((steps // u) * u, steps):   # static tail
             p_k, x0, os_, mp = step(k, p_k, x0, os_, mp)
-        mbit = [(mp, 1 << v) for v in range(nvar)]
+        mbit = ([(mp, 1)] if allm
+                else [(mp, 1 << v) for v in range(nvar)])
     else:
         # carry-select: the loop only *selects* the bracket quantities
         # (f0, f1, x0, 1/denom, and the nvar defined bits packed into ONE
@@ -182,13 +204,8 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant, unroll,
             # 0 where degenerate -> w=0 -> out=f0 (masked: ok bit below)
             dinv = jnp.where(denom != 0, _f32(1.0) / denom, _f32(0.0))
             okm = -(denom != 0).astype(jnp.int32)      # 0 or all-ones
-            # pack per-var defined bits (shared across targets), AND ok
-            packed = jnp.zeros((TY, CX), jnp.int32)
-            for v in range(nvar):
-                mk2 = (fmasks[v][k].astype(jnp.int32)
-                       & fmasks[v][k + 1].astype(jnp.int32))
-                packed = packed | (mk2 << v)
-            packed = packed & okm
+            # per-var defined bits (shared across targets), AND ok
+            packed = var_bits(k, okm)
             sel = jnp.stack([(p_k <= t) & (p_k1 > t) for t in xts])
             nf0 = tuple(jnp.where(sel, fvals[v][k][None], f0s[v])
                         for v in range(nvar))
@@ -204,12 +221,20 @@ def _interp_kernel(nlev, nt, nvar, TY, CX, log_p, variant, unroll,
         lxt = jnp.stack([jnp.full((TY, CX), t, _f32) for t in lxts])
         w = (lxt - x0t) * dvt
         os_ = [f0s[v] + (f1s[v] - f0s[v]) * w for v in range(nvar)]
-        mbit = [(mp, 1 << v) for v in range(nvar)]
+        mbit = ([(mp, 1)] if allm
+                else [(mp, 1 << v) for v in range(nvar)])
 
+    for v in range(nvar):
+        outs[v][...] = os_[v]
+    if allm:
+        m, bit = mbit[0]
+        om = (m & bit) != 0
+        omasks[0][...] = om if omasks[0].dtype == jnp.bool_ \
+            else om.astype(omasks[0].dtype)
+        return
     # mask lanes ride as int32 (Mosaic cannot select/rotate i1 vectors)
     psm = psm_ref[...].astype(jnp.int32)[None]
     for v in range(nvar):
-        outs[v][...] = os_[v]
         m, bit = mbit[v]
         om = ((m & bit) != 0) & (psm != 0)
         omasks[v][...] = om if omasks[v].dtype == jnp.bool_ \
@@ -242,13 +267,15 @@ def _pick_cx(nlev: int, nx: int, nvar: int, nt: int, ty: int = 8,
 
 
 @functools.partial(jax.jit, static_argnames=("targets", "log_p", "interpret",
-                                             "variant", "ty", "unroll"))
+                                             "variant", "ty", "unroll",
+                                             "all_defined"))
 def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
                            alevel, blevel, targets: Sequence[float],
                            log_p: bool = True,
                            interpret: bool = False,
                            variant: str = "packed",
-                           ty: int = 8, unroll: int = 8) -> Tuple[Field, ...]:
+                           ty: int = 8, unroll: int = 8,
+                           all_defined: bool = False) -> Tuple[Field, ...]:
     """Interpolate several hybrid-level Fields to constant-pressure
     surfaces in one fused pass (equivalent to
     :func:`..ops.vertical.hlevel_to_plevel` per field, same masks).
@@ -258,6 +285,12 @@ def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
       ps: ``[ny, nx]`` surface-pressure Field (hPa).
       alevel, blevel: ``[nlev]`` hybrid coefficients.
       targets: static tuple of target pressures (hPa).
+      all_defined: caller asserts every input point (fields and ps) is
+        defined — no input mask planes are read, and the per-var output
+        masks (still data-dependent through the in-range/non-degenerate
+        bracket gate, vertical.py:82-84) collapse to ONE shared plane:
+        ``nvar + 1`` fewer int8 reads and ``nvar - 1`` fewer int8
+        writes per step.  Output Fields share one mask buffer.
 
     Returns a tuple of ``[len(targets), ny, nx]`` Fields.
     """
@@ -301,11 +334,20 @@ def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
     tile2 = pl.BlockSpec((TY, CX), im2, memory_space=pltpu.VMEM)
     out3 = pl.BlockSpec((nt, TY, CX), im3, memory_space=pltpu.VMEM)
 
+    nmask = 1 if all_defined else nvar
+    if all_defined:
+        in_specs = [stack3] * nvar + [tile2]
+        operands = [f.values for f in fields] + [ps.values]
+    else:
+        in_specs = [stack3] * nvar + [stack3] * nvar + [tile2, tile2]
+        operands = ([f.values for f in fields]
+                    + [f.mask.astype(jnp.int8) for f in fields]
+                    + [ps.values, ps.mask.astype(jnp.int8)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(jy, jx),
-        in_specs=[stack3] * nvar + [stack3] * nvar + [tile2, tile2],
-        out_specs=tuple([out3] * (2 * nvar)),
+        in_specs=in_specs,
+        out_specs=tuple([out3] * (nvar + nmask)),
     )
     f32_o = jax.ShapeDtypeStruct((nt, ny, nx), jnp.float32)
     # masks cross the Pallas boundary as int8: i1 operands/results lower
@@ -316,14 +358,14 @@ def hlevel_to_plevel_fused(fields: Tuple[Field, ...], ps: Field,
         raise ValueError(f"hlevel_to_plevel_fused: bad variant {variant!r}")
     outs = pl.pallas_call(
         functools.partial(_interp_kernel, nlev, nt, nvar, TY, CX, log_p,
-                          variant, unroll),
+                          variant, unroll, all_defined),
         grid_spec=grid_spec,
-        out_shape=tuple([f32_o] * nvar + [i8_o] * nvar),
+        out_shape=tuple([f32_o] * nvar + [i8_o] * nmask),
         interpret=interpret,
     )(jnp.asarray(alevel, _f32), jnp.asarray(blevel, _f32),
-      jnp.asarray(xt),
-      *[f.values for f in fields],
-      *[f.mask.astype(jnp.int8) for f in fields],
-      ps.values, ps.mask.astype(jnp.int8))
+      jnp.asarray(xt), *operands)
 
+    if all_defined:
+        m = outs[nvar] != 0                  # one shared gate plane
+        return tuple(Field(outs[v], m) for v in range(nvar))
     return tuple(Field(outs[v], outs[nvar + v] != 0) for v in range(nvar))

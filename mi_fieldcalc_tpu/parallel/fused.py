@@ -230,7 +230,8 @@ def derived_fields_isobaric_sharded(mesh: Mesh, tk: Field, q: Field,
                                     alevel, blevel, xmapr, ymapr, fcoriolis,
                                     plevels, interpret: bool = False,
                                     global_shape=None,
-                                    overlap: bool = False):
+                                    overlap: bool = False,
+                                    all_defined: bool = False):
     """Sharded 3-D isobaric pipeline (BASELINE config 5's per-host program):
     hybrid -> pressure-level interpolation followed by the 12-output
     derived-field kernel, domain-decomposed over ``mesh``.
@@ -253,6 +254,13 @@ def derived_fields_isobaric_sharded(mesh: Mesh, tk: Field, q: Field,
     Arguments as :func:`..models.pipeline.derived_fields_isobaric`;
     ``xmapr``/``ymapr``/``fcoriolis`` must be ``(ny, nx)`` arrays.
     Returns a sharded :class:`DerivedFields` on the ``plevels`` stack.
+
+    ``all_defined=True`` asserts every INPUT point is defined: the
+    column-interpolation kernel skips its 5 input mask planes and emits
+    ONE shared bracket-gate mask, and the non-overlap halo leg
+    exchanges that single mask strip instead of four.  The derived-field
+    tail keeps its mask machinery — interpolated masks are
+    data-dependent (below-surface points) even on fully defined inputs.
     """
     if dict(mesh.shape).get("lev", 1) != 1:
         raise ValueError("isobaric sharding needs lev == 1 (columns span "
@@ -267,13 +275,13 @@ def derived_fields_isobaric_sharded(mesh: Mesh, tk: Field, q: Field,
             jnp.asarray(fcoriolis, jnp.float32))
     leaves = tuple(jax.tree_util.tree_flatten(args)[0])
     fn = _isobaric_sharded_fn(mesh, (nyg, nxg), plevels, bool(interpret),
-                              bool(overlap))
+                              bool(overlap), bool(all_defined))
     return fn(leaves)
 
 
 @functools.lru_cache(maxsize=64)
 def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool,
-                         overlap: bool = False):
+                         overlap: bool = False, all_defined: bool = False):
     from ..ops.vertical_fused import hlevel_to_plevel_fused
 
     nyg, nxg = global_shape
@@ -287,7 +295,8 @@ def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool,
 
         # local column interpolation (no communication)
         tki, qi, ui, vi = hlevel_to_plevel_fused(
-            (tk, q, u, v), ps, al, bl, plevels, interpret=interpret)
+            (tk, q, u, v), ps, al, bl, plevels, interpret=interpret,
+            all_defined=all_defined)
 
         if overlap:
             ny_loc, nx_loc = tk.values.shape[-2:]
@@ -303,14 +312,24 @@ def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool,
                 jnp.asarray(plevels, jnp.float32),
                 jnp.zeros(np_, jnp.float32), xm, ym, fc)
 
-        flat = []
-        for f in (tki, qi, ui, vi):
-            flat += [f.values, f.mask.astype(jnp.int8)]
-        flat += [xm, ym, fc]
-        flat = _exchange_all(flat, mesh, HY, HX)
-        tkp, qp, up, vp = (Field(flat[2 * i], flat[2 * i + 1] != 0)
-                           for i in range(4))
-        xmp, ymp, fcp = flat[8:]
+        if all_defined:
+            # the 4 interpolated stacks share ONE bracket-gate mask —
+            # exchange it once
+            flat = [tki.values, qi.values, ui.values, vi.values,
+                    tki.mask.astype(jnp.int8), xm, ym, fc]
+            flat = _exchange_all(flat, mesh, HY, HX)
+            mshared = flat[4] != 0
+            tkp, qp, up, vp = (Field(flat[i], mshared) for i in range(4))
+            xmp, ymp, fcp = flat[5:]
+        else:
+            flat = []
+            for f in (tki, qi, ui, vi):
+                flat += [f.values, f.mask.astype(jnp.int8)]
+            flat += [xm, ym, fc]
+            flat = _exchange_all(flat, mesh, HY, HX)
+            tkp, qp, up, vp = (Field(flat[2 * i], flat[2 * i + 1] != 0)
+                               for i in range(4))
+            xmp, ymp, fcp = flat[8:]
 
         ny_loc, nx_loc = tk.values.shape[-2:]
         gy = mesh.shape["gy"] if "gy" in names else 1

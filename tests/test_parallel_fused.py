@@ -309,3 +309,37 @@ def test_sharded_all_defined_matches(mesh_shape, nlev, ny, nx, overlap):
         assert np.array_equal(rm, np.asarray(ga.mask)), name
         assert np.array_equal(np.asarray(ra.values)[rm],
                               np.asarray(ga.values)[rm]), name
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_sharded_isobaric_all_defined_matches(overlap):
+    """Isobaric all_defined: the interp kernel runs mask-free per shard
+    and the non-overlap halo leg exchanges one shared mask strip; the
+    result equals the default sharded path bitwise on fully defined
+    inputs."""
+    import jax.numpy as jnp
+    import numpy as _np
+    from mi_fieldcalc_tpu.parallel.fused import (
+        derived_fields_isobaric_sharded)
+
+    mesh_shape, nlev, ny, nx = (1, 2, 2), 8, 48, 64
+    ndev = int(np.prod(mesh_shape))
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mesh = grid_mesh(mesh_shape, devices=jax.devices()[:ndev])
+    args = list(_inputs(nlev, ny, nx, seed=13, undefs=False))
+    args[5] = jnp.asarray(_np.linspace(50, 300, nlev), jnp.float32)
+    args[6] = jnp.asarray(_np.linspace(0.0, 0.7, nlev) ** 1.5, jnp.float32)
+    plv = (925.0, 850.0, 500.0)
+
+    ref = derived_fields_isobaric_sharded(mesh, *args, plevels=plv,
+                                          interpret=True, overlap=overlap)
+    got = derived_fields_isobaric_sharded(mesh, *args, plevels=plv,
+                                          interpret=True, overlap=overlap,
+                                          all_defined=True)
+    for name in ref._fields:
+        ra, ga = getattr(ref, name), getattr(got, name)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, np.asarray(ga.mask)), name
+        assert np.array_equal(np.asarray(ra.values)[rm],
+                              np.asarray(ga.values)[rm]), name

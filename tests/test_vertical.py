@@ -273,3 +273,34 @@ def test_isobaric_fused_padded_layout_matches():
         assert np.array_equal(rm, np.asarray(ga.mask)), name
         assert np.array_equal(np.asarray(ra.values)[rm],
                               np.asarray(ga.values)[rm]), name
+
+
+def test_interp_fused_all_defined_matches():
+    """all_defined=True (no input mask planes, one shared bracket-gate
+    output mask) is bitwise-identical to the default path on fully
+    defined inputs, for every kernel variant."""
+    import jax.numpy as jnp
+    from mi_fieldcalc_tpu.field import from_values
+    from mi_fieldcalc_tpu.ops.vertical_fused import hlevel_to_plevel_fused
+
+    rng = np.random.default_rng(17)
+    nlev, ny, nx = 9, 16, 140
+    flds = tuple(
+        from_values(rng.normal(270, 20, (nlev, ny, nx)).astype(np.float32))
+        for _ in range(3))
+    ps = from_values(rng.uniform(700, 1030, (ny, nx)).astype(np.float32))
+    al = jnp.asarray(np.linspace(50, 300, nlev), jnp.float32)
+    bl = jnp.asarray(np.linspace(0.0, 0.7, nlev) ** 1.5, jnp.float32)
+    tg = (925.0, 850.0, 500.0, 100.0)   # 100 hPa is above the top: gate
+    for variant in ("packed", "inplace", "carrysel"):
+        ref = hlevel_to_plevel_fused(flds, ps, al, bl, tg,
+                                     interpret=True, variant=variant)
+        got = hlevel_to_plevel_fused(flds, ps, al, bl, tg,
+                                     interpret=True, variant=variant,
+                                     all_defined=True)
+        for i, (r, g) in enumerate(zip(ref, got)):
+            rm = np.asarray(r.mask)
+            assert np.array_equal(rm, np.asarray(g.mask)), (variant, i)
+            assert np.array_equal(np.asarray(r.values)[rm],
+                                  np.asarray(g.values)[rm]), (variant, i)
+        assert not np.asarray(ref[0].mask).all()   # the gate fired
