@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--overlap", action="store_true",
                     help="audit the seam-strip overlap variant (interior "
                          "kernel independent of the halo collectives)")
+    ap.add_argument("--all-defined", action="store_true",
+                    help="audit the ALL_DEFINED fast path (mask-free "
+                         "interp inputs; one shared interp mask strip on "
+                         "the halo legs)")
     ap.add_argument("--gx", type=int, default=1,
                     help="devices on the gx axis: a 2-D (gy, gx) "
                     "decomposition pays 128-lane alignment per shard on x "
@@ -89,7 +93,8 @@ def main():
 
     ny_p, nx_p = padded_shape_sharded(NY, NX, gy, gx)
     fn = _isobaric_sharded_fn(mesh, (NY, NX), PLEVELS, False,
-                          overlap=args.overlap)
+                              overlap=args.overlap,
+                              all_defined=args.all_defined)
 
     def sds(shape, dtype, ndim):
         return jax.ShapeDtypeStruct(
@@ -128,6 +133,7 @@ def main():
         "workload": "config5_isobaric_global_0.25deg_137L",
         "topology": args.topology, "mesh": [1, gy, gx],
         "overlap": bool(args.overlap),
+        "all_defined": bool(args.all_defined),
         "global_grid": [NLEV, NY, NX], "padded": [ny_p, nx_p],
         "live_fraction": round(NY * NX / (ny_p * nx_p), 3),
         "plevels": len(PLEVELS),
