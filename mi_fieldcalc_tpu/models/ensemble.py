@@ -51,7 +51,8 @@ def ensemble_derived_summary(tk: Field, q: Field, u: Field, v: Field,
                              ymapr: jax.Array, fcoriolis: jax.Array,
                              wind_limit: float = 15.0,
                              fused: bool = False,
-                             global_shape=None) -> EnsembleSummary:
+                             global_shape=None,
+                             all_defined: bool = False) -> EnsembleSummary:
     """Derived fields per member + ensemble statistics, one program.
 
     Args:
@@ -66,14 +67,20 @@ def ensemble_derived_summary(tk: Field, q: Field, u: Field, v: Field,
         8 members x 8 levels padded vs 4.6 single-member, PERF.md).
       global_shape: logical ``(ny, nx)`` when inputs ride the canonical
         padded layout (fused path only, like derived_fields_isobaric).
+      all_defined: caller asserts every logical point of every member is
+        defined — each member runs the pipeline kernel's ALL_DEFINED
+        fast path (no input mask planes, 2 output gate planes; −23%
+        member step time, PERF.md), and the ensemble denominators see
+        constant-True masks for the 10 gate-free fields (XLA folds the
+        ones-reductions).  Fused path only.
 
     Returns an :class:`EnsembleSummary`; the mean/spread cover all 12
     derived fields, probabilities are computed for wind speed and for
     1-hour temperature advection below 0 (cooling).
     """
-    if global_shape is not None and not fused:
-        raise ValueError("ensemble_derived_summary: global_shape "
-                         "requires fused=True")
+    if (global_shape is not None or all_defined) and not fused:
+        raise ValueError("ensemble_derived_summary: global_shape/"
+                         "all_defined require fused=True")
     if fused:
         from ..ops.fused import derived_fields_fused
         interp = jax.devices()[0].platform != "tpu"
@@ -81,15 +88,20 @@ def ensemble_derived_summary(tk: Field, q: Field, u: Field, v: Field,
             lambda tkm, qm, um, vm, psm: derived_fields_fused(
                 tkm, qm, um, vm, psm, alevel, blevel, xmapr, ymapr,
                 fcoriolis, stacked=True, interpret=interp,
-                global_shape=global_shape))
+                global_shape=global_shape, all_defined=all_defined))
         st = per_member(tk, q, u, v, ps)   # values (nmem, 12, nlev, ...)
 
         def member_mask(i):
             if st.masks.ndim == st.values.ndim - 1:   # packed bit-plane
                 return ((st.masks >> i) & 1) != 0
             from .pipeline import DerivedFieldsStacked
-            j = (DerivedFieldsStacked.MASK9[i]
-                 if st.masks.shape[1] == 9 else i)    # deduplicated stack
+            if st.masks.shape[1] == 2:                # all_defined gates
+                j = DerivedFieldsStacked.MASK2[i]
+                if j < 0:
+                    return jnp.ones(st.values[:, i].shape, bool)
+            else:
+                j = (DerivedFieldsStacked.MASK9[i]
+                     if st.masks.shape[1] == 9 else i)  # dedup stack
             m = st.masks[:, j]
             return m if m.dtype == jnp.bool_ else m != 0
 

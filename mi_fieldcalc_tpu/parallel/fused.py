@@ -622,7 +622,8 @@ def ensemble_summary_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
                              xmapr, ymapr, fcoriolis,
                              wind_limit: float = 15.0,
                              interpret: bool = False,
-                             global_shape=None):
+                             global_shape=None,
+                             all_defined: bool = False):
     """Sharded ensemble pipeline: per-member derived fields + ensemble
     summary, spatially decomposed over ``mesh``.
 
@@ -651,13 +652,13 @@ def ensemble_summary_sharded(mesh: Mesh, tk: Field, q: Field, u: Field,
             jnp.asarray(fcoriolis, jnp.float32))
     leaves = tuple(jax.tree_util.tree_flatten(args)[0])
     fn = _ensemble_sharded_fn(mesh, (nyg, nxg), float(wind_limit),
-                              bool(interpret))
+                              bool(interpret), bool(all_defined))
     return fn(leaves)
 
 
 @functools.lru_cache(maxsize=64)
 def _ensemble_sharded_fn(mesh: Mesh, global_shape, wind_limit: float,
-                         interpret: bool):
+                         interpret: bool, all_defined: bool = False):
     from ..models.ensemble import EnsembleSummary
     from ..models.pipeline import DerivedFields
     from ..ops import mean_value, probability, stddev_value
@@ -675,13 +676,20 @@ def _ensemble_sharded_fn(mesh: Mesh, global_shape, wind_limit: float,
         per_member = jax.vmap(
             lambda tkm, qm, um, vm, psm: _overlap_core(
                 names, gy, gx, nyg, nxg, interpret,
-                tkm, qm, um, vm, psm, al, bl, xm, ym, fc, stacked=True))
+                tkm, qm, um, vm, psm, al, bl, xm, ym, fc, stacked=True,
+                all_defined=all_defined))
         st = per_member(tk, q, u, v, ps)    # SoA: values [nmem, 12, ...]
         from ..models.pipeline import DerivedFieldsStacked
         m9 = st.masks.shape[1] == 9
 
         def member_field(i):
-            j = DerivedFieldsStacked.MASK9[i] if m9 else i
+            if st.masks.shape[1] == 2:      # all_defined gate planes
+                j = DerivedFieldsStacked.MASK2[i]
+                if j < 0:
+                    return Field(st.values[:, i],
+                                 jnp.ones(st.values[:, i].shape, bool))
+            else:
+                j = DerivedFieldsStacked.MASK9[i] if m9 else i
             m = st.masks[:, j]
             return Field(st.values[:, i],
                          m if m.dtype == jnp.bool_ else m != 0)

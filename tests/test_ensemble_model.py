@@ -111,3 +111,45 @@ def test_ensemble_summary_fused_matches_jnp():
         np.testing.assert_allclose(
             np.asarray(pb.values)[np.asarray(pa.mask)],
             np.asarray(pa.values)[np.asarray(pa.mask)], rtol=1e-5, atol=1e-5)
+
+
+def test_ensemble_summary_all_defined_matches():
+    """all_defined=True (per-member fast-path kernels, constant-True
+    masks for the gate-free fields) equals the default fused path
+    bitwise on fully defined member stacks — single program and
+    sharded."""
+    args = _member_inputs(undefs=False, ny=16, nx=24)
+    tk, q, u, v, ps = args[:5]
+    rest = args[5:]
+
+    ref = ensemble_derived_summary(tk, q, u, v, ps, *rest, fused=True)
+    got = ensemble_derived_summary(tk, q, u, v, ps, *rest, fused=True,
+                                   all_defined=True)
+
+    def check(a, b, tag):
+        if isinstance(a, Field):
+            am = np.asarray(a.mask)
+            assert np.array_equal(am, np.asarray(b.mask)), tag
+            # constant-True masks let XLA fold the summary's selects into
+            # different fusions -> f32 reassociation (last-ulp in the
+            # Welford spread); masks stay bitwise, values to rtol
+            with np.errstate(all="ignore"):
+                assert np.allclose(np.asarray(a.values)[am],
+                                   np.asarray(b.values)[am],
+                                   rtol=2e-5, atol=1e-30), tag
+            return
+        for name in a._fields:
+            check(getattr(a, name), getattr(b, name), f"{tag}.{name}")
+
+    check(ref, got, "summary")
+
+    # sharded form on the CPU mesh
+    from mi_fieldcalc_tpu.parallel import grid_mesh
+    from mi_fieldcalc_tpu.parallel.fused import ensemble_summary_sharded
+    if len(jax.devices()) >= 4:
+        mesh = grid_mesh((1, 2, 2), devices=jax.devices()[:4])
+        ref_s = ensemble_summary_sharded(mesh, tk, q, u, v, ps, *rest,
+                                         interpret=True)
+        got_s = ensemble_summary_sharded(mesh, tk, q, u, v, ps, *rest,
+                                         interpret=True, all_defined=True)
+        check(ref_s, got_s, "sharded")
