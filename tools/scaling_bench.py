@@ -36,6 +36,10 @@ def main():
                     help="route the TPU path through the seam-strip "
                          "overlap variant (interior kernel independent "
                          "of the halo collectives)")
+    ap.add_argument("--all-defined", action="store_true",
+                    help="ALL_DEFINED fast path: mask-free halo legs "
+                         "(one ppermute per direction) + the 2-gate "
+                         "kernel per shard (TPU path only)")
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
                     help="force an N-device virtual CPU mesh (the axon "
                          "plugin pins the platform, so the env var alone "
@@ -78,7 +82,8 @@ def main():
 
         if on_tpu:
             step = lambda: derived_fields_fused_sharded(
-                mesh, *inp[:7], xm2, ym2, fc2, overlap=args_ns.overlap)
+                mesh, *inp[:7], xm2, ym2, fc2, overlap=args_ns.overlap,
+                all_defined=args_ns.all_defined)
         else:
             fn = jax.jit(lambda *a: run_sharded(
                 derived_fields, mesh, RADIUS, *a))
@@ -98,6 +103,7 @@ def main():
         print(json.dumps({
             "devices": n, "mesh": [1, gy, gx], "grid": [args_ns.nlev, ny, nx],
             "overlap": bool(args_ns.overlap and on_tpu),
+            "all_defined": bool(args_ns.all_defined and on_tpu),
             "points_per_sec": round(pps, 1), "ms_per_step": round(dt * 1e3, 2),
             "weak_scaling_efficiency": round(pps / (base_pps * n), 4),
         }), flush=True)
