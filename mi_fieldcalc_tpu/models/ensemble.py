@@ -90,23 +90,12 @@ def ensemble_derived_summary(tk: Field, q: Field, u: Field, v: Field,
                 fcoriolis, stacked=True, interpret=interp,
                 global_shape=global_shape, all_defined=all_defined))
         st = per_member(tk, q, u, v, ps)   # values (nmem, 12, nlev, ...)
-
-        def member_mask(i):
-            if st.masks.ndim == st.values.ndim - 1:   # packed bit-plane
-                return ((st.masks >> i) & 1) != 0
-            from .pipeline import DerivedFieldsStacked
-            if st.masks.shape[1] == 2:                # all_defined gates
-                j = DerivedFieldsStacked.MASK2[i]
-                if j < 0:
-                    return jnp.ones(st.values[:, i].shape, bool)
-            else:
-                j = (DerivedFieldsStacked.MASK9[i]
-                     if st.masks.shape[1] == 9 else i)  # dedup stack
-            m = st.masks[:, j]
-            return m if m.dtype == jnp.bool_ else m != 0
-
-        out = DerivedFields(*[Field(st.values[:, i], member_mask(i))
-                              for i in range(12)])
+        from .pipeline import DerivedFieldsStacked
+        out = DerivedFields(*[
+            Field(st.values[:, i],
+                  DerivedFieldsStacked.mask_plane(st.masks, i,
+                                                  st.values[:, i], axis=1))
+            for i in range(12)])
     else:
         per_member = jax.vmap(
             lambda tkm, qm, um, vm, psm: derived_fields(

@@ -91,20 +91,39 @@ class DerivedFieldsStacked(NamedTuple):
     #: |grad T| != 0 gate; -1 = constant True)
     MASK2 = (-1, -1, 0, 0, -1, -1, -1, -1, -1, -1, -1, 1)
 
-    def field(self, i: int) -> Field:
-        m = self.masks
-        if m.ndim == self.values.ndim - 1:     # packed int32 bit-plane
-            return Field(self.values[i], ((m >> i) & 1) != 0)
-        if m.shape[0] == 2:                    # all_defined fast path
-            k = self.MASK2[i]
-            if k < 0:
-                return Field(self.values[i],
-                             jnp.ones(self.values[i].shape, bool))
-            mi = m[k]
+    @classmethod
+    def mask_plane(cls, masks, i: int, values_i, axis: int = 0):
+        """Field ``i``'s bool mask from any stacked-mask layout — the
+        packed int32 bit-plane, the 2-plane ALL_DEFINED gate stack
+        (constant True for the 10 gate-free fields), the deduplicated
+        9-plane stack, or the plain 12-plane stack.  ``axis`` is the
+        plane axis (1 for member-batched ``[nmem, planes, ...]``
+        stacks); ``values_i`` supplies the shape for synthesized
+        constant-True masks.  Single source of truth for the layout
+        mapping — used by :meth:`field`, the ensemble summary, and the
+        sharded ensemble body.
+
+        Padded-layout caveat: synthesized constant-True masks cover the
+        ARRAY extent, including padded dead rows/lanes (this accessor
+        cannot know the logical shape) — trim to the logical grid
+        before mask-sensitive consumption.  The 2 written gate planes
+        and the per-field Fields returned by ``derived_fields_fused``
+        itself ARE region-gated (False on dead points)."""
+        if masks.ndim == values_i.ndim:            # packed bit-plane
+            return ((masks >> i) & 1) != 0
+        nplanes = masks.shape[axis]
+        if nplanes == 2:                           # all_defined gates
+            j = cls.MASK2[i]
+            if j < 0:
+                return jnp.ones(values_i.shape, bool)
         else:
-            mi = m[self.MASK9[i] if m.shape[0] == 9 else i]
+            j = cls.MASK9[i] if nplanes == 9 else i
+        m = jnp.take(masks, j, axis=axis) if axis else masks[j]
+        return m if m.dtype == jnp.bool_ else m != 0
+
+    def field(self, i: int) -> Field:
         return Field(self.values[i],
-                     mi if mi.dtype == jnp.bool_ else mi != 0)
+                     self.mask_plane(self.masks, i, self.values[i]))
 
     def as_fields(self) -> "DerivedFields":
         return DerivedFields(*[self.field(i) for i in range(12)])

@@ -380,6 +380,17 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
     gy0 = off_ref[0] + j * TY
     cx0 = off_ref[1]
 
+    region = None
+    if allm:
+        # the fast path writes only 2 mask planes; gate them to the
+        # logical region so padded dead rows/lanes keep the layout
+        # invariant (masks False on dead points) — free VPU work on a
+        # DMA-bound kernel
+        rr = jax.lax.broadcasted_iota(jnp.int32, (TY, nx), 0) + gy0
+        cc = jax.lax.broadcasted_iota(jnp.int32, (TY, nx), 1) + cx0
+        region = ((rr >= 0) & (rr < nyg) & (cc >= 0) & (cc < nxg)
+                  ).astype(jnp.int32)
+
     def ext(center, prev8, next8):
         """TY+4-row extended tile: rows gy0-2 .. gy0+TY+1."""
         return jnp.concatenate(
@@ -421,8 +432,7 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
                 o[0] = tkv / pidcp
             for m in (m_rh, m_td, m_the, m_duc):
                 if m is not None:
-                    put_ref(m, jnp.ones(tkv.shape, jnp.int32) if allm
-                            else tkm & psvm)
+                    put_ref(m, region if allm else tkm & psvm)
         else:
             # alevelhum sentinel-pressure gate: with every input defined
             # the gate is identity (p_raw == p_sent)
@@ -431,7 +441,7 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
             et, ok, l = _esat(tab_ref, tkv)
             qsat = eps * et / p_sent
             o_rh[0] = _f32(100.0) * qv / qsat
-            put_ref(m_rh, ok.astype(jnp.int32) if allm
+            put_ref(m_rh, ok.astype(jnp.int32) & region if allm
                     else (tkm & qm) * ok)
 
             rhc = jnp.clip(qv / qsat, rhmin, rhmax)
@@ -485,10 +495,9 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
         ws = jnp.sqrt(uv * uv + vv * vv)
         for o in (o_vo, o_dv, o_ad, o_gt, o_tf):
             o[0] = ws
-        ones = jnp.ones(ws.shape, jnp.int32)
         for m in (m_vo, m_dv, m_ad, m_gt, m_tf):
             if m is not None:
-                put_ref(m, ones if allm else um & vm)
+                put_ref(m, region if allm else um & vm)
         if acc is not None:
             _flush_packed(acc, om_ref)
         return
@@ -540,8 +549,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
     if allm:
         # every input-mask term is constant True; only |grad T| != 0
         # (the reference's division gate, FieldCalculations.cc:2293)
-        # survives
-        tfp_m = nonzero.astype(jnp.int32)
+        # survives, region-gated on padded dead points
+        tfp_m = nonzero.astype(jnp.int32) & region
     else:
         am_c = absd_m[1:TY + 1]
         tfp_m = (ym1(tkme) & _xshift(tkm, 1) & _xshift(tkm, -1) & yp1(tkme)
@@ -854,7 +863,13 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
              [m.view(jnp.bool_) for m in m9]
     if all_defined:
         # m9 is [humidity gate, tfp gate]; the other 10 are constant True
-        ones = jnp.ones(vals[0].shape, jnp.bool_)
+        # on the logical region — gated to False on padded dead
+        # rows/lanes so the canonical-layout invariant (masks False on
+        # dead points) holds.  One shared buffer for all 10.
+        r = jnp.arange(ny, dtype=jnp.int32)[:, None] + offs[0]
+        c = jnp.arange(nx, dtype=jnp.int32)[None, :] + offs[1]
+        region2 = (r >= 0) & (r < nyg) & (c >= 0) & (c < nxg)
+        ones = jnp.broadcast_to(region2, vals[0].shape)
         masks = [ones, ones, m9[0], m9[0], ones, ones, ones, ones, ones,
                  ones, ones, m9[1]]
     else:

@@ -299,6 +299,14 @@ def _isobaric_sharded_fn(mesh: Mesh, global_shape, plevels, interpret: bool,
             all_defined=all_defined)
 
         if overlap:
+            if all_defined:
+                # the interp emitted ONE shared bracket-gate mask, but
+                # the jit boundary returns a distinct tracer per output
+                # position — re-alias so _overlap_core's wire dedup
+                # (id-based) packs the mask strip once, not four times
+                m1 = tki.mask
+                tki, qi, ui, vi = (Field(f.values, m1)
+                                   for f in (tki, qi, ui, vi))
             ny_loc, nx_loc = tk.values.shape[-2:]
             gy = mesh.shape["gy"] if "gy" in names else 1
             gx = mesh.shape["gx"] if "gx" in names else 1
@@ -436,13 +444,29 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
     flat += [xm, ym, fc]
     MAPS = 5 * VM            # index of xm in `flat`
 
+    # Duplicate array OBJECTS in `flat` ride the wire once: the isobaric
+    # all_defined path hands the SAME bracket-gate mask to all four
+    # interpolated fields, and the packed legs below would otherwise
+    # physically carry four identical strips per direction (the packed
+    # buffer is a concat — XLA cannot dedupe wire bytes).
+    uidx, uniq, _seen = [], [], {}
+    for a in flat:
+        k = _seen.get(id(a))
+        if k is None:
+            k = _seen[id(a)] = len(uniq)
+            uniq.append(a)
+        uidx.append(k)
+    firsts = [uidx.index(k) for k in range(len(uniq))]
+
     # ---- y-leg: one packed ppermute per (direction, dtype) — 4
     # collectives for all 13 seam strips instead of 26 (the scheduled
     # v5e HLO showed only the first in-flight wave hiding behind the
     # interior kernel, the rest serializing on launch latency)
     tops = bots = None
     if gy > 1:
-        tops, bots = packed_strip_exchange(flat, R, "gy", gy)
+        tu, bu = packed_strip_exchange(uniq, R, "gy", gy)
+        tops = [tu[k] for k in uidx]
+        bots = [bu[k] for k in uidx]
 
     # ---- x-leg: exchange the y-EXTENDED 2-lane edge columns (the
     # neighbour's strip then includes its own y-halo rows = our
@@ -462,11 +486,12 @@ def _overlap_core(names, gy, gx, nyg, nxg, interpret,
 
     lefts = rights = None
     if gx > 1:
-        nf = len(flat)
-        lefts, rights = packed_sendrecv(
-            [extcols(i, 0, R) for i in range(nf)],
-            [extcols(i, nx_loc - R, nx_loc) for i in range(nf)],
+        lu, ru = packed_sendrecv(
+            [extcols(i, 0, R) for i in firsts],
+            [extcols(i, nx_loc - R, nx_loc) for i in firsts],
             "gx", gx)
+        lefts = [lu[k] for k in uidx]
+        rights = [ru[k] for k in uidx]
 
     # ---- interior: no halo, no dependence on any ppermute above
     offs0 = jnp.stack([row0, col0]).astype(jnp.int32)
@@ -680,21 +705,11 @@ def _ensemble_sharded_fn(mesh: Mesh, global_shape, wind_limit: float,
                 all_defined=all_defined))
         st = per_member(tk, q, u, v, ps)    # SoA: values [nmem, 12, ...]
         from ..models.pipeline import DerivedFieldsStacked
-        m9 = st.masks.shape[1] == 9
-
-        def member_field(i):
-            if st.masks.shape[1] == 2:      # all_defined gate planes
-                j = DerivedFieldsStacked.MASK2[i]
-                if j < 0:
-                    return Field(st.values[:, i],
-                                 jnp.ones(st.values[:, i].shape, bool))
-            else:
-                j = DerivedFieldsStacked.MASK9[i] if m9 else i
-            m = st.masks[:, j]
-            return Field(st.values[:, i],
-                         m if m.dtype == jnp.bool_ else m != 0)
-
-        out = DerivedFields(*[member_field(i) for i in range(12)])
+        out = DerivedFields(*[
+            Field(st.values[:, i],
+                  DerivedFieldsStacked.mask_plane(st.masks, i,
+                                                  st.values[:, i], axis=1))
+            for i in range(12)])
 
         def member_flags(f):
             # whole-field per-member flag, reduced across shards so the

@@ -216,6 +216,18 @@ def test_fused_all_defined_padded_layout():
         rm = np.asarray(ra.mask)
         assert np.array_equal(rm, gm), name
         assert np.array_equal(np.asarray(ra.values)[rm], gv[rm]), name
+    # the 2 WRITTEN gate planes keep the canonical-layout invariant:
+    # masks False on padded dead rows/lanes (in-kernel region gate)
+    gates = np.asarray(got.masks)
+    assert not gates[..., ny:, :].any() and not gates[..., :, nx:].any()
+
+    # per-field (non-stacked) fast-path output preserves the invariant
+    # for ALL 12 masks, including the synthesized constant-True ones
+    got_pf = derived_fields_fused(*pargs, interpret=True,
+                                  global_shape=(ny, nx), all_defined=True)
+    for name in ref._fields:
+        gm = np.asarray(getattr(got_pf, name).mask)
+        assert not gm[..., ny:, :].any() and not gm[..., :, nx:].any(), name
 
 
 def test_fused_all_defined_rejects_packed():

@@ -158,4 +158,5 @@ def test_encode_step_mask_map_layouts():
         assert outs[tag].keys() == outs["12"].keys()
         for name in outs["12"]:
             np.testing.assert_array_equal(outs["12"][name],
-                                          outs[tag][name]), (tag, name)
+                                          outs[tag][name],
+                                          err_msg=f"{tag}/{name}")
