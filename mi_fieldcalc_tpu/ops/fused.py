@@ -575,7 +575,8 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
 _TY_LANE_BUDGET = 48 * 1536
 
 
-def _pick_ty(ny: int, nx: int, last_row: int = -1) -> int:
+def _pick_ty(ny: int, nx: int, last_row: int = -1,
+             all_defined: bool = False) -> int:
     """Row-tile height: multiple of 8, within the VMEM row-lane budget
     for this ``nx``, with the row that receives the physical last-row
     fill (``last_row``, default ny-1) NOT on a tile boundary so its
@@ -584,8 +585,16 @@ def _pick_ty(ny: int, nx: int, last_row: int = -1) -> int:
         last_row = ny - 1
     # 48 first: the 8-row y-halo blocks cost 16/TY of the stencil-input
     # traffic, and TY=48 measured 9% faster than 32 on the 719x929 grid
-    # (tools/perf_lab_ty.py; TY>=64 exceeds VMEM and fails to compile)
-    for ty in (48, 32, 40, 24, 16, 8):
+    # (tools/perf_lab_ty.py; TY>=64 exceeds VMEM and fails to compile).
+    # The ALL_DEFINED fast path holds ~13 fewer VMEM blocks, so TY=72
+    # fits at nx <= 1024 (the lane budget gates wider grids) and
+    # measured 7% faster than 48 (median over 5 interleaved rounds);
+    # outputs validated bit-identical on the chip vs TY=48 and vs the
+    # masked path per the Mosaic big-tile miscompile caveat
+    # (memory/mosaic-limits).  TY=80+ exceeds scoped VMEM.
+    cands = (72, 48, 32, 40, 24, 16, 8) if all_defined \
+        else (48, 32, 40, 24, 16, 8)
+    for ty in cands:
         if ty <= ny and last_row % ty != 0 \
                 and ty * max(nx, 128) <= _TY_LANE_BUDGET:
             return ty
@@ -675,7 +684,8 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
     # column 0 and the tile covers every logical lane — i.e. unsharded
     # (possibly lane-padded) grids; sharded tiles have traced offsets
     full_x = grid_offsets is None and nx >= nxg
-    TY = ty if ty is not None else _pick_ty(ny, nx, last_local)
+    TY = ty if ty is not None else _pick_ty(ny, nx, last_local,
+                                            all_defined)
     if TY == 0:
         raise ValueError("derived_fields_fused: unsupported grid size")
     if ty is not None and (ty % 8 != 0 or last_local % ty == 0):
