@@ -626,6 +626,58 @@ def _bisection_lanes(fn, shape, a0: float, b0: float):
     return jnp.where(no_root, _f32(0.0), c)
 
 
+def regula_falsi_lanes(fn, a, b, eps, iters: int = 100):
+    """Illinois-variant false position, vectorized over lanes.
+
+    Reproduces the reference's ``regula_falsi`` (VI:417-448) — present
+    in the reference but only reachable from a ``#if 0`` Aitken
+    bracketing path (VI:632-666), so no shipped solver uses it; it is
+    provided (and unit-tested against a scalar replay of the same
+    recurrence) for inventory completeness.  Per lane: the secant point
+    ``c = (f(a)·b − f(b)·a)/(f(a) − f(b))`` replaces the endpoint whose
+    residual shares ``f(c)``'s sign; a retained endpoint has its
+    residual halved on consecutive retentions (the Illinois trick);
+    exits on ``|b−a| < eps·|b+a|``, a sign-degenerate step, or 100
+    iterations.  Sign-equality is spelled as an int32 select
+    (kernel-safe; see :func:`_rtsafe_lanes`)."""
+    a = jnp.asarray(a, _f32)
+    b = jnp.asarray(b, _f32)
+    eps = _f32(eps)
+    ffa = fn(a)
+    ffb = fn(b)
+    side = jnp.zeros(a.shape, jnp.int32)
+    c = a
+    frozen = jnp.zeros(a.shape, bool)
+
+    def body(_, st):
+        a, b, ffa, ffb, side, c, frozen = st
+        c_new = (ffa * b - ffb * a) / (ffa - ffb)
+        c = jnp.where(frozen, c, c_new)
+        conv = jnp.abs(b - a) < eps * jnp.abs(b + a)
+        ffc = fn(c_new)
+        sgb = (ffb > 0).astype(jnp.int32)
+        sga = (ffa > 0).astype(jnp.int32)
+        cpos = ffc > 0
+        same_cb = jnp.where(cpos, sgb, 1 - sgb) != 0
+        same_ac = jnp.where(cpos, sga, 1 - sga) != 0
+        upd = ~(frozen | conv)
+        take_b = upd & same_cb
+        take_a = upd & ~same_cb & same_ac
+        # Illinois halving uses the PREVIOUS side (VI:434-436, 441-443)
+        ffa = jnp.where(take_b & (side == -1), ffa / 2, ffa)
+        ffb = jnp.where(take_a & (side == 1), ffb / 2, ffb)
+        b = jnp.where(take_b, c_new, b)
+        ffb = jnp.where(take_b, ffc, ffb)
+        a = jnp.where(take_a, c_new, a)
+        ffa = jnp.where(take_a, ffc, ffa)
+        side = jnp.where(take_b, -1, jnp.where(take_a, 1, side))
+        frozen = frozen | conv | (upd & ~same_cb & ~same_ac)
+        return a, b, ffa, ffb, side, c, frozen
+
+    st = (a, b, ffa, ffb, side, c, frozen)
+    return jax.lax.fori_loop(0, iters, body, st)[5]
+
+
 def _freeze_frac_ts(ts, sw, ta, ha, he, ea, rh, rw, tsp, lwdown, swdown):
     """MINCOG heat-balance residual in brine-temperature space.
 

@@ -110,3 +110,60 @@ def test_mincog_end_to_end_solver_paths_agree(monkeypatch):
     np.testing.assert_allclose(np.asarray(out.values)[np.asarray(out.mask)],
                                np.asarray(ref.values)[np.asarray(ref.mask)],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_regula_falsi_lanes_matches_scalar_replay():
+    """regula_falsi_lanes reproduces the reference's Illinois recurrence
+    (VI:417-448) lane-for-lane: compare against a scalar Python replay
+    of the same update rule on a batch of brackets/functions."""
+    import numpy as np
+    from mi_fieldcalc_tpu.ops.icing import regula_falsi_lanes
+
+    def scalar_replay(f, a, b, eps, iters=100):
+        side = 0
+        ffa, ffb = f(a), f(b)
+        c = a
+        same = lambda x, y: (x > 0) == (y > 0)
+        for _ in range(iters):
+            c = (ffa * b - ffb * a) / (ffa - ffb)
+            if abs(b - a) < eps * abs(b + a):
+                break
+            ffc = f(c)
+            if same(ffc, ffb):
+                b, ffb = c, ffc
+                if side == -1:
+                    ffa /= 2
+                side = -1
+            elif same(ffa, ffc):
+                a, ffa = c, ffc
+                if side == 1:
+                    ffb /= 2
+                side = 1
+            else:
+                break
+        return c
+
+    # one vector function evaluated lane-wise: cubic, transcendental,
+    # and a linear lane (converges in one step)
+    def fvec(x):
+        return jnp.stack([x[0] ** 3 - 2 * x[0] - 5.0,
+                          jnp.cos(x[1]) - x[1],
+                          2.0 * x[2] - 1.0])
+
+    a = np.array([1.0, 0.0, -3.0], np.float32)
+    b = np.array([3.0, 2.0, 4.0], np.float32)
+    eps = 1e-6
+    got = np.asarray(regula_falsi_lanes(fvec, a, b, eps))
+
+    fs = [lambda x: x ** 3 - 2 * x - 5.0,
+          lambda x: np.cos(x) - x,
+          lambda x: 2.0 * x - 1.0]
+    want = [scalar_replay(
+        lambda x, f=f: np.float32(f(np.float32(x))),
+        np.float32(a[i]), np.float32(b[i]), np.float32(eps))
+        for i, f in enumerate(fs)]
+    np.testing.assert_allclose(got, np.asarray(want, np.float32),
+                               rtol=0, atol=2e-6)
+    # the roots are right, not just self-consistent
+    np.testing.assert_allclose(
+        got, [2.0945515, 0.7390851, 0.5], rtol=2e-5)
