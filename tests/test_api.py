@@ -200,3 +200,20 @@ def test_mean_value_all_defined_flag_trusts_member():
     # no flags: sentinel-derived masks (previous behavior)
     out = fc.meanValue([a, b])
     assert out[0, 0] == np.float32(2.0)
+
+
+def test_drop_in_module_shim():
+    """`import mi_fieldcalc` (the reference's pybind11 module name)
+    resolves to the TPU build with the bound surface intact."""
+    import mi_fieldcalc as mf
+
+    assert hasattr(mf, "ValuesDefined")
+    for name in ("kIndex", "ductingIndex", "showalterIndex", "boydenIndex",
+                 "sweatIndex", "seaSoundSpeed", "cvtemp", "cvhum", "abshum",
+                 "windCooling", "underCooledRain", "vesselIcingOverland",
+                 "vesselIcingMertins", "vesselIcingModStall",
+                 "vesselIcingMincog"):
+        assert callable(getattr(mf, name)), name
+    out = mf.abshum(np.array([[293.16]], np.float32),
+                    np.array([[0.8]], np.float32), -1.0)
+    assert abs(float(out[0, 0]) - 13.84) < 0.01
