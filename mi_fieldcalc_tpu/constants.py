@@ -72,6 +72,31 @@ def ewt_defined(l):
     return (l >= 0) & (l < N_EWT - 1)
 
 
+#: Trace-time override for :func:`_ewt_pair` — set by Pallas kernels
+#: that trace the jnp thermo formulas in-kernel (ops/fused_suite.py):
+#: inside Mosaic the select chain below is ~5x costlier than a VMEM
+#: lane-gather, so kernels install a ``take_along_axis``-based pair
+#: lookup over an SMEM/VMEM table ref for the duration of the trace.
+#: Both implementations return exact table values (bit-exact lookup).
+_EWT_PAIR_IMPL = None
+
+
+class ewt_pair_impl:
+    """Context manager installing a ``_ewt_pair`` override at trace time
+    (single-threaded tracing; used by fused kernels)."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def __enter__(self):
+        global _EWT_PAIR_IMPL
+        self._saved, _EWT_PAIR_IMPL = _EWT_PAIR_IMPL, self._fn
+
+    def __exit__(self, *exc):
+        global _EWT_PAIR_IMPL
+        _EWT_PAIR_IMPL = self._saved
+
+
 def _ewt_pair(ls):
     """``(ewt[ls], ewt[ls+1])`` for ``ls`` in [0, 39] — WITHOUT a gather.
 
@@ -84,7 +109,12 @@ def _ewt_pair(ls):
     pure VPU lanes that XLA fuses into the surrounding elementwise kernel,
     so the lookup costs ~120 vector ops/point and ZERO extra HBM traffic.
     The selected entries are exact table values (bit-exact lookup).
+
+    Pallas kernels override this via :class:`ewt_pair_impl` (in-kernel
+    Mosaic lane-gathers beat the select chain).
     """
+    if _EWT_PAIR_IMPL is not None:
+        return _EWT_PAIR_IMPL(ls)
     e0 = jnp.full(ls.shape, EWT[0], jnp.float32)
     e1 = jnp.full(ls.shape, EWT[1], jnp.float32)
     for k in range(1, N_EWT - 1):

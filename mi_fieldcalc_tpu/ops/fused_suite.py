@@ -1,0 +1,137 @@
+"""Single-pass Pallas kernel for the level-conversion suite.
+
+BASELINE config 2 — the full humidity/temperature conversion suite on a
+level stack — composes many *independent* pointwise operators over the
+same four inputs.  One jitted XLA program CSEs the shared saturation
+math but still builds one fusion per output, so the inputs are re-read
+from HBM once per consumer: 8 conversions measure ~160 B/pt of traffic
+where the intrinsic requirement (4 inputs read once, 8 outputs written
+once) is ~60 B/pt (PERF.md "BASELINE configs").
+
+:func:`alevel_suite_fused` computes ANY requested set of ``aleveltemp``
+/ ``alevelhum`` modes in ONE pass over ``(y-tile, level)`` blocks — the
+elementwise sibling of the 12-output pipeline kernel (ops/fused.py).
+The formulas are NOT duplicated: the kernel traces the exact
+``levels.aleveltemp`` / ``levels.alevelhum`` implementations inside the
+tile (the ``icing_fused`` pattern), with masks riding as int32 lanes
+(Mosaic cannot treat i1 vectors as data) and the 41-entry saturation
+table evaluated by the same fused select chains the jnp path uses —
+pure VPU work that hides behind the DMA on a byte-bound kernel.
+
+Equivalence: masks bit-for-bit, values bit-for-bit (same op sequence
+per lane as the jnp ops; tests/test_fused_suite.py checks in interpret
+mode, with undefs and out-of-table temperatures).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import ewt_pair_impl
+from ..field import Field
+from ._harness import require
+from .fused import _TAB128, _lookup
+from .levels import alevelhum, aleveltemp
+
+__all__ = ["alevel_suite_fused"]
+
+
+def _suite_kernel(temps, hums_q, hums_rh, tab_ref, *refs):
+    tv, qv, rv, pv = (r[0] for r in refs[:4])
+    tm, qm, rm, pm = (r[0].astype(jnp.int32) for r in refs[4:8])
+    out_refs = refs[8:]
+
+    tF = Field(tv, tm)
+    qF = Field(qv, qm)
+    rF = Field(rv, rm)
+    pF = Field(pv, pm)
+
+    def pair(ls):
+        # Mosaic lane-gather pair lookup (exact table values) — the jnp
+        # select chain is ~5x costlier inside the kernel (PERF.md)
+        return _lookup(tab_ref, ls), _lookup(tab_ref, ls + 1)
+
+    from .thermo import esat_memo
+    with ewt_pair_impl(pair), esat_memo():
+        outs = [aleveltemp(tF, pF, compute=c) for c in temps]
+        outs += [alevelhum(tF, qF, pF, compute=c) for c in hums_q]
+        outs += [alevelhum(tF, rF, pF, compute=c) for c in hums_rh]
+
+    n = len(outs)
+    for k, f in enumerate(outs):
+        out_refs[k][0] = f.values
+        mref = out_refs[n + k]
+        m = f.mask
+        if m.dtype != jnp.bool_:
+            m = m != 0
+        mref[0] = m.astype(mref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "temps", "hums_q", "hums_rh", "interpret", "ty"))
+def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
+                       temps=(), hums_q=(), hums_rh=(),
+                       interpret: bool = False,
+                       ty: int | None = None):
+    """All requested a-level conversions in one kernel pass.
+
+    Args:
+      t: ``[nlev, ny, nx]`` temperature Field (Kelvin for odd computes,
+        theta for even — exactly :func:`..ops.levels.aleveltemp` /
+        :func:`..ops.levels.alevelhum` semantics per mode).
+      q, rh: specific humidity / RH% Fields (same shape; pass any Field
+        of the right shape if the corresponding request tuple is empty).
+      p: pressure Field (hPa).
+      temps: tuple of ``aleveltemp`` computes (1-5).
+      hums_q: tuple of ``alevelhum`` computes taking ``q`` (1/2, 5/6,
+        9/10 after unit remap).
+      hums_rh: tuple of ``alevelhum`` computes taking ``rh``.
+
+    Returns the outputs as a list of Fields, in
+    ``temps + hums_q + hums_rh`` request order.  Works on the canonical
+    padded layout with no extra arguments — the suite is pointwise
+    (no edge fills), so dead-lane masks stay False through the ANDs.
+    """
+    temps = tuple(int(c) for c in temps)
+    hums_q = tuple(int(c) for c in hums_q)
+    hums_rh = tuple(int(c) for c in hums_rh)
+    nout = len(temps) + len(hums_q) + len(hums_rh)
+    require(nout >= 1, "alevel_suite_fused: no conversions requested")
+    nlev, ny, nx = t.values.shape
+    for f in (q, rh, p):
+        require(f.values.shape == (nlev, ny, nx),
+                "alevel_suite_fused: field shape mismatch")
+
+    # elementwise tiles: no halos, no fill constraint — any multiple of
+    # 8; 48 measured faster than 96 on the operational grid (PERF.md)
+    TY = ty if ty is not None else min(-(-ny // 8) * 8, 48)
+    require(TY % 8 == 0 and TY > 0, "alevel_suite_fused: bad ty")
+    jy = -(-ny // TY)
+
+    def c3():
+        return pl.BlockSpec((1, TY, nx), lambda j, lev: (lev, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    masks = [f.mask.view(jnp.int8) for f in (t, q, rh, p)]
+    operands = [jnp.asarray(_TAB128),
+                t.values, q.values, rh.values, p.values, *masks]
+    tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    f32_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.float32)
+    i8_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int8)
+    outs = pl.pallas_call(
+        functools.partial(_suite_kernel, temps, hums_q, hums_rh),
+        grid=(jy, nlev),
+        in_specs=[tabspec] + [c3()] * 8,
+        out_specs=tuple([c3()] * (2 * nout)),
+        out_shape=tuple([f32_3d] * nout + [i8_3d] * nout),
+        interpret=interpret,
+    )(*operands)
+
+    return [Field(outs[k], outs[nout + k].view(jnp.bool_))
+            for k in range(nout)]

@@ -88,29 +88,44 @@ def config1():
 def config2():
     """Humidity/temperature conversion suite, 10 levels, undef masking."""
     from mi_fieldcalc_tpu.ops import aleveltemp, alevelhum
+    from mi_fieldcalc_tpu.ops.fused_suite import alevel_suite_fused
 
     rng = np.random.default_rng(1)
     nlev, ny, nx = 10, 719, 929
-    tk = from_sentinel(_sent(rng, 250, 300, (nlev, ny, nx)))
-    q = from_sentinel(_sent(rng, 1e-4, 1e-2, (nlev, ny, nx)))
-    rh = from_sentinel(_sent(rng, 5, 95, (nlev, ny, nx)))
-    p = from_sentinel(rng.uniform(300, 1000, (nlev, ny, nx)
-                                  ).astype(np.float32), )
+    on_tpu = jax.devices()[0].platform == "tpu"
 
-    @jax.jit
-    def step(tk, q, rh, p):
-        outs = [aleveltemp(tk, p, compute=c) for c in (3, 4)]
-        outs += [alevelhum(tk, q, p, compute=c)
-                 for c in (1, 7, 11)]         # q->RH, q->Td(C), q->Td(K)
-        outs += [alevelhum(tk, rh, p, compute=c)
-                 for c in (3, 5, 9)]          # RH->q, RH->Td(C/K)
-        return outs
+    def pad(f):
+        from mi_fieldcalc_tpu.layout import pad_field
+        return pad_field(f) if on_tpu else f
+
+    tk = pad(from_sentinel(_sent(rng, 250, 300, (nlev, ny, nx))))
+    q = pad(from_sentinel(_sent(rng, 1e-4, 1e-2, (nlev, ny, nx))))
+    rh = pad(from_sentinel(_sent(rng, 5, 95, (nlev, ny, nx))))
+    p = pad(from_sentinel(rng.uniform(300, 1000, (nlev, ny, nx)
+                                      ).astype(np.float32)))
+
+    temps = (3, 4)
+    hq = (1, 7, 11)           # q->RH, q->Td(C), q->Td(K)
+    hr = (3, 5, 9)            # RH->q, RH->Td(C/K)
+    if on_tpu:
+        import functools
+        step = functools.partial(alevel_suite_fused, temps=temps,
+                                 hums_q=hq, hums_rh=hr)
+        tag = "fused suite kernel"
+    else:
+        @jax.jit
+        def step(tk, q, rh, p):
+            outs = [aleveltemp(tk, p, compute=c) for c in temps]
+            outs += [alevelhum(tk, q, p, compute=c) for c in hq]
+            outs += [alevelhum(tk, rh, p, compute=c) for c in hr]
+            return outs
+        tag = "jnp/XLA"
 
     dt = qtime(lambda: step(tk, q, rh, p),
                lambda o: float(o[-1].values[0, 0, 0]))
     # 8 derived fields per point per step
-    emit(2, "humidity/temperature suite (8 conversions), 10 levels, "
-            "719x929, undef masking", 8 * nlev * ny * nx, dt)
+    emit(2, f"humidity/temperature suite (8 conversions, {tag}), "
+            "10 levels, 719x929, undef masking", 8 * nlev * ny * nx, dt)
 
 
 def config3():
