@@ -43,3 +43,6 @@ from .vertical import (  # noqa: F401
 from .vertical_fused import (  # noqa: F401
     hlevel_to_plevel_fused,
 )
+from .fused_suite import (  # noqa: F401
+    alevel_suite_fused,
+)
