@@ -36,12 +36,12 @@ from ..constants import ewt_pair_impl
 from ..field import Field
 from ._harness import require
 from .fused import _TAB128, _lookup
-from .levels import alevelhum, aleveltemp
+from .levels import alevelducting, alevelhum, alevelthe, aleveltemp
 
 __all__ = ["alevel_suite_fused"]
 
 
-def _suite_kernel(temps, hums_q, hums_rh, tab_ref, *refs):
+def _suite_kernel(reqs, tab_ref, *refs):
     tv, qv, rv, pv = (r[0] for r in refs[:4])
     tm, qm, rm, pm = (r[0].astype(jnp.int32) for r in refs[4:8])
     out_refs = refs[8:]
@@ -58,9 +58,20 @@ def _suite_kernel(temps, hums_q, hums_rh, tab_ref, *refs):
 
     from .thermo import esat_memo
     with ewt_pair_impl(pair), esat_memo():
-        outs = [aleveltemp(tF, pF, compute=c) for c in temps]
-        outs += [alevelhum(tF, qF, pF, compute=c) for c in hums_q]
-        outs += [alevelhum(tF, rF, pF, compute=c) for c in hums_rh]
+        outs = []
+        for fam, c in reqs:
+            if fam == "temp":
+                outs.append(aleveltemp(tF, pF, compute=c))
+            elif fam == "hum_q":
+                outs.append(alevelhum(tF, qF, pF, compute=c))
+            elif fam == "hum_rh":
+                outs.append(alevelhum(tF, rF, pF, compute=c))
+            elif fam == "the":
+                outs.append(alevelthe(tF, qF, pF, compute=c))
+            elif fam == "duct_q":
+                outs.append(alevelducting(tF, qF, pF, compute=c))
+            else:  # "duct_rh"
+                outs.append(alevelducting(tF, rF, pF, compute=c))
 
     n = len(outs)
     for k, f in enumerate(outs):
@@ -73,9 +84,11 @@ def _suite_kernel(temps, hums_q, hums_rh, tab_ref, *refs):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "temps", "hums_q", "hums_rh", "interpret", "ty"))
+    "temps", "hums_q", "hums_rh", "thes", "ducts_q", "ducts_rh",
+    "interpret", "ty"))
 def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
                        temps=(), hums_q=(), hums_rh=(),
+                       thes=(), ducts_q=(), ducts_rh=(),
                        interpret: bool = False,
                        ty: int | None = None):
     """All requested a-level conversions in one kernel pass.
@@ -91,16 +104,24 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
       hums_q: tuple of ``alevelhum`` computes taking ``q`` (1/2, 5/6,
         9/10 after unit remap).
       hums_rh: tuple of ``alevelhum`` computes taking ``rh``.
+      thes: tuple of ``alevelthe`` computes (1/2; both take ``q``).
+      ducts_q / ducts_rh: ``alevelducting`` computes taking ``q``
+        (1/2) / ``rh`` (3/4).
 
     Returns the outputs as a list of Fields, in
-    ``temps + hums_q + hums_rh`` request order.  Works on the canonical
-    padded layout with no extra arguments — the suite is pointwise
-    (no edge fills), so dead-lane masks stay False through the ANDs.
+    ``temps + hums_q + hums_rh + thes + ducts_q + ducts_rh`` request
+    order.  Works on the canonical padded layout with no extra
+    arguments — the suite is pointwise (no edge fills), so dead-lane
+    masks stay False through the ANDs.
     """
-    temps = tuple(int(c) for c in temps)
-    hums_q = tuple(int(c) for c in hums_q)
-    hums_rh = tuple(int(c) for c in hums_rh)
-    nout = len(temps) + len(hums_q) + len(hums_rh)
+    reqs = tuple(
+        [("temp", int(c)) for c in temps]
+        + [("hum_q", int(c)) for c in hums_q]
+        + [("hum_rh", int(c)) for c in hums_rh]
+        + [("the", int(c)) for c in thes]
+        + [("duct_q", int(c)) for c in ducts_q]
+        + [("duct_rh", int(c)) for c in ducts_rh])
+    nout = len(reqs)
     require(nout >= 1, "alevel_suite_fused: no conversions requested")
     nlev, ny, nx = t.values.shape
     for f in (q, rh, p):
@@ -125,7 +146,7 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
     f32_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.float32)
     i8_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int8)
     outs = pl.pallas_call(
-        functools.partial(_suite_kernel, temps, hums_q, hums_rh),
+        functools.partial(_suite_kernel, reqs),
         grid=(jy, nlev),
         in_specs=[tabspec] + [c3()] * 8,
         out_specs=tuple([c3()] * (2 * nout)),

@@ -83,3 +83,29 @@ def test_suite_kernel_validation():
         alevel_suite_fused(tk, q, rh, p)              # nothing requested
     with pytest.raises(ValueError):
         alevel_suite_fused(tk, q, rh, p, temps=(9,))  # bad compute
+
+
+def test_suite_kernel_the_and_ducting():
+    """The suite kernel covers the whole pointwise a-level family: THE
+    and ducting modes trace to the same jnp ops bitwise."""
+    from mi_fieldcalc_tpu.ops import alevelducting, alevelthe
+
+    tk, q, rh, p = _inputs(seed=3)
+    got = alevel_suite_fused(tk, q, rh, p, temps=(3,), thes=(1, 2),
+                             ducts_q=(1, 2), ducts_rh=(3, 4),
+                             interpret=True)
+    ref = [jax.jit(lambda tk, p: aleveltemp(tk, p, compute=3))(tk, p)]
+    ref += [jax.jit(lambda tk, q, p, c=c:
+                    alevelthe(tk, q, p, compute=c))(tk, q, p)
+            for c in (1, 2)]
+    ref += [jax.jit(lambda tk, h, p, c=c:
+                    alevelducting(tk, h, p, compute=c))(tk, q, p)
+            for c in (1, 2)]
+    ref += [jax.jit(lambda tk, h, p, c=c:
+                    alevelducting(tk, h, p, compute=c))(tk, rh, p)
+            for c in (3, 4)]
+    for k, (r, g) in enumerate(zip(ref, got)):
+        rm = np.asarray(r.mask)
+        assert np.array_equal(rm, np.asarray(g.mask)), (k, "mask")
+        assert np.array_equal(np.asarray(r.values)[rm],
+                              np.asarray(g.values)[rm]), (k, "values")
