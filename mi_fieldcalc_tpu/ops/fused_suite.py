@@ -8,19 +8,25 @@ from HBM once per consumer: 8 conversions measure ~160 B/pt of traffic
 where the intrinsic requirement (4 inputs read once, 8 outputs written
 once) is ~60 B/pt (PERF.md "BASELINE configs").
 
-:func:`alevel_suite_fused` computes ANY requested set of ``aleveltemp``
-/ ``alevelhum`` modes in ONE pass over ``(y-tile, level)`` blocks — the
-elementwise sibling of the 12-output pipeline kernel (ops/fused.py).
-The formulas are NOT duplicated: the kernel traces the exact
-``levels.aleveltemp`` / ``levels.alevelhum`` implementations inside the
-tile (the ``icing_fused`` pattern), with masks riding as int32 lanes
-(Mosaic cannot treat i1 vectors as data) and the 41-entry saturation
-table evaluated by the same fused select chains the jnp path uses —
-pure VPU work that hides behind the DMA on a byte-bound kernel.
+:func:`alevel_suite_fused` computes ANY requested set of the pointwise
+a-level family (``aleveltemp`` / ``alevelhum`` / ``alevelthe`` /
+``alevelducting`` modes) in ONE pass over ``(y-tile, level)`` blocks —
+the elementwise sibling of the 12-output pipeline kernel
+(ops/fused.py).  The formulas are NOT duplicated: the kernel traces the
+exact ``levels.*`` implementations inside the tile (the ``icing_fused``
+pattern), with masks riding as int32 lanes (Mosaic cannot treat i1
+vectors as data) and ONE substitution installed for the trace: the
+41-entry saturation table's pair lookup becomes a Mosaic lane-gather
+(:class:`..constants.ewt_pair_impl`) — the jnp path's select chain
+measured a net in-kernel LOSS (Mosaic VPU select codegen; PERF.md).
+Both lookups return exact table values, so results stay bit-equal.
+:class:`.thermo.esat_memo` additionally dedupes the shared saturation
+evaluation across conversions of the same temperature tracer at trace
+time.
 
-Equivalence: masks bit-for-bit, values bit-for-bit (same op sequence
-per lane as the jnp ops; tests/test_fused_suite.py checks in interpret
-mode, with undefs and out-of-table temperatures).
+Equivalence: interpret-mode results are bitwise identical to the jitted
+jnp ops (tests/test_fused_suite.py — with undefs and out-of-table
+temperatures); on-chip, masks identical and values to f32 reassociation.
 """
 
 from __future__ import annotations
@@ -41,15 +47,19 @@ from .levels import alevelducting, alevelhum, alevelthe, aleveltemp
 __all__ = ["alevel_suite_fused"]
 
 
-def _suite_kernel(reqs, tab_ref, *refs):
-    tv, qv, rv, pv = (r[0] for r in refs[:4])
-    tm, qm, rm, pm = (r[0].astype(jnp.int32) for r in refs[4:8])
-    out_refs = refs[8:]
+def _suite_kernel(reqs, nin, tab_ref, *refs):
+    vals = [r[0] for r in refs[:nin]]
+    msks = [r[0].astype(jnp.int32) for r in refs[nin:2 * nin]]
+    out_refs = refs[2 * nin:]
 
-    tF = Field(tv, tm)
-    qF = Field(qv, qm)
-    rF = Field(rv, rm)
-    pF = Field(pv, pm)
+    fields = [Field(v, m) for v, m in zip(vals, msks)]
+    it = iter(fields)
+    tF = next(it)
+    qF = next(it) if any(f in ("hum_q", "the", "duct_q")
+                         for f, _ in reqs) else None
+    rF = next(it) if any(f in ("hum_rh", "duct_rh")
+                         for f, _ in reqs) else None
+    pF = next(it)
 
     def pair(ls):
         # Mosaic lane-gather pair lookup (exact table values) — the jnp
@@ -97,8 +107,9 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
       t: ``[nlev, ny, nx]`` temperature Field (Kelvin for odd computes,
         theta for even — exactly :func:`..ops.levels.aleveltemp` /
         :func:`..ops.levels.alevelhum` semantics per mode).
-      q, rh: specific humidity / RH% Fields (same shape; pass any Field
-        of the right shape if the corresponding request tuple is empty).
+      q, rh: specific humidity / RH% Fields (same shape; an input whose
+        request tuples are all empty is ignored entirely — it never
+        touches the device, so any placeholder works).
       p: pressure Field (hPa).
       temps: tuple of ``aleveltemp`` computes (1-5).
       hums_q: tuple of ``alevelhum`` computes taking ``q`` (1/2, 5/6,
@@ -123,14 +134,31 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
         + [("duct_rh", int(c)) for c in ducts_rh])
     nout = len(reqs)
     require(nout >= 1, "alevel_suite_fused: no conversions requested")
+    # unused inputs never touch the device (the kernel is byte-bound)
+    need_q = any(f in ("hum_q", "the", "duct_q") for f, _ in reqs)
+    need_rh = any(f in ("hum_rh", "duct_rh") for f, _ in reqs)
+    fields = [t] + ([q] if need_q else []) + ([rh] if need_rh else []) + [p]
+    nin = len(fields)
     nlev, ny, nx = t.values.shape
-    for f in (q, rh, p):
+    for f in fields:
         require(f.values.shape == (nlev, ny, nx),
                 "alevel_suite_fused: field shape mismatch")
 
     # elementwise tiles: no halos, no fill constraint — any multiple of
-    # 8; 48 measured faster than 96 on the operational grid (PERF.md)
-    TY = ty if ty is not None else min(-(-ny // 8) * 8, 48)
+    # 8; 48 measured faster than 96 on the operational grid (PERF.md),
+    # shrinking with the VMEM footprint of the double-buffered
+    # (nin + nout) x (f32 + i8) blocks on wide grids / big suites
+    if ty is None:
+        budget = 12 * 2 ** 20
+        per_row_lane = 2 * 5 * (nin + nout) + 8 * 4   # blocks + temps
+        TY = 8
+        for cand in (48, 40, 32, 24, 16, 8):
+            if cand * max(nx, 128) * per_row_lane <= budget:
+                TY = cand
+                break
+        TY = min(TY, -(-ny // 8) * 8)
+    else:
+        TY = ty
     require(TY % 8 == 0 and TY > 0, "alevel_suite_fused: bad ty")
     jy = -(-ny // TY)
 
@@ -138,17 +166,17 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
         return pl.BlockSpec((1, TY, nx), lambda j, lev: (lev, j, 0),
                             memory_space=pltpu.VMEM)
 
-    masks = [f.mask.view(jnp.int8) for f in (t, q, rh, p)]
     operands = [jnp.asarray(_TAB128),
-                t.values, q.values, rh.values, p.values, *masks]
+                *[f.values for f in fields],
+                *[f.mask.view(jnp.int8) for f in fields]]
     tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     f32_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.float32)
     i8_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int8)
     outs = pl.pallas_call(
-        functools.partial(_suite_kernel, reqs),
+        functools.partial(_suite_kernel, reqs, nin),
         grid=(jy, nlev),
-        in_specs=[tabspec] + [c3()] * 8,
+        in_specs=[tabspec] + [c3()] * (2 * nin),
         out_specs=tuple([c3()] * (2 * nout)),
         out_shape=tuple([f32_3d] * nout + [i8_3d] * nout),
         interpret=interpret,

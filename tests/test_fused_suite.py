@@ -34,7 +34,9 @@ def _inputs(nlev=3, ny=25, nx=140, seed=0):
 
 
 @pytest.mark.parametrize("temps,hq,hr", [
-    ((3, 4), (1, 7, 11), (3, 5, 9)),    # BASELINE config-2 suite
+    ((3, 4), (1, 5, 9), (3, 7, 11)),    # BASELINE config-2 suite
+    ((3, 4), (1, 7, 11), (3, 5, 9)),    # cross-pairing (degenerate
+                                        # clamp paths still bitwise)
     ((1, 2, 5), (), ()),                # temperature-only, incl. theta-in
     ((), (2, 6, 10), (4, 8, 12)),       # theta-input humidity modes
 ])

@@ -20,7 +20,6 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/baseline_configs.py
 """
 import json
 import sys
-import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
@@ -36,17 +35,7 @@ from mi_fieldcalc_tpu import UNDEF, from_sentinel
 from mi_fieldcalc_tpu.field import Field
 
 
-def qtime(fn, probe, iters=20, reps=3):
-    best = float("inf")
-    for _ in range(reps):
-        out = fn()
-        probe(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        probe(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+from tools.timing import qtime  # noqa: E402
 
 
 def emit(config, desc, pts, dt, extra=None):
@@ -104,9 +93,11 @@ def config2():
     p = pad(from_sentinel(rng.uniform(300, 1000, (nlev, ny, nx)
                                       ).astype(np.float32)))
 
+    # alevelhum numbering (differs from plevelhum, levels.py
+    # _levelhum_core): 5/6/9/10 take q, 7/8/11/12 take RH
     temps = (3, 4)
-    hq = (1, 7, 11)           # q->RH, q->Td(C), q->Td(K)
-    hr = (3, 5, 9)            # RH->q, RH->Td(C/K)
+    hq = (1, 5, 9)            # q->RH, q->Td(C), q->Td(K)
+    hr = (3, 7, 11)           # RH->q, RH->Td(C), RH->Td(K)
     if on_tpu:
         import functools
         step = functools.partial(alevel_suite_fused, temps=temps,

@@ -9,7 +9,9 @@ run-to-run on the shared chip).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/perf_lab_allmask.py
 """
-import time
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax
 
@@ -26,17 +28,7 @@ from mi_fieldcalc_tpu.ops.fused import derived_fields_fused
 NLEV, NY, NX = 32, 719, 929
 
 
-def qtime(fn, probe, iters=30, reps=3):
-    best = float("inf")
-    for _ in range(reps):
-        out = fn()
-        probe(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        probe(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+from tools.timing import qtime  # noqa: E402
 
 
 def main():
