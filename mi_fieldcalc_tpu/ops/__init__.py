@@ -44,5 +44,5 @@ from .vertical_fused import (  # noqa: F401
     hlevel_to_plevel_fused,
 )
 from .fused_suite import (  # noqa: F401
-    alevel_suite_fused,
+    alevel_suite_fused, hlevel_suite_fused,
 )

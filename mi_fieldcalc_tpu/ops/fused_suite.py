@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,7 +45,7 @@ from ._harness import require
 from .fused import _TAB128, _lookup
 from .levels import alevelducting, alevelhum, alevelthe, aleveltemp
 
-__all__ = ["alevel_suite_fused"]
+__all__ = ["alevel_suite_fused", "hlevel_suite_fused"]
 
 
 def _suite_kernel(reqs, nin, tab_ref, *refs):
@@ -181,6 +182,176 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
         out_shape=tuple([f32_3d] * nout + [i8_3d] * nout),
         interpret=interpret,
     )(*operands)
+
+    return [Field(outs[k], outs[nout + k].view(jnp.bool_))
+            for k in range(nout)]
+
+
+def _hsuite_kernel(reqs, nin, a_ref, b_ref, tab_ref, *refs):
+    from .levels import (_levelducting_core, _levelhum_core,
+                         _levelthe_core, _leveltemp_core)
+
+    vals = [r[0] for r in refs[:nin - 1]]
+    psv = refs[nin - 1][...]
+    msks = [r[0].astype(jnp.int32) for r in refs[nin:2 * nin - 1]]
+    psm = refs[2 * nin - 1][...].astype(jnp.int32)
+    out_refs = refs[2 * nin:]
+
+    fields = [Field(v, m) for v, m in zip(vals, msks)]
+    it = iter(fields)
+    tF = next(it)
+    qF = next(it) if any(f in ("hum_q", "the", "duct_q")
+                         for f, _ in reqs) else None
+    rF = next(it) if any(f in ("hum_rh", "duct_rh")
+                         for f, _ in reqs) else None
+
+    lev = pl.program_id(1)
+    p_arr = a_ref[lev] + b_ref[lev] * psv    # hybrid pressure, per point
+
+    def pair(ls):
+        return _lookup(tab_ref, ls), _lookup(tab_ref, ls + 1)
+
+    from ._harness import and_masks
+    from .thermo import esat_memo
+    with ewt_pair_impl(pair), esat_memo():
+        outs = []
+        for fam, c in reqs:
+            if fam == "temp":
+                outs.append(_leveltemp_core(
+                    tF, p_arr, and_masks(tF) & psm, c))
+            elif fam in ("hum_q", "hum_rh"):
+                hF = qF if fam == "hum_q" else rF
+                # hlevel gate (cc:1187): ps defined except modes 7/11
+                p_mask = None if c in (7, 11) else psm
+                outs.append(_levelhum_core(tF, hF, p_arr, p_mask, c))
+            elif fam == "the":
+                outs.append(_levelthe_core(
+                    tF, qF, p_arr, and_masks(tF, qF) & psm, c))
+            else:  # duct_q / duct_rh
+                hF = qF if fam == "duct_q" else rF
+                outs.append(_levelducting_core(
+                    tF, hF, p_arr, and_masks(tF, hF) & psm, c))
+
+    n = len(outs)
+    for k, f in enumerate(outs):
+        out_refs[k][0] = f.values
+        mref = out_refs[n + k]
+        m = f.mask
+        if m.dtype != jnp.bool_:
+            m = m != 0
+        mref[0] = m.astype(mref.dtype)
+
+
+def hlevel_suite_fused(t: Field, q: Field, rh: Field, ps: Field,
+                       alevel, blevel,
+                       temps=(), hums_q=(), hums_rh=(),
+                       thes=(), ducts_q=(), ducts_rh=(),
+                       interpret: bool = False,
+                       ty: int | None = None):
+    """The hybrid-level conversion suite in one kernel pass — the
+    production form: prognostic surface pressure + per-level hybrid
+    coefficients instead of a materialized 3-D pressure field (which
+    never touches HBM: ``p = alevel[k] + blevel[k]*ps`` is rebuilt per
+    level from SMEM scalars and the ps tile, exactly like the pipeline
+    and interpolation kernels).
+
+    Semantics are hleveltemp / hlevelhum / hlevelthe / hlevelducting
+    per mode — including hlevelhum's ps-definedness gate (defined ps
+    required except for the pressure-independent modes 7/11,
+    FieldCalculations.cc:1187), which is INVERTED vs alevelhum's.
+
+    Args as :func:`alevel_suite_fused` except ``ps`` is the ``(ny, nx)``
+    surface-pressure Field and ``alevel``/``blevel`` are length-``nlev``
+    coefficient sequences (static: validated per level like the
+    per-level hlevel* calls).
+    """
+    alevel = tuple(float(a) for a in np.asarray(alevel))
+    blevel = tuple(float(b) for b in np.asarray(blevel))
+    from .levels import _bad_hlevel
+    for a, b in zip(alevel, blevel):
+        require(not _bad_hlevel(a, b), "hlevel_suite_fused: bad a/b level")
+    return _hlevel_suite_fused(t, q, rh, ps, alevel, blevel,
+                               temps=tuple(int(c) for c in temps),
+                               hums_q=tuple(int(c) for c in hums_q),
+                               hums_rh=tuple(int(c) for c in hums_rh),
+                               thes=tuple(int(c) for c in thes),
+                               ducts_q=tuple(int(c) for c in ducts_q),
+                               ducts_rh=tuple(int(c) for c in ducts_rh),
+                               interpret=interpret, ty=ty)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "alevel", "blevel", "temps", "hums_q", "hums_rh", "thes",
+    "ducts_q", "ducts_rh", "interpret", "ty"))
+def _hlevel_suite_fused(t, q, rh, ps, alevel, blevel,
+                        temps, hums_q, hums_rh, thes, ducts_q, ducts_rh,
+                        interpret, ty):
+    reqs = tuple(
+        [("temp", c) for c in temps]
+        + [("hum_q", c) for c in hums_q]
+        + [("hum_rh", c) for c in hums_rh]
+        + [("the", c) for c in thes]
+        + [("duct_q", c) for c in ducts_q]
+        + [("duct_rh", c) for c in ducts_rh])
+    nout = len(reqs)
+    require(nout >= 1, "hlevel_suite_fused: no conversions requested")
+    need_q = any(f in ("hum_q", "the", "duct_q") for f, _ in reqs)
+    need_rh = any(f in ("hum_rh", "duct_rh") for f, _ in reqs)
+    stacks = [t] + ([q] if need_q else []) + ([rh] if need_rh else [])
+    nin = len(stacks) + 1                      # + ps
+    nlev, ny, nx = t.values.shape
+    require(len(alevel) == nlev and len(blevel) == nlev,
+            "hlevel_suite_fused: alevel/blevel must have nlev entries")
+    for f in stacks:
+        require(f.values.shape == (nlev, ny, nx),
+                "hlevel_suite_fused: field shape mismatch")
+    require(ps.values.shape == (ny, nx),
+            "hlevel_suite_fused: ps must be (ny, nx)")
+
+    if ty is None:
+        budget = 12 * 2 ** 20
+        per_row_lane = 2 * 5 * (nin + nout) + 8 * 4
+        TY = 8
+        for cand in (48, 40, 32, 24, 16, 8):
+            if cand * max(nx, 128) * per_row_lane <= budget:
+                TY = cand
+                break
+        TY = min(TY, -(-ny // 8) * 8)
+    else:
+        TY = ty
+    require(TY % 8 == 0 and TY > 0, "hlevel_suite_fused: bad ty")
+    jy = -(-ny // TY)
+
+    def c3():
+        return pl.BlockSpec((1, TY, nx), lambda j, lev, *_: (lev, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def c2():
+        return pl.BlockSpec((TY, nx), lambda j, lev, *_: (j, 0),
+                            memory_space=pltpu.VMEM)
+
+    tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = ([tabspec] + [c3()] * (nin - 1) + [c2()]
+                + [c3()] * (nin - 1) + [c2()])
+    operands = [jnp.asarray(_TAB128),
+                *[f.values for f in stacks], ps.values,
+                *[f.mask.view(jnp.int8) for f in stacks],
+                ps.mask.view(jnp.int8)]
+
+    f32_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.float32)
+    i8_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(jy, nlev),
+        in_specs=in_specs,
+        out_specs=tuple([c3()] * (2 * nout)))
+    outs = pl.pallas_call(
+        functools.partial(_hsuite_kernel, reqs, nin),
+        grid_spec=grid_spec,
+        out_shape=tuple([f32_3d] * nout + [i8_3d] * nout),
+        interpret=interpret,
+    )(jnp.asarray(alevel, jnp.float32), jnp.asarray(blevel, jnp.float32),
+      *operands)
 
     return [Field(outs[k], outs[nout + k].view(jnp.bool_))
             for k in range(nout)]

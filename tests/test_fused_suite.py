@@ -111,3 +111,70 @@ def test_suite_kernel_the_and_ducting():
         assert np.array_equal(rm, np.asarray(g.mask)), (k, "mask")
         assert np.array_equal(np.asarray(r.values)[rm],
                               np.asarray(g.values)[rm]), (k, "values")
+
+
+def test_hlevel_suite_matches_per_level_ops():
+    """hlevel_suite_fused (prognostic ps + per-level hybrid
+    coefficients; p never materialized) bitwise-matches the per-level
+    hleveltemp/hlevelhum/hlevelthe/hlevelducting calls — including
+    hlevelhum's ps gate (defined ps required except modes 7/11), which
+    is INVERTED vs alevelhum's."""
+    from mi_fieldcalc_tpu.ops import (hlevelducting, hlevelhum,
+                                      hlevel_suite_fused, hlevelthe,
+                                      hleveltemp)
+
+    rng = np.random.default_rng(4)
+    nlev, ny, nx = 3, 25, 140
+
+    def sent3(lo, hi, frac=0.03):
+        a = rng.uniform(lo, hi, (nlev, ny, nx)).astype(np.float32)
+        a[rng.random(a.shape) < frac] = UNDEF
+        return from_sentinel(a)
+
+    tk, q, rh = sent3(250, 300), sent3(1e-4, 1e-2), sent3(5, 95)
+    psn = rng.uniform(950, 1030, (ny, nx)).astype(np.float32)
+    psn[3, 3] = UNDEF                  # exercises the ps gate inversion
+    ps = from_sentinel(psn)
+    al = np.linspace(30, 0, nlev).astype(np.float32)
+    bl = np.linspace(0.02, 1.0, nlev).astype(np.float32)
+
+    temps, hq, hr = (3, 4), (1, 5, 9), (3, 7, 11)
+    thes, dq, dr = (1, 2), (1,), (3,)
+    got = hlevel_suite_fused(tk, q, rh, ps, al, bl, temps=temps,
+                             hums_q=hq, hums_rh=hr, thes=thes,
+                             ducts_q=dq, ducts_rh=dr, interpret=True)
+
+    def lvl(f3, k):
+        return Field(f3.values[k], f3.mask[k])
+
+    def per_level(make):
+        outs = [make(k) for k in range(nlev)]
+        return Field(jnp.stack([o.values for o in outs]),
+                     jnp.stack([o.mask for o in outs]))
+
+    ref = [per_level(lambda k, c=c: jax.jit(
+        lambda a, b: hleveltemp(a, b, float(al[k]), float(bl[k]),
+                                compute=c))(lvl(tk, k), ps))
+        for c in temps]
+    for h3, cs, fn in ((q, hq, hlevelhum), (rh, hr, hlevelhum),
+                       (q, thes, hlevelthe), (q, dq, hlevelducting),
+                       (rh, dr, hlevelducting)):
+        for c in cs:
+            ref.append(per_level(lambda k, c=c, h3=h3, fn=fn: jax.jit(
+                lambda a, h, b: fn(a, h, b, float(al[k]), float(bl[k]),
+                                   compute=c))(lvl(tk, k), lvl(h3, k),
+                                               ps)))
+
+    assert len(got) == len(ref) == 12
+    for k, (r, g) in enumerate(zip(ref, got)):
+        rm = np.asarray(r.mask)
+        assert np.array_equal(rm, np.asarray(g.mask)), (k, "mask")
+        assert np.array_equal(np.asarray(r.values)[rm],
+                              np.asarray(g.values)[rm]), (k, "values")
+
+    with pytest.raises(ValueError):
+        hlevel_suite_fused(tk, q, rh, ps, al[:-1], bl[:-1], temps=(3,),
+                           interpret=True)   # nlev mismatch
+    with pytest.raises(ValueError):
+        hlevel_suite_fused(tk, q, rh, ps, -al - 1, bl * 0 - 1,
+                           temps=(3,), interpret=True)  # bad a/b
