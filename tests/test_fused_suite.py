@@ -178,3 +178,24 @@ def test_hlevel_suite_matches_per_level_ops():
     with pytest.raises(ValueError):
         hlevel_suite_fused(tk, q, rh, ps, -al - 1, bl * 0 - 1,
                            temps=(3,), interpret=True)  # bad a/b
+
+
+def test_suite_kernel_shards_via_run_sharded():
+    """The suite is pointwise (radius 0): run_sharded shards it over a
+    (gy, gx) mesh with no halo exchange, bitwise-equal per output."""
+    import functools
+    from mi_fieldcalc_tpu.parallel import grid_mesh, run_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    tk, q, rh, p = _inputs(2, 32, 64, seed=8)
+    op = functools.partial(alevel_suite_fused, interpret=True,
+                           temps=(3,), hums_q=(1, 9), hums_rh=(7,))
+    ref = op(tk, q, rh, p)
+    mesh = grid_mesh((1, 2, 2), devices=jax.devices()[:4])
+    got = run_sharded(op, mesh, 0, tk, q, rh, p)
+    for k, (r, g) in enumerate(zip(ref, got)):
+        rm = np.asarray(r.mask)
+        assert np.array_equal(rm, np.asarray(g.mask)), k
+        assert np.array_equal(np.asarray(r.values)[rm],
+                              np.asarray(g.values)[rm]), k
