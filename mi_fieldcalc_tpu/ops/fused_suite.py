@@ -1,4 +1,4 @@
-"""Single-pass Pallas kernel for the level-conversion suite.
+"""Single-pass Pallas kernels for the level-conversion suites.
 
 BASELINE config 2 — the full humidity/temperature conversion suite on a
 level stack — composes many *independent* pointwise operators over the
@@ -12,8 +12,13 @@ once) is ~60 B/pt (PERF.md "BASELINE configs").
 a-level family (``aleveltemp`` / ``alevelhum`` / ``alevelthe`` /
 ``alevelducting`` modes) in ONE pass over ``(y-tile, level)`` blocks —
 the elementwise sibling of the 12-output pipeline kernel
-(ops/fused.py).  The formulas are NOT duplicated: the kernel traces the
-exact ``levels.*`` implementations inside the tile (the ``icing_fused``
+(ops/fused.py).  :func:`hlevel_suite_fused` is the hybrid-level form:
+prognostic surface pressure + per-level coefficients, with the 3-D
+pressure stack never materialized (``p = alevel[k] + blevel[k]*ps`` is
+rebuilt per level from SMEM scalars and the ps tile).
+
+The formulas are NOT duplicated: the kernels trace the exact
+``levels.*`` implementations inside the tile (the ``icing_fused``
 pattern), with masks riding as int32 lanes (Mosaic cannot treat i1
 vectors as data) and ONE substitution installed for the trace: the
 41-entry saturation table's pair lookup becomes a Mosaic lane-gather
@@ -47,6 +52,91 @@ from .levels import alevelducting, alevelhum, alevelthe, aleveltemp
 
 __all__ = ["alevel_suite_fused", "hlevel_suite_fused"]
 
+#: valid compute modes per request family.  The humidity split encodes
+#: WHICH input each mode consumes (levels.py _levelhum_core: 1/2, 5/6,
+#: 9/10 take q; 3/4, 7/8, 11/12 take RH — a/h-level numbering, which
+#: differs from plevelhum), so a q-mode in ``hums_rh`` is rejected
+#: instead of silently clamping garbage.
+_VALID = {"temp": frozenset(range(1, 6)),
+          "hum_q": frozenset({1, 2, 5, 6, 9, 10}),
+          "hum_rh": frozenset({3, 4, 7, 8, 11, 12}),
+          "the": frozenset({1, 2}),
+          "duct_q": frozenset({1, 2}),
+          "duct_rh": frozenset({3, 4})}
+
+
+def _build_reqs(name, temps, hums_q, hums_rh, thes, ducts_q, ducts_rh):
+    """Validated ``(family, compute)`` request tuple, in argument order."""
+    groups = (("temp", temps), ("hum_q", hums_q), ("hum_rh", hums_rh),
+              ("the", thes), ("duct_q", ducts_q), ("duct_rh", ducts_rh))
+    reqs = []
+    for fam, cs in groups:
+        for c in cs:
+            c = int(c)
+            require(c in _VALID[fam],
+                    f"{name}: bad {fam} compute {c} "
+                    f"(valid: {sorted(_VALID[fam])})")
+            reqs.append((fam, c))
+    require(len(reqs) >= 1, f"{name}: no conversions requested")
+    return tuple(reqs)
+
+
+def _pick_ty(name, ny, nx, nin, nout, ty):
+    """Row-tile height within the scoped-VMEM budget: 48 measured faster
+    than 96 on the operational grid (PERF.md), shrinking with the
+    double-buffered (nin + nout) x (f32 + i8) block footprint on wide
+    grids / big suites.  Elementwise tiles: no halos, no fill
+    constraint — any multiple of 8."""
+    if ty is None:
+        budget = 12 * 2 ** 20
+        per_row_lane = 2 * 5 * (nin + nout) + 8 * 4   # blocks + temps
+        ty = 8
+        for cand in (48, 40, 32, 24, 16, 8):
+            if cand * max(nx, 128) * per_row_lane <= budget:
+                ty = cand
+                break
+        ty = min(ty, -(-ny // 8) * 8)
+    require(ty % 8 == 0 and ty > 0, f"{name}: bad ty")
+    return ty
+
+
+def _c3(TY, nx):
+    return pl.BlockSpec((1, TY, nx), lambda j, lev, *_: (lev, j, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _c2(TY, nx):
+    return pl.BlockSpec((TY, nx), lambda j, lev, *_: (j, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _table_pair(tab_ref):
+    """Mosaic lane-gather pair lookup (exact table values) — the jnp
+    select chain is ~5x costlier inside the kernel (PERF.md)."""
+    return lambda ls: (_lookup(tab_ref, ls), _lookup(tab_ref, ls + 1))
+
+
+def _unpack_tqr(fields, reqs):
+    """(t, q-or-None, rh-or-None) from the pruned input list."""
+    it = iter(fields)
+    tF = next(it)
+    qF = next(it) if any(f in ("hum_q", "the", "duct_q")
+                         for f, _ in reqs) else None
+    rF = next(it) if any(f in ("hum_rh", "duct_rh")
+                         for f, _ in reqs) else None
+    return tF, qF, rF
+
+
+def _write_outs(outs, out_refs):
+    n = len(outs)
+    for k, f in enumerate(outs):
+        out_refs[k][0] = f.values
+        mref = out_refs[n + k]
+        m = f.mask
+        if m.dtype != jnp.bool_:
+            m = m != 0
+        mref[0] = m.astype(mref.dtype)
+
 
 def _suite_kernel(reqs, nin, tab_ref, *refs):
     vals = [r[0] for r in refs[:nin]]
@@ -54,21 +144,11 @@ def _suite_kernel(reqs, nin, tab_ref, *refs):
     out_refs = refs[2 * nin:]
 
     fields = [Field(v, m) for v, m in zip(vals, msks)]
-    it = iter(fields)
-    tF = next(it)
-    qF = next(it) if any(f in ("hum_q", "the", "duct_q")
-                         for f, _ in reqs) else None
-    rF = next(it) if any(f in ("hum_rh", "duct_rh")
-                         for f, _ in reqs) else None
-    pF = next(it)
-
-    def pair(ls):
-        # Mosaic lane-gather pair lookup (exact table values) — the jnp
-        # select chain is ~5x costlier inside the kernel (PERF.md)
-        return _lookup(tab_ref, ls), _lookup(tab_ref, ls + 1)
+    tF, qF, rF = _unpack_tqr(fields[:-1], reqs)
+    pF = fields[-1]
 
     from .thermo import esat_memo
-    with ewt_pair_impl(pair), esat_memo():
+    with ewt_pair_impl(_table_pair(tab_ref)), esat_memo():
         outs = []
         for fam, c in reqs:
             if fam == "temp":
@@ -83,15 +163,7 @@ def _suite_kernel(reqs, nin, tab_ref, *refs):
                 outs.append(alevelducting(tF, qF, pF, compute=c))
             else:  # "duct_rh"
                 outs.append(alevelducting(tF, rF, pF, compute=c))
-
-    n = len(outs)
-    for k, f in enumerate(outs):
-        out_refs[k][0] = f.values
-        mref = out_refs[n + k]
-        m = f.mask
-        if m.dtype != jnp.bool_:
-            m = m != 0
-        mref[0] = m.astype(mref.dtype)
+    _write_outs(outs, out_refs)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -114,8 +186,9 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
       p: pressure Field (hPa).
       temps: tuple of ``aleveltemp`` computes (1-5).
       hums_q: tuple of ``alevelhum`` computes taking ``q`` (1/2, 5/6,
-        9/10 after unit remap).
-      hums_rh: tuple of ``alevelhum`` computes taking ``rh``.
+        9/10 — a/h-level numbering; a RH-taking mode here raises).
+      hums_rh: tuple of ``alevelhum`` computes taking ``rh`` (3/4, 7/8,
+        11/12).
       thes: tuple of ``alevelthe`` computes (1/2; both take ``q``).
       ducts_q / ducts_rh: ``alevelducting`` computes taking ``q``
         (1/2) / ``rh`` (3/4).
@@ -124,48 +197,23 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
     ``temps + hums_q + hums_rh + thes + ducts_q + ducts_rh`` request
     order.  Works on the canonical padded layout with no extra
     arguments — the suite is pointwise (no edge fills), so dead-lane
-    masks stay False through the ANDs.
+    masks stay False through the ANDs.  Pointwise also means it shards
+    with no halo exchange: ``run_sharded(op, mesh, 0, ...)``.
     """
-    reqs = tuple(
-        [("temp", int(c)) for c in temps]
-        + [("hum_q", int(c)) for c in hums_q]
-        + [("hum_rh", int(c)) for c in hums_rh]
-        + [("the", int(c)) for c in thes]
-        + [("duct_q", int(c)) for c in ducts_q]
-        + [("duct_rh", int(c)) for c in ducts_rh])
+    reqs = _build_reqs("alevel_suite_fused", temps, hums_q, hums_rh,
+                       thes, ducts_q, ducts_rh)
     nout = len(reqs)
-    require(nout >= 1, "alevel_suite_fused: no conversions requested")
     # unused inputs never touch the device (the kernel is byte-bound)
-    need_q = any(f in ("hum_q", "the", "duct_q") for f, _ in reqs)
-    need_rh = any(f in ("hum_rh", "duct_rh") for f, _ in reqs)
-    fields = [t] + ([q] if need_q else []) + ([rh] if need_rh else []) + [p]
+    tqr = _unpack_tqr([t, q, rh], reqs)
+    fields = [f for f in tqr if f is not None] + [p]
     nin = len(fields)
     nlev, ny, nx = t.values.shape
     for f in fields:
         require(f.values.shape == (nlev, ny, nx),
                 "alevel_suite_fused: field shape mismatch")
 
-    # elementwise tiles: no halos, no fill constraint — any multiple of
-    # 8; 48 measured faster than 96 on the operational grid (PERF.md),
-    # shrinking with the VMEM footprint of the double-buffered
-    # (nin + nout) x (f32 + i8) blocks on wide grids / big suites
-    if ty is None:
-        budget = 12 * 2 ** 20
-        per_row_lane = 2 * 5 * (nin + nout) + 8 * 4   # blocks + temps
-        TY = 8
-        for cand in (48, 40, 32, 24, 16, 8):
-            if cand * max(nx, 128) * per_row_lane <= budget:
-                TY = cand
-                break
-        TY = min(TY, -(-ny // 8) * 8)
-    else:
-        TY = ty
-    require(TY % 8 == 0 and TY > 0, "alevel_suite_fused: bad ty")
+    TY = _pick_ty("alevel_suite_fused", ny, nx, nin, nout, ty)
     jy = -(-ny // TY)
-
-    def c3():
-        return pl.BlockSpec((1, TY, nx), lambda j, lev: (lev, j, 0),
-                            memory_space=pltpu.VMEM)
 
     operands = [jnp.asarray(_TAB128),
                 *[f.values for f in fields],
@@ -177,8 +225,8 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
     outs = pl.pallas_call(
         functools.partial(_suite_kernel, reqs, nin),
         grid=(jy, nlev),
-        in_specs=[tabspec] + [c3()] * (2 * nin),
-        out_specs=tuple([c3()] * (2 * nout)),
+        in_specs=[tabspec] + [_c3(TY, nx)] * (2 * nin),
+        out_specs=tuple([_c3(TY, nx)] * (2 * nout)),
         out_shape=tuple([f32_3d] * nout + [i8_3d] * nout),
         interpret=interpret,
     )(*operands)
@@ -188,6 +236,7 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
 
 
 def _hsuite_kernel(reqs, nin, a_ref, b_ref, tab_ref, *refs):
+    from ._harness import and_masks
     from .levels import (_levelducting_core, _levelhum_core,
                          _levelthe_core, _leveltemp_core)
 
@@ -198,22 +247,13 @@ def _hsuite_kernel(reqs, nin, a_ref, b_ref, tab_ref, *refs):
     out_refs = refs[2 * nin:]
 
     fields = [Field(v, m) for v, m in zip(vals, msks)]
-    it = iter(fields)
-    tF = next(it)
-    qF = next(it) if any(f in ("hum_q", "the", "duct_q")
-                         for f, _ in reqs) else None
-    rF = next(it) if any(f in ("hum_rh", "duct_rh")
-                         for f, _ in reqs) else None
+    tF, qF, rF = _unpack_tqr(fields, reqs)
 
     lev = pl.program_id(1)
     p_arr = a_ref[lev] + b_ref[lev] * psv    # hybrid pressure, per point
 
-    def pair(ls):
-        return _lookup(tab_ref, ls), _lookup(tab_ref, ls + 1)
-
-    from ._harness import and_masks
     from .thermo import esat_memo
-    with ewt_pair_impl(pair), esat_memo():
+    with ewt_pair_impl(_table_pair(tab_ref)), esat_memo():
         outs = []
         for fam, c in reqs:
             if fam == "temp":
@@ -231,15 +271,7 @@ def _hsuite_kernel(reqs, nin, a_ref, b_ref, tab_ref, *refs):
                 hF = qF if fam == "duct_q" else rF
                 outs.append(_levelducting_core(
                     tF, hF, p_arr, and_masks(tF, hF) & psm, c))
-
-    n = len(outs)
-    for k, f in enumerate(outs):
-        out_refs[k][0] = f.values
-        mref = out_refs[n + k]
-        m = f.mask
-        if m.dtype != jnp.bool_:
-            m = m != 0
-        mref[0] = m.astype(mref.dtype)
+    _write_outs(outs, out_refs)
 
 
 def hlevel_suite_fused(t: Field, q: Field, rh: Field, ps: Field,
@@ -262,15 +294,20 @@ def hlevel_suite_fused(t: Field, q: Field, rh: Field, ps: Field,
 
     Args as :func:`alevel_suite_fused` except ``ps`` is the ``(ny, nx)``
     surface-pressure Field and ``alevel``/``blevel`` are length-``nlev``
-    coefficient sequences (static: validated per level like the
-    per-level hlevel* calls).
+    coefficient arrays.  They are DATA (one compiled kernel serves every
+    coefficient set of the same nlev); the per-level ``bad_hlevel``
+    validation runs when they are concrete and is skipped for traced
+    values (e.g. inside ``run_sharded`` / an outer jit).
     """
-    alevel = tuple(float(a) for a in np.asarray(alevel))
-    blevel = tuple(float(b) for b in np.asarray(blevel))
-    from .levels import _bad_hlevel
-    for a, b in zip(alevel, blevel):
-        require(not _bad_hlevel(a, b), "hlevel_suite_fused: bad a/b level")
-    return _hlevel_suite_fused(t, q, rh, ps, alevel, blevel,
+    if not isinstance(alevel, jax.core.Tracer) \
+            and not isinstance(blevel, jax.core.Tracer):
+        from .levels import _bad_hlevel
+        for a, b in zip(np.asarray(alevel), np.asarray(blevel)):
+            require(not _bad_hlevel(float(a), float(b)),
+                    "hlevel_suite_fused: bad a/b level")
+    return _hlevel_suite_fused(t, q, rh, ps,
+                               jnp.asarray(alevel, jnp.float32),
+                               jnp.asarray(blevel, jnp.float32),
                                temps=tuple(int(c) for c in temps),
                                hums_q=tuple(int(c) for c in hums_q),
                                hums_rh=tuple(int(c) for c in hums_rh),
@@ -281,26 +318,19 @@ def hlevel_suite_fused(t: Field, q: Field, rh: Field, ps: Field,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "alevel", "blevel", "temps", "hums_q", "hums_rh", "thes",
-    "ducts_q", "ducts_rh", "interpret", "ty"))
+    "temps", "hums_q", "hums_rh", "thes", "ducts_q", "ducts_rh",
+    "interpret", "ty"))
 def _hlevel_suite_fused(t, q, rh, ps, alevel, blevel,
                         temps, hums_q, hums_rh, thes, ducts_q, ducts_rh,
                         interpret, ty):
-    reqs = tuple(
-        [("temp", c) for c in temps]
-        + [("hum_q", c) for c in hums_q]
-        + [("hum_rh", c) for c in hums_rh]
-        + [("the", c) for c in thes]
-        + [("duct_q", c) for c in ducts_q]
-        + [("duct_rh", c) for c in ducts_rh])
+    reqs = _build_reqs("hlevel_suite_fused", temps, hums_q, hums_rh,
+                       thes, ducts_q, ducts_rh)
     nout = len(reqs)
-    require(nout >= 1, "hlevel_suite_fused: no conversions requested")
-    need_q = any(f in ("hum_q", "the", "duct_q") for f, _ in reqs)
-    need_rh = any(f in ("hum_rh", "duct_rh") for f, _ in reqs)
-    stacks = [t] + ([q] if need_q else []) + ([rh] if need_rh else [])
+    tqr = _unpack_tqr([t, q, rh], reqs)
+    stacks = [f for f in tqr if f is not None]
     nin = len(stacks) + 1                      # + ps
     nlev, ny, nx = t.values.shape
-    require(len(alevel) == nlev and len(blevel) == nlev,
+    require(alevel.shape == (nlev,) and blevel.shape == (nlev,),
             "hlevel_suite_fused: alevel/blevel must have nlev entries")
     for f in stacks:
         require(f.values.shape == (nlev, ny, nx),
@@ -308,31 +338,12 @@ def _hlevel_suite_fused(t, q, rh, ps, alevel, blevel,
     require(ps.values.shape == (ny, nx),
             "hlevel_suite_fused: ps must be (ny, nx)")
 
-    if ty is None:
-        budget = 12 * 2 ** 20
-        per_row_lane = 2 * 5 * (nin + nout) + 8 * 4
-        TY = 8
-        for cand in (48, 40, 32, 24, 16, 8):
-            if cand * max(nx, 128) * per_row_lane <= budget:
-                TY = cand
-                break
-        TY = min(TY, -(-ny // 8) * 8)
-    else:
-        TY = ty
-    require(TY % 8 == 0 and TY > 0, "hlevel_suite_fused: bad ty")
+    TY = _pick_ty("hlevel_suite_fused", ny, nx, nin, nout, ty)
     jy = -(-ny // TY)
 
-    def c3():
-        return pl.BlockSpec((1, TY, nx), lambda j, lev, *_: (lev, j, 0),
-                            memory_space=pltpu.VMEM)
-
-    def c2():
-        return pl.BlockSpec((TY, nx), lambda j, lev, *_: (j, 0),
-                            memory_space=pltpu.VMEM)
-
     tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs = ([tabspec] + [c3()] * (nin - 1) + [c2()]
-                + [c3()] * (nin - 1) + [c2()])
+    in_specs = ([tabspec] + [_c3(TY, nx)] * (nin - 1) + [_c2(TY, nx)]
+                + [_c3(TY, nx)] * (nin - 1) + [_c2(TY, nx)])
     operands = [jnp.asarray(_TAB128),
                 *[f.values for f in stacks], ps.values,
                 *[f.mask.view(jnp.int8) for f in stacks],
@@ -344,14 +355,13 @@ def _hlevel_suite_fused(t, q, rh, ps, alevel, blevel,
         num_scalar_prefetch=2,
         grid=(jy, nlev),
         in_specs=in_specs,
-        out_specs=tuple([c3()] * (2 * nout)))
+        out_specs=tuple([_c3(TY, nx)] * (2 * nout)))
     outs = pl.pallas_call(
         functools.partial(_hsuite_kernel, reqs, nin),
         grid_spec=grid_spec,
         out_shape=tuple([f32_3d] * nout + [i8_3d] * nout),
         interpret=interpret,
-    )(jnp.asarray(alevel, jnp.float32), jnp.asarray(blevel, jnp.float32),
-      *operands)
+    )(alevel, blevel, *operands)
 
     return [Field(outs[k], outs[nout + k].view(jnp.bool_))
             for k in range(nout)]

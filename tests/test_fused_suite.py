@@ -35,8 +35,6 @@ def _inputs(nlev=3, ny=25, nx=140, seed=0):
 
 @pytest.mark.parametrize("temps,hq,hr", [
     ((3, 4), (1, 5, 9), (3, 7, 11)),    # BASELINE config-2 suite
-    ((3, 4), (1, 7, 11), (3, 5, 9)),    # cross-pairing (degenerate
-                                        # clamp paths still bitwise)
     ((1, 2, 5), (), ()),                # temperature-only, incl. theta-in
     ((), (2, 6, 10), (4, 8, 12)),       # theta-input humidity modes
 ])
@@ -65,10 +63,10 @@ def test_suite_kernel_padded_layout():
 
     nlev, ny, nx = 2, 21, 150
     tk, q, rh, p = _inputs(nlev, ny, nx, seed=9)
-    ref = alevel_suite_fused(tk, q, rh, p, temps=(3,), hums_q=(1, 11),
+    ref = alevel_suite_fused(tk, q, rh, p, temps=(3,), hums_q=(1, 9),
                              interpret=True)
     pf = [pad_field(f) for f in (tk, q, rh, p)]
-    got = alevel_suite_fused(*pf, temps=(3,), hums_q=(1, 11),
+    got = alevel_suite_fused(*pf, temps=(3,), hums_q=(1, 9),
                              interpret=True)
     for r, g in zip(ref, got):
         gm = np.asarray(g.mask)
@@ -85,6 +83,15 @@ def test_suite_kernel_validation():
         alevel_suite_fused(tk, q, rh, p)              # nothing requested
     with pytest.raises(ValueError):
         alevel_suite_fused(tk, q, rh, p, temps=(9,))  # bad compute
+    with pytest.raises(ValueError):
+        # RH-taking mode in the q slot: the family split encodes which
+        # input each mode consumes, so the mismatch raises instead of
+        # silently clamping (the a/h-level numbering differs from
+        # plevelhum; this exact confusion produced a wrong benchmark
+        # artifact once)
+        alevel_suite_fused(tk, q, rh, p, hums_q=(7,))
+    with pytest.raises(ValueError):
+        alevel_suite_fused(tk, q, rh, p, ducts_rh=(1,))
 
 
 def test_suite_kernel_the_and_ducting():
@@ -199,3 +206,50 @@ def test_suite_kernel_shards_via_run_sharded():
         assert np.array_equal(rm, np.asarray(g.mask)), k
         assert np.array_equal(np.asarray(r.values)[rm],
                               np.asarray(g.values)[rm]), k
+
+
+def test_hlevel_suite_dynamic_coefficients_and_sharding():
+    """alevel/blevel are data: the same compiled kernel serves distinct
+    coefficient sets, invalid modes still raise, and the hlevel form
+    shards via run_sharded with the coefficients as 1-D leaves."""
+    import functools
+    from mi_fieldcalc_tpu.ops import hlevel_suite_fused
+    from mi_fieldcalc_tpu.parallel import grid_mesh, run_sharded
+
+    rng = np.random.default_rng(6)
+    nlev, ny, nx = 2, 32, 64
+
+    def sent3(lo, hi):
+        a = rng.uniform(lo, hi, (nlev, ny, nx)).astype(np.float32)
+        a[rng.random(a.shape) < 0.03] = UNDEF
+        return from_sentinel(a)
+
+    tk, q = sent3(250, 300), sent3(1e-4, 1e-2)
+    ps = from_sentinel(rng.uniform(950, 1030, (ny, nx)
+                                   ).astype(np.float32))
+    al1 = np.linspace(30, 0, nlev).astype(np.float32)
+    bl1 = np.linspace(0.02, 1.0, nlev).astype(np.float32)
+    al2, bl2 = al1 * 1.5, bl1 * 0.9
+
+    op = functools.partial(hlevel_suite_fused, interpret=True,
+                           temps=(3,), hums_q=(1, 9))
+    out1 = op(tk, q, q, ps, al1, bl1)
+    out2 = op(tk, q, q, ps, al2, bl2)   # same jit cache entry: data args
+    # different coefficients -> different pressures -> different values
+    assert not np.array_equal(np.asarray(out1[0].values),
+                              np.asarray(out2[0].values))
+
+    with pytest.raises(ValueError):
+        op(tk, q, q, ps, -al1 - 1, bl1 * 0 - 1)    # bad a/b (concrete)
+    with pytest.raises(ValueError):
+        hlevel_suite_fused(tk, q, q, ps, al1, bl1, temps=(7,),
+                           interpret=True)          # bad mode
+
+    if len(jax.devices()) >= 4:
+        mesh = grid_mesh((1, 2, 2), devices=jax.devices()[:4])
+        got = run_sharded(op, mesh, 0, tk, q, q, ps, al1, bl1)
+        for k, (r, g) in enumerate(zip(out1, got)):
+            rm = np.asarray(r.mask)
+            assert np.array_equal(rm, np.asarray(g.mask)), k
+            assert np.array_equal(np.asarray(r.values)[rm],
+                                  np.asarray(g.values)[rm]), k
