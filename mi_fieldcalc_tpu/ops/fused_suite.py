@@ -127,6 +127,66 @@ def _unpack_tqr(fields, reqs):
     return tF, qF, rF
 
 
+def _gate_kind(fam, c):
+    """Which data-dependent gate survives the ALL_DEFINED fast path for
+    this mode: the ewt table-range predicate of the T-form temperature
+    ("T": odd hum modes, temp 4, duct 3 — all memoized to one esat),
+    of the theta-form ``tk = theta * pidcp`` temperature ("TH": even
+    hum modes, duct 4 — bitwise-identical expressions), temp 5's own
+    ``tk = theta * pi / cp`` spelling ("TH5" — an ulp-sensitive
+    variant kept separate so gates stay bitwise), or none (pure
+    arithmetic: temp 1-3, THE, q-ducting)."""
+    if fam == "temp":
+        return {4: "T", 5: "TH5"}.get(c)
+    if fam in ("hum_q", "hum_rh"):
+        return "T" if c % 2 == 1 else "TH"
+    if fam in ("duct_q", "duct_rh"):
+        return {3: "T", 4: "TH"}.get(c)
+    return None  # "the"
+
+
+def _gate_planes(reqs):
+    """Ordered distinct gate kinds the request set needs."""
+    kinds = []
+    for fam, c in reqs:
+        k = _gate_kind(fam, c)
+        if k is not None and k not in kinds:
+            kinds.append(k)
+    return tuple(kinds)
+
+
+def _region(TY, nx, nyg, nxg):
+    """Logical-region predicate (int32) for block row-tile j — gates the
+    fast path's written mask planes False on padded dead rows/lanes
+    (CLAUDE.md layout invariant).  Unsharded offsets: row 0 of tile j is
+    global row j*TY."""
+    j = pl.program_id(0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (TY, nx), 0) + j * TY
+    cc = jax.lax.broadcasted_iota(jnp.int32, (TY, nx), 1)
+    return ((rr < nyg) & (cc < nxg)).astype(jnp.int32)
+
+
+def _write_allm(reqs, outs, out_refs, TY, nx, nyg, nxg):
+    """Fast-path epilogue: all values, then one mask plane per distinct
+    gate kind, sourced from the first traced output of that kind (its
+    mask under all-ones inputs IS the gate, so the plane is bitwise what
+    the masked path would have written for every output of the kind)."""
+    nout = len(outs)
+    for k, f in enumerate(outs):
+        out_refs[k][0] = f.values
+    reg = _region(TY, nx, nyg, nxg) if nyg is not None else None
+    for i, kind in enumerate(_gate_planes(reqs)):
+        src = next(f for (fam, c), f in zip(reqs, outs)
+                   if _gate_kind(fam, c) == kind)
+        m = src.mask
+        if m.dtype == jnp.bool_:
+            m = m.astype(jnp.int32)
+        if reg is not None:
+            m = m & reg
+        mref = out_refs[nout + i]
+        mref[0] = (m != 0).astype(mref.dtype)
+
+
 def _write_outs(outs, out_refs):
     n = len(outs)
     for k, f in enumerate(outs):
@@ -138,10 +198,32 @@ def _write_outs(outs, out_refs):
         mref[0] = m.astype(mref.dtype)
 
 
-def _suite_kernel(reqs, nin, tab_ref, *refs):
+def _expand_allm(reqs, outs, nout, nlev, ny, nx, nyg, nxg):
+    """Fast-path host epilogue: map each request to its gate plane (as
+    bool) or to the shared constant-True mask — region-gated to the
+    logical grid when ``global_shape`` was given, so the padded-layout
+    invariant (masks False on dead points) holds."""
+    kinds = _gate_planes(reqs)
+    gates = {k: outs[nout + i].view(jnp.bool_)
+             for i, k in enumerate(kinds)}
+    if nyg is None:
+        ones = jnp.ones((nlev, ny, nx), jnp.bool_)
+    else:
+        r = jnp.arange(ny)[:, None] < nyg
+        c = jnp.arange(nx)[None, :] < nxg
+        ones = jnp.broadcast_to(r & c, (nlev, ny, nx))
+    return [Field(outs[k], gates.get(_gate_kind(fam, c), ones))
+            for k, (fam, c) in enumerate(reqs)]
+
+
+def _suite_kernel(reqs, nin, allm, TY, nyg, nxg, tab_ref, *refs):
     vals = [r[0] for r in refs[:nin]]
-    msks = [r[0].astype(jnp.int32) for r in refs[nin:2 * nin]]
-    out_refs = refs[2 * nin:]
+    if allm:
+        msks = [jnp.ones(v.shape, jnp.int32) for v in vals]
+        out_refs = refs[nin:]
+    else:
+        msks = [r[0].astype(jnp.int32) for r in refs[nin:2 * nin]]
+        out_refs = refs[2 * nin:]
 
     fields = [Field(v, m) for v, m in zip(vals, msks)]
     tF, qF, rF = _unpack_tqr(fields[:-1], reqs)
@@ -163,17 +245,23 @@ def _suite_kernel(reqs, nin, tab_ref, *refs):
                 outs.append(alevelducting(tF, qF, pF, compute=c))
             else:  # "duct_rh"
                 outs.append(alevelducting(tF, rF, pF, compute=c))
+        if allm:
+            _write_allm(reqs, outs, out_refs, TY, tF.values.shape[-1],
+                        nyg, nxg)
+            return
     _write_outs(outs, out_refs)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "temps", "hums_q", "hums_rh", "thes", "ducts_q", "ducts_rh",
-    "interpret", "ty"))
+    "interpret", "ty", "all_defined", "global_shape"))
 def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
                        temps=(), hums_q=(), hums_rh=(),
                        thes=(), ducts_q=(), ducts_rh=(),
                        interpret: bool = False,
-                       ty: int | None = None):
+                       ty: int | None = None,
+                       all_defined: bool = False,
+                       global_shape=None):
     """All requested a-level conversions in one kernel pass.
 
     Args:
@@ -199,10 +287,25 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
     arguments — the suite is pointwise (no edge fills), so dead-lane
     masks stay False through the ANDs.  Pointwise also means it shards
     with no halo exchange: ``run_sharded(op, mesh, 0, ...)``.
+
+    ``all_defined=True`` is the fast path (caller asserts every logical
+    input point defined): no input mask planes are read, and the output
+    masks collapse to at most 3 ewt table-range gate planes (the
+    T-form, theta-form, and temp-5 spellings of the saturation gate —
+    :func:`_gate_kind`); the gate-free outputs come back constant-True.
+    On the padded layout pass ``global_shape=(ny, nx)`` so the written
+    gates and synthesized masks stay False on dead rows/lanes
+    (unsharded only — sharded runs go through the masked path or trim
+    first).  Values are bit-identical to the masked path on all-defined
+    inputs.
     """
     reqs = _build_reqs("alevel_suite_fused", temps, hums_q, hums_rh,
                        thes, ducts_q, ducts_rh)
+    require(global_shape is None or all_defined,
+            "alevel_suite_fused: global_shape is a fast-path argument "
+            "(the masked path's dead lanes are handled by input masks)")
     nout = len(reqs)
+    ngate = len(_gate_planes(reqs)) if all_defined else nout
     # unused inputs never touch the device (the kernel is byte-bound)
     tqr = _unpack_tqr([t, q, rh], reqs)
     fields = [f for f in tqr if f is not None] + [p]
@@ -211,40 +314,51 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
     for f in fields:
         require(f.values.shape == (nlev, ny, nx),
                 "alevel_suite_fused: field shape mismatch")
+    nyg, nxg = global_shape if global_shape is not None else (None, None)
 
     TY = _pick_ty("alevel_suite_fused", ny, nx, nin, nout, ty)
     jy = -(-ny // TY)
 
-    operands = [jnp.asarray(_TAB128),
-                *[f.values for f in fields],
-                *[f.mask.view(jnp.int8) for f in fields]]
+    operands = [jnp.asarray(_TAB128), *[f.values for f in fields]]
+    if not all_defined:
+        operands += [f.mask.view(jnp.int8) for f in fields]
+    nblocks = nin if all_defined else 2 * nin
     tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     f32_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.float32)
     i8_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int8)
     outs = pl.pallas_call(
-        functools.partial(_suite_kernel, reqs, nin),
+        functools.partial(_suite_kernel, reqs, nin, all_defined, TY,
+                          nyg, nxg),
         grid=(jy, nlev),
-        in_specs=[tabspec] + [_c3(TY, nx)] * (2 * nin),
-        out_specs=tuple([_c3(TY, nx)] * (2 * nout)),
-        out_shape=tuple([f32_3d] * nout + [i8_3d] * nout),
+        in_specs=[tabspec] + [_c3(TY, nx)] * nblocks,
+        out_specs=tuple([_c3(TY, nx)] * (nout + ngate)),
+        out_shape=tuple([f32_3d] * nout + [i8_3d] * ngate),
         interpret=interpret,
     )(*operands)
 
-    return [Field(outs[k], outs[nout + k].view(jnp.bool_))
-            for k in range(nout)]
+    if not all_defined:
+        return [Field(outs[k], outs[nout + k].view(jnp.bool_))
+                for k in range(nout)]
+    return _expand_allm(reqs, outs, nout, nlev, ny, nx, nyg, nxg)
 
 
-def _hsuite_kernel(reqs, nin, a_ref, b_ref, tab_ref, *refs):
+def _hsuite_kernel(reqs, nin, allm, TY, nyg, nxg, a_ref, b_ref, tab_ref,
+                   *refs):
     from ._harness import and_masks
     from .levels import (_levelducting_core, _levelhum_core,
                          _levelthe_core, _leveltemp_core)
 
     vals = [r[0] for r in refs[:nin - 1]]
     psv = refs[nin - 1][...]
-    msks = [r[0].astype(jnp.int32) for r in refs[nin:2 * nin - 1]]
-    psm = refs[2 * nin - 1][...].astype(jnp.int32)
-    out_refs = refs[2 * nin:]
+    if allm:
+        msks = [jnp.ones(v.shape, jnp.int32) for v in vals]
+        psm = jnp.ones(psv.shape, jnp.int32)
+        out_refs = refs[nin:]
+    else:
+        msks = [r[0].astype(jnp.int32) for r in refs[nin:2 * nin - 1]]
+        psm = refs[2 * nin - 1][...].astype(jnp.int32)
+        out_refs = refs[2 * nin:]
 
     fields = [Field(v, m) for v, m in zip(vals, msks)]
     tF, qF, rF = _unpack_tqr(fields, reqs)
@@ -271,6 +385,10 @@ def _hsuite_kernel(reqs, nin, a_ref, b_ref, tab_ref, *refs):
                 hF = qF if fam == "duct_q" else rF
                 outs.append(_levelducting_core(
                     tF, hF, p_arr, and_masks(tF, hF) & psm, c))
+        if allm:
+            _write_allm(reqs, outs, out_refs, TY, psv.shape[-1],
+                        nyg, nxg)
+            return
     _write_outs(outs, out_refs)
 
 
@@ -279,7 +397,9 @@ def hlevel_suite_fused(t: Field, q: Field, rh: Field, ps: Field,
                        temps=(), hums_q=(), hums_rh=(),
                        thes=(), ducts_q=(), ducts_rh=(),
                        interpret: bool = False,
-                       ty: int | None = None):
+                       ty: int | None = None,
+                       all_defined: bool = False,
+                       global_shape=None):
     """The hybrid-level conversion suite in one kernel pass — the
     production form: prognostic surface pressure + per-level hybrid
     coefficients instead of a materialized 3-D pressure field (which
@@ -314,18 +434,25 @@ def hlevel_suite_fused(t: Field, q: Field, rh: Field, ps: Field,
                                thes=tuple(int(c) for c in thes),
                                ducts_q=tuple(int(c) for c in ducts_q),
                                ducts_rh=tuple(int(c) for c in ducts_rh),
-                               interpret=interpret, ty=ty)
+                               interpret=interpret, ty=ty,
+                               all_defined=all_defined,
+                               global_shape=global_shape)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "temps", "hums_q", "hums_rh", "thes", "ducts_q", "ducts_rh",
-    "interpret", "ty"))
+    "interpret", "ty", "all_defined", "global_shape"))
 def _hlevel_suite_fused(t, q, rh, ps, alevel, blevel,
                         temps, hums_q, hums_rh, thes, ducts_q, ducts_rh,
-                        interpret, ty):
+                        interpret, ty, all_defined=False,
+                        global_shape=None):
     reqs = _build_reqs("hlevel_suite_fused", temps, hums_q, hums_rh,
                        thes, ducts_q, ducts_rh)
+    require(global_shape is None or all_defined,
+            "hlevel_suite_fused: global_shape is a fast-path argument")
     nout = len(reqs)
+    ngate = len(_gate_planes(reqs)) if all_defined else nout
+    nyg, nxg = global_shape if global_shape is not None else (None, None)
     tqr = _unpack_tqr([t, q, rh], reqs)
     stacks = [f for f in tqr if f is not None]
     nin = len(stacks) + 1                      # + ps
@@ -342,12 +469,13 @@ def _hlevel_suite_fused(t, q, rh, ps, alevel, blevel,
     jy = -(-ny // TY)
 
     tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs = ([tabspec] + [_c3(TY, nx)] * (nin - 1) + [_c2(TY, nx)]
-                + [_c3(TY, nx)] * (nin - 1) + [_c2(TY, nx)])
+    in_specs = [tabspec] + [_c3(TY, nx)] * (nin - 1) + [_c2(TY, nx)]
     operands = [jnp.asarray(_TAB128),
-                *[f.values for f in stacks], ps.values,
-                *[f.mask.view(jnp.int8) for f in stacks],
-                ps.mask.view(jnp.int8)]
+                *[f.values for f in stacks], ps.values]
+    if not all_defined:
+        in_specs += [_c3(TY, nx)] * (nin - 1) + [_c2(TY, nx)]
+        operands += [f.mask.view(jnp.int8) for f in stacks]
+        operands += [ps.mask.view(jnp.int8)]
 
     f32_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.float32)
     i8_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int8)
@@ -355,13 +483,16 @@ def _hlevel_suite_fused(t, q, rh, ps, alevel, blevel,
         num_scalar_prefetch=2,
         grid=(jy, nlev),
         in_specs=in_specs,
-        out_specs=tuple([_c3(TY, nx)] * (2 * nout)))
+        out_specs=tuple([_c3(TY, nx)] * (nout + ngate)))
     outs = pl.pallas_call(
-        functools.partial(_hsuite_kernel, reqs, nin),
+        functools.partial(_hsuite_kernel, reqs, nin, all_defined, TY,
+                          nyg, nxg),
         grid_spec=grid_spec,
-        out_shape=tuple([f32_3d] * nout + [i8_3d] * nout),
+        out_shape=tuple([f32_3d] * nout + [i8_3d] * ngate),
         interpret=interpret,
     )(alevel, blevel, *operands)
 
-    return [Field(outs[k], outs[nout + k].view(jnp.bool_))
-            for k in range(nout)]
+    if not all_defined:
+        return [Field(outs[k], outs[nout + k].view(jnp.bool_))
+                for k in range(nout)]
+    return _expand_allm(reqs, outs, nout, nlev, ny, nx, nyg, nxg)

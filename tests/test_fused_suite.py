@@ -253,3 +253,76 @@ def test_hlevel_suite_dynamic_coefficients_and_sharding():
             assert np.array_equal(rm, np.asarray(g.mask)), k
             assert np.array_equal(np.asarray(r.values)[rm],
                                   np.asarray(g.values)[rm]), k
+
+
+@pytest.mark.parametrize("suite", ["alevel", "hlevel"])
+def test_suite_all_defined_fast_path(suite):
+    """all_defined=True: no input mask planes, output masks collapse to
+    at most 3 gate planes (T / theta / temp-5 spellings of the ewt
+    range predicate) — bitwise equal to the masked path on fully
+    defined inputs, including an out-of-table temperature so every gate
+    kind actually fires."""
+    from mi_fieldcalc_tpu.ops import hlevel_suite_fused
+
+    rng = np.random.default_rng(12)
+    nlev, ny, nx = 2, 24, 140
+
+    def mk(lo, hi):
+        return from_sentinel(rng.uniform(lo, hi, (nlev, ny, nx)
+                                         ).astype(np.float32))
+
+    tk, q, rh = mk(250, 300), mk(1e-4, 1e-2), mk(5, 95)
+    v = np.asarray(tk.values).copy()
+    v[0, 2, 2] = 520.0            # beyond the table: fires every gate
+    tk = Field(jnp.asarray(v), tk.mask)
+    kw = dict(temps=(1, 3, 4, 5), hums_q=(1, 9), hums_rh=(4, 7),
+              thes=(1,), ducts_q=(2,), ducts_rh=(3, 4), interpret=True)
+
+    if suite == "alevel":
+        p = mk(300, 1000)
+        ref = alevel_suite_fused(tk, q, rh, p, **kw)
+        got = alevel_suite_fused(tk, q, rh, p, all_defined=True, **kw)
+    else:
+        ps = from_sentinel(rng.uniform(950, 1030, (ny, nx)
+                                       ).astype(np.float32))
+        al = np.linspace(30, 0, nlev).astype(np.float32)
+        bl = np.linspace(0.02, 1.0, nlev).astype(np.float32)
+        ref = hlevel_suite_fused(tk, q, rh, ps, al, bl, **kw)
+        got = hlevel_suite_fused(tk, q, rh, ps, al, bl,
+                                 all_defined=True, **kw)
+
+    assert len(got) == len(ref) == 12
+    fired = 0
+    for k, (r, g) in enumerate(zip(ref, got)):
+        rm = np.asarray(r.mask)
+        assert np.array_equal(rm, np.asarray(g.mask)), (k, "mask")
+        assert np.array_equal(np.asarray(r.values)[rm],
+                              np.asarray(g.values)[rm]), (k, "values")
+        fired += not rm.all()
+    assert fired >= 8          # the gates actually gated something
+
+
+def test_suite_all_defined_padded_region():
+    """Fast path + global_shape on the canonical padded layout: written
+    gates AND synthesized constant-True masks are False on dead
+    rows/lanes."""
+    from mi_fieldcalc_tpu.layout import pad_field
+
+    nlev, ny, nx = 2, 21, 150
+    tk, q, rh, p = _inputs(nlev, ny, nx, seed=15, )
+    # strip undefs: the fast path asserts all defined
+    def clean(f):
+        return Field(f.values, jnp.ones_like(f.mask))
+    tk, q, rh, p = (clean(f) for f in (tk, q, rh, p))
+    pf = [pad_field(f) for f in (tk, q, rh, p)]
+    kw = dict(temps=(3, 4), hums_q=(1, 9), interpret=True)
+    ref = alevel_suite_fused(tk, q, rh, p, all_defined=True, **kw)
+    got = alevel_suite_fused(*pf, all_defined=True,
+                             global_shape=(ny, nx), **kw)
+    for k, (r, g) in enumerate(zip(ref, got)):
+        gm = np.asarray(g.mask)
+        assert not gm[..., ny:, :].any() and not gm[..., :, nx:].any(), k
+        rm = np.asarray(r.mask)
+        assert np.array_equal(rm, gm[..., :ny, :nx]), k
+        assert np.array_equal(np.asarray(r.values)[rm],
+                              np.asarray(g.values)[..., :ny, :nx][rm]), k
