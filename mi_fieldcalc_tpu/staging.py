@@ -30,7 +30,7 @@ from .field import UNDEF, Field
 from .layout import padded_shape
 
 __all__ = ["HostStager", "run_derived_fields_np",
-           "stream_derived_fields_np"]
+           "stream_derived_fields_np", "run_hlevel_suite_np"]
 
 
 class HostStager:
@@ -235,3 +235,110 @@ def _stager_cache(k: int, undef: float, pad: bool) -> HostStager:
     if key not in cache:
         cache[key] = HostStager(k, undef, pad=pad)
     return cache[key]
+
+
+def run_hlevel_suite_np(tk, q, rh, ps, alevel, blevel,
+                        temps=(), hums_q=(), hums_rh=(),
+                        thes=(), ducts_q=(), ducts_rh=(),
+                        undef: float = UNDEF) -> Dict[str, np.ndarray]:
+    """The hybrid-level conversion suite, sentinel numpy to sentinel
+    numpy — the drop-in replacement for looping one ``fc.hlevel*`` call
+    per product.
+
+    Inputs: ``[nlev, ny, nx]`` sentinel stacks (``q``/``rh`` may be
+    ``None`` when no requested mode consumes them), ``(ny, nx)``
+    surface pressure, per-level coefficients; request tuples as
+    :func:`..ops.fused_suite.hlevel_suite_fused`.  On TPU the whole
+    suite runs as ONE kernel pass on the canonical padded layout, with
+    the decode counts auto-routing fully defined steps to the
+    ALL_DEFINED fast path; off-TPU it falls back to the per-level jnp
+    ops.  Returns ``{"temp3": ..., "hum_q1": ..., ...}`` keyed by
+    family + compute, in request order.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    tk = np.ascontiguousarray(tk, np.float32)
+    nlev, ny, nx = tk.shape
+    ny_p, nx_p = padded_shape(ny, nx) if on_tpu else (ny, nx)
+
+    reqs = ([("temp", int(c)) for c in temps]
+            + [("hum_q", int(c)) for c in hums_q]
+            + [("hum_rh", int(c)) for c in hums_rh]
+            + [("the", int(c)) for c in thes]
+            + [("duct_q", int(c)) for c in ducts_q]
+            + [("duct_rh", int(c)) for c in ducts_rh])
+    need_q = any(f in ("hum_q", "the", "duct_q") for f, _ in reqs)
+    need_rh = any(f in ("hum_rh", "duct_rh") for f, _ in reqs)
+
+    def dec3(a):
+        if a is None:
+            return Field(jnp.zeros((nlev, ny_p, nx_p), jnp.float32),
+                         jnp.ones((nlev, ny_p, nx_p), bool)), 0
+        v, m, n_def = native.decode_pad(
+            np.ascontiguousarray(a, np.float32), ny_p, nx_p, undef)
+        return Field(jnp.asarray(v), jnp.asarray(m)), n_def
+
+    tkf, n_t = dec3(tk)
+    qf, n_q = dec3(q if need_q else None)
+    rhf, n_r = dec3(rh if need_rh else None)
+    psv, psm, n_ps = native.decode_pad(
+        np.ascontiguousarray(ps, np.float32), ny_p, nx_p, undef)
+    psf = Field(jnp.asarray(psv), jnp.asarray(psm))
+
+    logical = nlev * ny * nx
+    all_defined = (n_t == logical and n_ps == ny * nx
+                   and (not need_q or n_q == logical)
+                   and (not need_rh or n_r == logical))
+
+    kw = dict(temps=tuple(temps), hums_q=tuple(hums_q),
+              hums_rh=tuple(hums_rh), thes=tuple(thes),
+              ducts_q=tuple(ducts_q), ducts_rh=tuple(ducts_rh))
+    if on_tpu:
+        from .ops.fused_suite import hlevel_suite_fused
+        outs = hlevel_suite_fused(
+            tkf, qf, rhf, psf, np.asarray(alevel, np.float32),
+            np.asarray(blevel, np.float32),
+            all_defined=all_defined,
+            global_shape=(ny, nx) if all_defined else None, **kw)
+    else:
+        from .ops import (hlevelducting, hlevelhum,
+                          hlevelthe, hleveltemp)
+        al = [float(a) for a in np.asarray(alevel)]
+        bl = [float(b) for b in np.asarray(blevel)]
+
+        def lvl(f, k):
+            return Field(f.values[k], f.mask[k])
+
+        def stack(make):
+            fs = [make(k) for k in range(nlev)]
+            return Field(jnp.stack([f.values for f in fs]),
+                         jnp.stack([f.mask for f in fs]))
+
+        outs = []
+        for fam, c in reqs:
+            if fam == "temp":
+                outs.append(stack(lambda k, c=c: hleveltemp(
+                    lvl(tkf, k), psf, al[k], bl[k], compute=c)))
+            elif fam in ("hum_q", "hum_rh"):
+                h = qf if fam == "hum_q" else rhf
+                outs.append(stack(lambda k, c=c, h=h: hlevelhum(
+                    lvl(tkf, k), lvl(h, k), psf, al[k], bl[k],
+                    compute=c)))
+            elif fam == "the":
+                outs.append(stack(lambda k, c=c: hlevelthe(
+                    lvl(tkf, k), lvl(qf, k), psf, al[k], bl[k],
+                    compute=c)))
+            else:
+                h = qf if fam == "duct_q" else rhf
+                outs.append(stack(lambda k, c=c, h=h: hlevelducting(
+                    lvl(tkf, k), lvl(h, k), psf, al[k], bl[k],
+                    compute=c)))
+
+    result = {}
+    for (fam, c), f in zip(reqs, outs):
+        arr = native.encode_trim(np.asarray(f.values),
+                                 np.asarray(f.mask), ny, nx, undef)
+        result[f"{fam}{c}"] = arr
+    return result

@@ -160,3 +160,40 @@ def test_encode_step_mask_map_layouts():
             np.testing.assert_array_equal(outs["12"][name],
                                           outs[tag][name],
                                           err_msg=f"{tag}/{name}")
+
+
+def test_run_hlevel_suite_np():
+    """Sentinel-numpy suite runner: per-level hlevel* agreement,
+    sentinel propagation, and unused-input pruning (q/rh may be None)."""
+    from mi_fieldcalc_tpu.ops import hlevelhum, hleveltemp
+    from mi_fieldcalc_tpu.staging import run_hlevel_suite_np
+
+    rng = np.random.default_rng(0)
+    nlev, ny, nx = 2, 12, 20
+    tk = rng.uniform(250, 300, (nlev, ny, nx)).astype(np.float32)
+    q = rng.uniform(1e-4, 1e-2, (nlev, ny, nx)).astype(np.float32)
+    tk[0, 3, 3] = UNDEF
+    ps = rng.uniform(950, 1030, (ny, nx)).astype(np.float32)
+    al = np.linspace(30.0, 0.0, nlev).astype(np.float32)
+    bl = np.linspace(0.02, 1.0, nlev).astype(np.float32)
+
+    out = run_hlevel_suite_np(tk, q, None, ps, al, bl,
+                              temps=(3,), hums_q=(1, 9))
+    assert sorted(out) == ["hum_q1", "hum_q9", "temp3"]
+    assert out["temp3"].shape == (nlev, ny, nx)
+    assert out["temp3"][0, 3, 3] == np.float32(UNDEF)
+
+    for name, fn, c, h in (("temp3", hleveltemp, 3, None),
+                           ("hum_q1", hlevelhum, 1, q)):
+        for k in range(nlev):
+            args = [from_sentinel(tk[k])]
+            if h is not None:
+                args.append(from_sentinel(h[k]))
+            ref = fn(*args, from_sentinel(ps), float(al[k]),
+                     float(bl[k]), compute=c)
+            m = np.asarray(ref.mask)
+            got = out[name][k]
+            assert np.array_equal(got == np.float32(UNDEF), ~m)
+            with np.errstate(all="ignore"):
+                assert np.allclose(np.asarray(ref.values)[m], got[m],
+                                   rtol=3e-6)
