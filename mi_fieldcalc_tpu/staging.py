@@ -30,7 +30,8 @@ from .field import UNDEF, Field
 from .layout import padded_shape
 
 __all__ = ["HostStager", "run_derived_fields_np",
-           "stream_derived_fields_np", "run_hlevel_suite_np"]
+           "stream_derived_fields_np", "run_hlevel_suite_np",
+           "run_vessel_icing_np"]
 
 
 class HostStager:
@@ -341,4 +342,58 @@ def run_hlevel_suite_np(tk, q, rh, ps, alevel, blevel,
         arr = native.encode_trim(np.asarray(f.values),
                                  np.asarray(f.mask), ny, nx, undef)
         result[f"{fam}{c}"] = arr
+    return result
+
+
+def run_vessel_icing_np(sal, wave, x_wind, y_wind, airtemp, rh, sst, p,
+                        pw, aice, depth,
+                        vs: float, alpha: float, zmin: float, zmax: float,
+                        alt: int = 1,
+                        products=("overland", "mertins", "modstall",
+                                  "mincog"),
+                        undef: float = UNDEF) -> Dict[str, np.ndarray]:
+    """All requested vessel-icing products from ONE decode of the shared
+    inputs — the production form of the reference's per-product
+    `vesselIcing*` calls (each re-reading the same 11 sentinel grids).
+
+    Inputs: ``(ny, nx)`` sentinel arrays (the ModStall/MINCOG set;
+    Overland/Mertins use the ``airtemp/sst/x_wind/y_wind/sal/aice``
+    subset); scalars as :func:`..api.vesselIcingMincog`.  On TPU the
+    solver products run their fused VMEM kernels (auto-selected, as in
+    the drop-in api).  Returns ``{product: sentinel array}``.
+    """
+    from .api import _icing_mincog_auto, _icing_modstall_auto
+    from .ops import vessel_icing_mertins, vessel_icing_overland
+
+    known = ("overland", "mertins", "modstall", "mincog")
+    for prod in products:
+        if prod not in known:
+            raise ValueError(f"run_vessel_icing_np: unknown product "
+                             f"{prod!r} (known: {known})")
+
+    # one decode pass for all 11 shared inputs (the icing kernels pad
+    # internally, so the stager stays at the logical extent)
+    arrays = [np.ascontiguousarray(a, np.float32) for a in
+              (sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw,
+               aice, depth)]
+    stager = _stager_cache(k=11, undef=undef, pad=False)
+    (salf, wavef, xwf, ywf, atf, rhf, sstf, pf, pwf, aicef,
+     depthf) = stager.stage(*arrays)
+
+    result = {}
+    for prod in products:
+        if prod == "overland":
+            f = vessel_icing_overland(atf, sstf, xwf, ywf, salf, aicef)
+        elif prod == "mertins":
+            f = vessel_icing_mertins(atf, sstf, xwf, ywf, salf, aicef)
+        elif prod == "modstall":
+            f = _icing_modstall_auto(salf, wavef, xwf, ywf, atf, rhf,
+                                     sstf, pf, pwf, aicef, depthf,
+                                     vs, alpha, zmin, zmax)
+        else:
+            f = _icing_mincog_auto(salf, wavef, xwf, ywf, atf, rhf,
+                                   sstf, pf, pwf, aicef, depthf,
+                                   vs, alpha, zmin, zmax, alt)
+        result[prod] = native.encode(np.asarray(f.values),
+                                     np.asarray(f.mask), undef)
     return result

@@ -197,3 +197,50 @@ def test_run_hlevel_suite_np():
             with np.errstate(all="ignore"):
                 assert np.allclose(np.asarray(ref.values)[m], got[m],
                                    rtol=3e-6)
+
+
+def test_run_vessel_icing_np():
+    """Batch icing boundary: one decode of the 11 shared inputs, all
+    requested products, sentinel propagation, product validation."""
+    import pytest
+    from mi_fieldcalc_tpu.ops import (vessel_icing_mertins,
+                                      vessel_icing_overland)
+    from mi_fieldcalc_tpu.staging import run_vessel_icing_np
+
+    rng = np.random.default_rng(2)
+    ny, nx = 16, 24
+    f = lambda lo, hi: rng.uniform(lo, hi, (ny, nx)).astype(np.float32)
+    sal, wave = f(30, 36), f(0.5, 6)
+    xw, yw = f(-25, 25), f(-25, 25)
+    at, rh = f(-25, -3), f(40, 95)
+    sst, p = f(-1, 8), f(960, 1040)
+    pw, aice, depth = f(6, 14), f(0, 0.3), f(25, 350)
+    at[2, 2] = UNDEF
+    scal = (5.0, 0.52, 2.0, 5.0)
+
+    out = run_vessel_icing_np(sal, wave, xw, yw, at, rh, sst, p, pw,
+                              aice, depth, *scal, alt=1)
+    assert sorted(out) == ["mertins", "mincog", "modstall", "overland"]
+    for prod, arr in out.items():
+        assert arr.shape == (ny, nx)
+        assert arr[2, 2] == np.float32(UNDEF), prod
+
+    for prod, op in (("overland", vessel_icing_overland),
+                     ("mertins", vessel_icing_mertins)):
+        ref = op(*[from_sentinel(a)
+                   for a in (at, sst, xw, yw, sal, aice)])
+        m = np.asarray(ref.mask)
+        assert np.array_equal(out[prod] == np.float32(UNDEF), ~m), prod
+        with np.errstate(all="ignore"):
+            assert np.allclose(np.asarray(ref.values)[m],
+                               out[prod][m], rtol=1e-6), prod
+
+    sub = run_vessel_icing_np(sal, wave, xw, yw, at, rh, sst, p, pw,
+                              aice, depth, *scal,
+                              products=("overland",))
+    assert sorted(sub) == ["overland"]
+    np.testing.assert_array_equal(sub["overland"], out["overland"])
+
+    with pytest.raises(ValueError):
+        run_vessel_icing_np(sal, wave, xw, yw, at, rh, sst, p, pw,
+                            aice, depth, *scal, products=("nope",))
