@@ -116,14 +116,21 @@ def _table_pair(tab_ref):
     return lambda ls: (_lookup(tab_ref, ls), _lookup(tab_ref, ls + 1))
 
 
+def _consumes(reqs):
+    """(need_q, need_rh): which optional inputs the request set reads —
+    the single source of truth for input pruning (kernels, wrappers,
+    and the staging runners all derive from this)."""
+    return (any(f in ("hum_q", "the", "duct_q") for f, _ in reqs),
+            any(f in ("hum_rh", "duct_rh") for f, _ in reqs))
+
+
 def _unpack_tqr(fields, reqs):
     """(t, q-or-None, rh-or-None) from the pruned input list."""
+    need_q, need_rh = _consumes(reqs)
     it = iter(fields)
     tF = next(it)
-    qF = next(it) if any(f in ("hum_q", "the", "duct_q")
-                         for f, _ in reqs) else None
-    rF = next(it) if any(f in ("hum_rh", "duct_rh")
-                         for f, _ in reqs) else None
+    qF = next(it) if need_q else None
+    rF = next(it) if need_rh else None
     return tF, qF, rF
 
 
@@ -155,18 +162,21 @@ def _gate_planes(reqs):
     return tuple(kinds)
 
 
-def _region(TY, nx, nyg, nxg):
+def _region(TY, nx, nyg, nxg, offs):
     """Logical-region predicate (int32) for block row-tile j — gates the
     fast path's written mask planes False on padded dead rows/lanes
-    (CLAUDE.md layout invariant).  Unsharded offsets: row 0 of tile j is
-    global row j*TY."""
+    (CLAUDE.md layout invariant).  ``offs`` is the (row, col) global
+    position of local element (0, 0) — zeros unsharded; per-shard runs
+    must thread their offsets via ``grid_offsets`` (``run_sharded``
+    does NOT, so combine it with the masked path instead)."""
     j = pl.program_id(0)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (TY, nx), 0) + j * TY
-    cc = jax.lax.broadcasted_iota(jnp.int32, (TY, nx), 1)
-    return ((rr < nyg) & (cc < nxg)).astype(jnp.int32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (TY, nx), 0) + j * TY + offs[0]
+    cc = jax.lax.broadcasted_iota(jnp.int32, (TY, nx), 1) + offs[1]
+    return ((rr >= 0) & (rr < nyg) & (cc >= 0) & (cc < nxg)
+            ).astype(jnp.int32)
 
 
-def _write_allm(reqs, outs, out_refs, TY, nx, nyg, nxg):
+def _write_allm(reqs, outs, out_refs, TY, nx, nyg, nxg, offs):
     """Fast-path epilogue: all values, then one mask plane per distinct
     gate kind, sourced from the first traced output of that kind (its
     mask under all-ones inputs IS the gate, so the plane is bitwise what
@@ -174,7 +184,7 @@ def _write_allm(reqs, outs, out_refs, TY, nx, nyg, nxg):
     nout = len(outs)
     for k, f in enumerate(outs):
         out_refs[k][0] = f.values
-    reg = _region(TY, nx, nyg, nxg) if nyg is not None else None
+    reg = _region(TY, nx, nyg, nxg, offs) if nyg is not None else None
     for i, kind in enumerate(_gate_planes(reqs)):
         src = next(f for (fam, c), f in zip(reqs, outs)
                    if _gate_kind(fam, c) == kind)
@@ -198,7 +208,7 @@ def _write_outs(outs, out_refs):
         mref[0] = m.astype(mref.dtype)
 
 
-def _expand_allm(reqs, outs, nout, nlev, ny, nx, nyg, nxg):
+def _expand_allm(reqs, outs, nout, nlev, ny, nx, nyg, nxg, offs):
     """Fast-path host epilogue: map each request to its gate plane (as
     bool) or to the shared constant-True mask — region-gated to the
     logical grid when ``global_shape`` was given, so the padded-layout
@@ -209,14 +219,19 @@ def _expand_allm(reqs, outs, nout, nlev, ny, nx, nyg, nxg):
     if nyg is None:
         ones = jnp.ones((nlev, ny, nx), jnp.bool_)
     else:
-        r = jnp.arange(ny)[:, None] < nyg
-        c = jnp.arange(nx)[None, :] < nxg
-        ones = jnp.broadcast_to(r & c, (nlev, ny, nx))
+        r = jnp.arange(ny, dtype=jnp.int32)[:, None] + offs[0]
+        c = jnp.arange(nx, dtype=jnp.int32)[None, :] + offs[1]
+        ones = jnp.broadcast_to((r >= 0) & (r < nyg)
+                                & (c >= 0) & (c < nxg), (nlev, ny, nx))
     return [Field(outs[k], gates.get(_gate_kind(fam, c), ones))
             for k, (fam, c) in enumerate(reqs)]
 
 
-def _suite_kernel(reqs, nin, allm, TY, nyg, nxg, tab_ref, *refs):
+def _suite_kernel(reqs, nin, allm, TY, nyg, nxg, *kargs):
+    if allm:
+        offs_ref, tab_ref, *refs = kargs
+    else:
+        tab_ref, *refs = kargs
     vals = [r[0] for r in refs[:nin]]
     if allm:
         msks = [jnp.ones(v.shape, jnp.int32) for v in vals]
@@ -247,7 +262,7 @@ def _suite_kernel(reqs, nin, allm, TY, nyg, nxg, tab_ref, *refs):
                 outs.append(alevelducting(tF, rF, pF, compute=c))
         if allm:
             _write_allm(reqs, outs, out_refs, TY, tF.values.shape[-1],
-                        nyg, nxg)
+                        nyg, nxg, offs_ref)
             return
     _write_outs(outs, out_refs)
 
@@ -261,7 +276,8 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
                        interpret: bool = False,
                        ty: int | None = None,
                        all_defined: bool = False,
-                       global_shape=None):
+                       global_shape=None,
+                       grid_offsets=None):
     """All requested a-level conversions in one kernel pass.
 
     Args:
@@ -294,10 +310,12 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
     T-form, theta-form, and temp-5 spellings of the saturation gate —
     :func:`_gate_kind`); the gate-free outputs come back constant-True.
     On the padded layout pass ``global_shape=(ny, nx)`` so the written
-    gates and synthesized masks stay False on dead rows/lanes
-    (unsharded only — sharded runs go through the masked path or trim
-    first).  Values are bit-identical to the masked path on all-defined
-    inputs.
+    gates and synthesized masks stay False on dead rows/lanes;
+    ``grid_offsets`` is the traced (row, col) global position of local
+    element (0, 0) for per-shard execution inside ``shard_map`` (zeros
+    unsharded — ``run_sharded`` does NOT thread offsets, so combine it
+    with the masked path instead).  Values are bit-identical to the
+    masked path on all-defined inputs.
     """
     reqs = _build_reqs("alevel_suite_fused", temps, hums_q, hums_rh,
                        thes, ducts_q, ducts_rh)
@@ -324,27 +342,42 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
         operands += [f.mask.view(jnp.int8) for f in fields]
     nblocks = nin if all_defined else 2 * nin
     tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kern = functools.partial(_suite_kernel, reqs, nin, all_defined, TY,
+                             nyg, nxg)
 
     f32_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.float32)
     i8_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int8)
+    out_specs = tuple([_c3(TY, nx)] * (nout + ngate))
+    out_shape = tuple([f32_3d] * nout + [i8_3d] * ngate)
+    if all_defined:
+        offs = (jnp.zeros(2, jnp.int32) if grid_offsets is None
+                else jnp.asarray(grid_offsets, jnp.int32))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(jy, nlev),
+            in_specs=[tabspec] + [_c3(TY, nx)] * nblocks,
+            out_specs=out_specs)
+        outs = pl.pallas_call(kern, grid_spec=grid_spec,
+                              out_shape=out_shape,
+                              interpret=interpret)(offs, *operands)
+        return _expand_allm(reqs, outs, nout, nlev, ny, nx, nyg, nxg,
+                            offs)
     outs = pl.pallas_call(
-        functools.partial(_suite_kernel, reqs, nin, all_defined, TY,
-                          nyg, nxg),
+        kern,
         grid=(jy, nlev),
         in_specs=[tabspec] + [_c3(TY, nx)] * nblocks,
-        out_specs=tuple([_c3(TY, nx)] * (nout + ngate)),
-        out_shape=tuple([f32_3d] * nout + [i8_3d] * ngate),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*operands)
-
-    if not all_defined:
-        return [Field(outs[k], outs[nout + k].view(jnp.bool_))
-                for k in range(nout)]
-    return _expand_allm(reqs, outs, nout, nlev, ny, nx, nyg, nxg)
+    return [Field(outs[k], outs[nout + k].view(jnp.bool_))
+            for k in range(nout)]
 
 
-def _hsuite_kernel(reqs, nin, allm, TY, nyg, nxg, a_ref, b_ref, tab_ref,
-                   *refs):
+def _hsuite_kernel(reqs, nin, allm, TY, nyg, nxg, *kargs):
+    if allm:
+        a_ref, b_ref, offs_ref, tab_ref, *refs = kargs
+    else:
+        a_ref, b_ref, tab_ref, *refs = kargs
     from ._harness import and_masks
     from .levels import (_levelducting_core, _levelhum_core,
                          _levelthe_core, _leveltemp_core)
@@ -387,7 +420,7 @@ def _hsuite_kernel(reqs, nin, allm, TY, nyg, nxg, a_ref, b_ref, tab_ref,
                     tF, hF, p_arr, and_masks(tF, hF) & psm, c))
         if allm:
             _write_allm(reqs, outs, out_refs, TY, psv.shape[-1],
-                        nyg, nxg)
+                        nyg, nxg, offs_ref)
             return
     _write_outs(outs, out_refs)
 
@@ -399,7 +432,8 @@ def hlevel_suite_fused(t: Field, q: Field, rh: Field, ps: Field,
                        interpret: bool = False,
                        ty: int | None = None,
                        all_defined: bool = False,
-                       global_shape=None):
+                       global_shape=None,
+                       grid_offsets=None):
     """The hybrid-level conversion suite in one kernel pass — the
     production form: prognostic surface pressure + per-level hybrid
     coefficients instead of a materialized 3-D pressure field (which
@@ -436,7 +470,8 @@ def hlevel_suite_fused(t: Field, q: Field, rh: Field, ps: Field,
                                ducts_rh=tuple(int(c) for c in ducts_rh),
                                interpret=interpret, ty=ty,
                                all_defined=all_defined,
-                               global_shape=global_shape)
+                               global_shape=global_shape,
+                               grid_offsets=grid_offsets)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -445,7 +480,7 @@ def hlevel_suite_fused(t: Field, q: Field, rh: Field, ps: Field,
 def _hlevel_suite_fused(t, q, rh, ps, alevel, blevel,
                         temps, hums_q, hums_rh, thes, ducts_q, ducts_rh,
                         interpret, ty, all_defined=False,
-                        global_shape=None):
+                        global_shape=None, grid_offsets=None):
     reqs = _build_reqs("hlevel_suite_fused", temps, hums_q, hums_rh,
                        thes, ducts_q, ducts_rh)
     require(global_shape is None or all_defined,
@@ -480,19 +515,24 @@ def _hlevel_suite_fused(t, q, rh, ps, alevel, blevel,
     f32_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.float32)
     i8_3d = jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if all_defined else 2,
         grid=(jy, nlev),
         in_specs=in_specs,
         out_specs=tuple([_c3(TY, nx)] * (nout + ngate)))
+    prefetch = [alevel, blevel]
+    if all_defined:
+        offs = (jnp.zeros(2, jnp.int32) if grid_offsets is None
+                else jnp.asarray(grid_offsets, jnp.int32))
+        prefetch.append(offs)
     outs = pl.pallas_call(
         functools.partial(_hsuite_kernel, reqs, nin, all_defined, TY,
                           nyg, nxg),
         grid_spec=grid_spec,
         out_shape=tuple([f32_3d] * nout + [i8_3d] * ngate),
         interpret=interpret,
-    )(alevel, blevel, *operands)
+    )(*prefetch, *operands)
 
     if not all_defined:
         return [Field(outs[k], outs[nout + k].view(jnp.bool_))
                 for k in range(nout)]
-    return _expand_allm(reqs, outs, nout, nlev, ny, nx, nyg, nxg)
+    return _expand_allm(reqs, outs, nout, nlev, ny, nx, nyg, nxg, offs)

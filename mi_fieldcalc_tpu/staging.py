@@ -259,31 +259,36 @@ def run_hlevel_suite_np(tk, q, rh, ps, alevel, blevel,
     import jax
     import jax.numpy as jnp
 
+    from .ops.fused_suite import _build_reqs, _consumes
+
     on_tpu = jax.devices()[0].platform == "tpu"
     tk = np.ascontiguousarray(tk, np.float32)
     nlev, ny, nx = tk.shape
     ny_p, nx_p = padded_shape(ny, nx) if on_tpu else (ny, nx)
 
-    reqs = ([("temp", int(c)) for c in temps]
-            + [("hum_q", int(c)) for c in hums_q]
-            + [("hum_rh", int(c)) for c in hums_rh]
-            + [("the", int(c)) for c in thes]
-            + [("duct_q", int(c)) for c in ducts_q]
-            + [("duct_rh", int(c)) for c in ducts_rh])
-    need_q = any(f in ("hum_q", "the", "duct_q") for f, _ in reqs)
-    need_rh = any(f in ("hum_rh", "duct_rh") for f, _ in reqs)
+    # same validation as the kernels (so CPU and TPU raise identically)
+    reqs = _build_reqs("run_hlevel_suite_np", temps, hums_q, hums_rh,
+                       thes, ducts_q, ducts_rh)
+    need_q, need_rh = _consumes(reqs)
+    if need_q and q is None:
+        raise ValueError("run_hlevel_suite_np: a requested mode "
+                         "consumes q but q is None")
+    if need_rh and rh is None:
+        raise ValueError("run_hlevel_suite_np: a requested mode "
+                         "consumes rh but rh is None")
 
-    def dec3(a):
-        if a is None:
-            return Field(jnp.zeros((nlev, ny_p, nx_p), jnp.float32),
-                         jnp.ones((nlev, ny_p, nx_p), bool)), 0
+    def dec3(a, needed):
+        if not needed:
+            # pruned by the kernel; a tiny placeholder never moves
+            return Field(jnp.zeros((1, 1, 1), jnp.float32),
+                         jnp.ones((1, 1, 1), bool)), 0
         v, m, n_def = native.decode_pad(
             np.ascontiguousarray(a, np.float32), ny_p, nx_p, undef)
         return Field(jnp.asarray(v), jnp.asarray(m)), n_def
 
-    tkf, n_t = dec3(tk)
-    qf, n_q = dec3(q if need_q else None)
-    rhf, n_r = dec3(rh if need_rh else None)
+    tkf, n_t = dec3(tk, True)
+    qf, n_q = dec3(q, need_q)
+    rhf, n_r = dec3(rh, need_rh)
     psv, psm, n_ps = native.decode_pad(
         np.ascontiguousarray(ps, np.float32), ny_p, nx_p, undef)
     psf = Field(jnp.asarray(psv), jnp.asarray(psm))
@@ -337,10 +342,17 @@ def run_hlevel_suite_np(tk, q, rh, ps, alevel, blevel,
                     lvl(tkf, k), lvl(h, k), psf, al[k], bl[k],
                     compute=c)))
 
+    from .ops.fused_suite import _gate_kind
     result = {}
     for (fam, c), f in zip(reqs, outs):
-        arr = native.encode_trim(np.asarray(f.values),
-                                 np.asarray(f.mask), ny, nx, undef)
+        if on_tpu and all_defined and _gate_kind(fam, c) is None:
+            # constant-defined output: plain trim, no mask fetch (the
+            # region-gated ones mask encodes nothing in the logical
+            # region by construction)
+            arr = np.asarray(f.values)[..., :ny, :nx].copy()
+        else:
+            arr = native.encode_trim(np.asarray(f.values),
+                                     np.asarray(f.mask), ny, nx, undef)
         result[f"{fam}{c}"] = arr
     return result
 

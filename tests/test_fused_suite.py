@@ -326,3 +326,50 @@ def test_suite_all_defined_padded_region():
         assert np.array_equal(rm, gm[..., :ny, :nx]), k
         assert np.array_equal(np.asarray(r.values)[rm],
                               np.asarray(g.values)[..., :ny, :nx][rm]), k
+
+
+def test_suite_all_defined_grid_offsets():
+    """grid_offsets shifts the fast path's region gate (the mechanism a
+    per-shard caller threads through shard_map); zeros matches the
+    default."""
+    nlev, ny, nx = 1, 16, 128
+    tk, q, rh, p = _inputs(nlev, ny, nx, seed=21)
+    def clean(f):
+        return Field(f.values, jnp.ones_like(f.mask))
+    tk, q, rh, p = (clean(f) for f in (tk, q, rh, p))
+    kw = dict(temps=(3,), thes=(1,), interpret=True, all_defined=True)
+
+    base = alevel_suite_fused(tk, q, rh, p, global_shape=(ny, nx), **kw)
+    same = alevel_suite_fused(tk, q, rh, p, global_shape=(ny, nx),
+                              grid_offsets=(0, 0), **kw)
+    for b, s in zip(base, same):
+        assert np.array_equal(np.asarray(b.mask), np.asarray(s.mask))
+
+    # pretend this block sits 10 rows down in a 20-row global grid:
+    # local rows 10.. map past the logical extent -> masks False there
+    off = alevel_suite_fused(tk, q, rh, p, global_shape=(20, nx),
+                             grid_offsets=(10, 0), **kw)
+    m = np.asarray(off[1].mask)      # "the": constant-defined output
+    assert m[..., :10, :].all() and not m[..., 10:, :].any()
+
+
+def test_run_hlevel_suite_np_validation():
+    """The numpy runner validates exactly like the kernels (CPU and TPU
+    raise identically) and rejects None for a consumed input."""
+    import pytest
+    from mi_fieldcalc_tpu.staging import run_hlevel_suite_np
+
+    rng = np.random.default_rng(1)
+    nlev, ny, nx = 2, 8, 16
+    tk = rng.uniform(250, 300, (nlev, ny, nx)).astype(np.float32)
+    q = rng.uniform(1e-4, 1e-2, (nlev, ny, nx)).astype(np.float32)
+    ps = rng.uniform(950, 1030, (ny, nx)).astype(np.float32)
+    al = np.linspace(30, 0, nlev).astype(np.float32)
+    bl = np.linspace(0.02, 1.0, nlev).astype(np.float32)
+
+    with pytest.raises(ValueError):   # RH-taking mode in the q slot
+        run_hlevel_suite_np(tk, q, None, ps, al, bl, hums_q=(7,))
+    with pytest.raises(ValueError):   # nothing requested
+        run_hlevel_suite_np(tk, q, None, ps, al, bl)
+    with pytest.raises(ValueError):   # THE consumes q
+        run_hlevel_suite_np(tk, None, None, ps, al, bl, thes=(1,))
