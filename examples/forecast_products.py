@@ -85,6 +85,17 @@ def main():
     print(f"sharded over {n} device(s) [{mesh.shape}] — matches single-"
           f"device vorticity: {agree}")
 
+    # -- 4. batch boundaries: one call per product FAMILY -----------------
+    # any set of hybrid-level conversions in ONE kernel pass (sentinel
+    # numpy in/out; fully defined steps auto-route to the fast path)
+    from mi_fieldcalc_tpu.staging import run_hlevel_suite_np
+
+    suite = run_hlevel_suite_np(tk, q, None, ps, alevel, blevel,
+                                temps=(3,), hums_q=(1, 9))
+    td = suite["hum_q9"]
+    print(f"suite dewpoint (K): mean {td[td < 1e34].mean():6.1f} "
+          f"({sorted(suite)})")
+
 
 if __name__ == "__main__":
     main()
