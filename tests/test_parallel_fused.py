@@ -343,3 +343,42 @@ def test_sharded_isobaric_all_defined_matches(overlap):
         assert np.array_equal(rm, np.asarray(ga.mask)), name
         assert np.array_equal(np.asarray(ra.values)[rm],
                               np.asarray(ga.values)[rm]), name
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_sharded_padded_all_defined_matches(overlap):
+    """Sharded + padded + fast path, together: the pipeline kernel's
+    offset-driven region gate keeps dead rows/lanes masked False on
+    every shard, and results equal the sharded masked path bitwise."""
+    from mi_fieldcalc_tpu.layout import (pad_array, pad_field,
+                                         padded_shape_sharded)
+
+    mesh_shape, nlev, ny, nx = (1, 2, 2), 2, 43, 117
+    ndev = int(np.prod(mesh_shape))
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mesh = grid_mesh(mesh_shape, devices=jax.devices()[:ndev])
+    args = _inputs(nlev, ny, nx, seed=11 * ny, undefs=False)
+
+    ny_p, nx_p = padded_shape_sharded(ny, nx, mesh_shape[1], mesh_shape[2])
+    assert (ny_p, nx_p) != (ny, nx)
+    pargs = tuple(
+        pad_field(a, ny_p, nx_p) if hasattr(a, "mask") else
+        (pad_array(a, ny_p, nx_p) if a.ndim == 2 else a)
+        for a in args)
+    ref = derived_fields_fused_sharded(mesh, *pargs, interpret=True,
+                                       overlap=overlap,
+                                       global_shape=(ny, nx))
+    got = derived_fields_fused_sharded(mesh, *pargs, interpret=True,
+                                       overlap=overlap,
+                                       global_shape=(ny, nx),
+                                       all_defined=True)
+    for name in ref._fields:
+        ra, ga = getattr(ref, name), getattr(got, name)
+        gm = np.asarray(ga.mask)
+        # dead rows/lanes stay False on every shard (invariant)
+        assert not gm[..., ny:, :].any() and not gm[..., :, nx:].any(), name
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, gm), name
+        assert np.array_equal(np.asarray(ra.values)[rm],
+                              np.asarray(ga.values)[rm]), name
