@@ -373,3 +373,66 @@ def test_run_hlevel_suite_np_validation():
         run_hlevel_suite_np(tk, q, None, ps, al, bl)
     with pytest.raises(ValueError):   # THE consumes q
         run_hlevel_suite_np(tk, None, None, ps, al, bl, thes=(1,))
+
+
+def test_suite_random_request_sets():
+    """Property check: 5 random request sets (any family mix, random
+    valid modes) are bitwise-equal to the jitted per-op composition —
+    masked and fast paths both."""
+    from mi_fieldcalc_tpu.ops import alevelducting, alevelthe
+    from mi_fieldcalc_tpu.ops.fused_suite import _VALID
+
+    rng = np.random.default_rng(99)
+    tk, q, rh, p = _inputs(seed=99)
+    clean = [Field(f.values, jnp.ones_like(f.mask))
+             for f in (tk, q, rh, p)]
+
+    for trial in range(5):
+        kw = {}
+        for arg, fam in (("temps", "temp"), ("hums_q", "hum_q"),
+                         ("hums_rh", "hum_rh"), ("thes", "the"),
+                         ("ducts_q", "duct_q"), ("ducts_rh", "duct_rh")):
+            pool = sorted(_VALID[fam])
+            n = int(rng.integers(0, len(pool) + 1))
+            kw[arg] = tuple(sorted(rng.choice(pool, n, replace=False)))
+        if not any(kw.values()):
+            kw["temps"] = (3,)
+
+        def ref_for(fields):
+            t_, q_, rh_, p_ = fields
+            outs = []
+            for c in kw["temps"]:
+                outs.append(jax.jit(lambda t, p, c=c: aleveltemp(
+                    t, p, compute=c))(t_, p_))
+            for c in kw["hums_q"]:
+                outs.append(jax.jit(lambda t, h, p, c=c: alevelhum(
+                    t, h, p, compute=c))(t_, q_, p_))
+            for c in kw["hums_rh"]:
+                outs.append(jax.jit(lambda t, h, p, c=c: alevelhum(
+                    t, h, p, compute=c))(t_, rh_, p_))
+            for c in kw["thes"]:
+                outs.append(jax.jit(lambda t, h, p, c=c: alevelthe(
+                    t, h, p, compute=c))(t_, q_, p_))
+            for c in kw["ducts_q"]:
+                outs.append(jax.jit(lambda t, h, p, c=c: alevelducting(
+                    t, h, p, compute=c))(t_, q_, p_))
+            for c in kw["ducts_rh"]:
+                outs.append(jax.jit(lambda t, h, p, c=c: alevelducting(
+                    t, h, p, compute=c))(t_, rh_, p_))
+            return outs
+
+        for fields, allm in (((tk, q, rh, p), False), (clean, True)):
+            got = alevel_suite_fused(*fields, interpret=True,
+                                     all_defined=allm, **kw)
+            ref = ref_for(fields)
+            assert len(got) == len(ref)
+            for k, (r, g) in enumerate(zip(ref, got)):
+                rm = np.asarray(r.mask)
+                assert np.array_equal(rm, np.asarray(g.mask)), \
+                    (trial, allm, k, kw)
+                # clean-path inputs force-define planted garbage, so
+                # NaN outputs are legitimate: compare equal_nan
+                assert np.array_equal(np.asarray(r.values)[rm],
+                                      np.asarray(g.values)[rm],
+                                      equal_nan=True), \
+                    (trial, allm, k, kw)
