@@ -1,0 +1,344 @@
+"""On-hardware conformance pass for EVERY Pallas kernel (one command).
+
+Interpret-mode green is not hardware-correct: a real Mosaic miscompile
+was observed on this backend (ty=32 wrong values, interpret correct —
+PERF.md "Mincog cost attribution").  The reference tests the real
+compiled binary at production scale (test/FieldCalculationsTest.cc:
+145-170); this is the TPU-native equivalent — every Pallas entry point
+(fused pipeline in all ABI variants, the sharded wrappers on a 1-device
+mesh through real shard_map + Mosaic, the conversion-suite kernels, the
+vertical interpolation kernel, and both vessel-icing solver kernels)
+runs natively through Mosaic at small-but-representative shapes and is
+checked against the jnp/XLA path on the same chip: masks bit-equal,
+defined values within the documented tolerance (rtol 2e-5; icing
+solvers 2e-4/1e-5 as in tests/test_icing_fused.py).
+
+Usage:  python tools/tpu_suite.py [--round N] [--json PATH]
+Emits TPUTEST_r{N}.json and exits non-zero on any failure.
+
+Shapes are held constant across rounds so the persistent compile cache
+keeps warm runs under ~5 minutes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import numpy as np  # noqa: E402
+
+RTOL = 2e-5
+ICING_RTOL, ICING_ATOL = 2e-4, 1e-5
+
+# one shape family: ragged (logical) and its padded form; big enough
+# that the production row tiles (TY=48 masked / TY=72 fast path) are
+# auto-selected, small enough to compile fast
+NLEV, NY, NX = 3, 100, 250
+
+
+def _cmp(fails, case, sub, ref, got, rtol=RTOL, atol=1e-30,
+         ny=None, nx=None):
+    """Masks bit-equal, defined values allclose.  ``ny``/``nx`` trim a
+    padded result to the logical grid before comparison."""
+    rv, rm = np.asarray(ref.values), np.asarray(ref.mask)
+    gv, gm = np.asarray(got.values), np.asarray(got.mask)
+    if ny is not None:
+        gv, gm = gv[..., :ny, :nx], gm[..., :ny, :nx]
+    if not np.array_equal(rm, gm):
+        fails.append(f"{case}/{sub}: mask mismatch "
+                     f"({int((rm != gm).sum())} points)")
+        return
+    with np.errstate(all="ignore"):
+        ok = np.allclose(rv[rm], gv[rm], rtol=rtol, atol=atol)
+    if not ok:
+        d = np.abs(rv[rm] - gv[rm])
+        rel = d / np.maximum(np.abs(rv[rm]), 1e-30)
+        fails.append(f"{case}/{sub}: value mismatch "
+                     f"(max rel {float(rel.max()):.3e})")
+
+
+def _cmp_tree(fails, case, ref, got, ny=None, nx=None, rtol=RTOL):
+    for name in ref._fields:
+        _cmp(fails, case, name, getattr(ref, name), getattr(got, name),
+             rtol=rtol, ny=ny, nx=nx)
+
+
+def _assert_dead_false(fails, case, fields, ny, nx):
+    """Padded-layout invariant: masks False on dead rows/lanes."""
+    for name in fields._fields:
+        m = np.asarray(getattr(fields, name).mask)
+        if m[..., ny:, :].any() or m[..., :, nx:].any():
+            fails.append(f"{case}/{name}: padded dead points mask True")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", default=os.environ.get("MF_ROUND", "03"))
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="wiring dry-run: CPU backend, interpret-mode "
+                         "kernels (validates the harness, not Mosaic)")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.cpu:
+        # env var alone is ignored with the axon plugin registered; the
+        # config update must come after import (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    out_path = args.json or f"TPUTEST_r{args.round}.json"
+    if dev.platform != "tpu" and not args.cpu:
+        json.dump({"ok": False, "skipped": True,
+                   "reason": f"no TPU (platform={dev.platform})"},
+                  open(out_path, "w"), indent=1)
+        print(f"SKIP: no TPU available (platform={dev.platform})")
+        return 2
+    interp = dev.platform != "tpu"
+
+    from mi_fieldcalc_tpu.field import Field, UNDEF, from_sentinel
+    from mi_fieldcalc_tpu.layout import pad_array, pad_field
+    from mi_fieldcalc_tpu.models.pipeline import derived_fields
+    from mi_fieldcalc_tpu.ops.fused import derived_fields_fused
+    from mi_fieldcalc_tpu.ops import (aleveltemp, alevelhum, alevelthe,
+                                      alevelducting, alevel_suite_fused,
+                                      hlevel_suite_fused, hleveltemp,
+                                      hlevelhum)
+    from mi_fieldcalc_tpu.ops.vertical import hlevel_to_plevel
+    from mi_fieldcalc_tpu.ops.vertical_fused import hlevel_to_plevel_fused
+    from mi_fieldcalc_tpu.ops import icing
+    from mi_fieldcalc_tpu.ops.icing_fused import (
+        vessel_icing_mincog_fused, vessel_icing_modstall_fused)
+    from mi_fieldcalc_tpu.parallel.mesh import grid_mesh
+    from mi_fieldcalc_tpu.parallel.fused import derived_fields_fused_sharded
+    import test_fused
+    import test_icing_fused
+
+    cases = []        # (name, seconds, n_failures_before/after)
+    fails = []
+    t_all = time.time()
+
+    def run(name, fn):
+        n0 = len(fails)
+        t0 = time.time()
+        try:
+            fn()
+        except Exception:
+            fails.append(f"{name}: EXCEPTION\n{traceback.format_exc()}")
+        dt = time.time() - t0
+        cases.append({"case": name, "seconds": round(dt, 2),
+                      "failed": len(fails) - n0})
+        status = "ok" if len(fails) == n0 else "FAIL"
+        print(f"  {name:<42s} {dt:7.1f}s  {status}", flush=True)
+
+    # ---- pipeline inputs (shared) -------------------------------------
+    margs = test_fused._inputs(NLEV, NY, NX, seed=11, undefs=True)
+    aargs = test_fused._inputs(NLEV, NY, NX, seed=12, undefs=False)
+    pm = tuple(pad_field(a) if hasattr(a, "mask") else
+               (pad_array(a) if a.ndim == 2 else a) for a in margs)
+    pa = tuple(pad_field(a) if hasattr(a, "mask") else
+               (pad_array(a) if a.ndim == 2 else a) for a in aargs)
+    jref = {}
+
+    def jnp_ref(key, arg_set):
+        if key not in jref:
+            jref[key] = jax.jit(derived_fields)(*arg_set)
+            float(jref[key].tfp.values[0, 0, 0])   # force completion
+        return jref[key]
+
+    print(f"tpu_suite: device={dev}, shapes=({NLEV},{NY},{NX})", flush=True)
+
+    # ---- fused pipeline, every ABI variant ----------------------------
+    run("fused/default", lambda: _cmp_tree(
+        fails, "fused/default", jnp_ref("m", margs),
+        derived_fields_fused(*margs, interpret=interp)))
+    run("fused/stacked-dedup9", lambda: _cmp_tree(
+        fails, "fused/stacked-dedup9", jnp_ref("m", margs),
+        derived_fields_fused(*margs, stacked=True,
+                             interpret=interp).as_fields()))
+    run("fused/stacked-packed", lambda: _cmp_tree(
+        fails, "fused/stacked-packed", jnp_ref("m", margs),
+        derived_fields_fused(*margs, stacked=True, packed_masks=True,
+                             interpret=interp).as_fields()))
+    run("fused/split", lambda: _cmp_tree(
+        fails, "fused/split", jnp_ref("m", margs),
+        derived_fields_fused(*margs, split=True, interpret=interp)))
+
+    def padded_case():
+        got = derived_fields_fused(*pm, global_shape=(NY, NX),
+                                   interpret=interp)
+        _assert_dead_false(fails, "fused/padded", got, NY, NX)
+        _cmp_tree(fails, "fused/padded", jnp_ref("m", margs), got,
+                  ny=NY, nx=NX)
+    run("fused/padded", padded_case)
+
+    run("fused/all-defined", lambda: _cmp_tree(
+        fails, "fused/all-defined", jnp_ref("a", aargs),
+        derived_fields_fused(*aargs, all_defined=True, interpret=interp)))
+
+    def ad_padded_stacked():
+        # padded + fast path auto-selects the TY=72 big tile — the shape
+        # class where the Mosaic big-tile miscompile was once observed
+        got = derived_fields_fused(*pa, global_shape=(NY, NX), all_defined=True,
+                                   stacked=True, interpret=interp)
+        _cmp_tree(fails, "fused/all-defined-stacked-padded",
+                  jnp_ref("a", aargs), got.as_fields(), ny=NY, nx=NX)
+    run("fused/all-defined-stacked-padded", ad_padded_stacked)
+
+    # ---- sharded wrappers on a 1-device mesh (real shard_map+Mosaic) --
+    mesh1 = grid_mesh((1, 1, 1), devices=jax.devices()[:1])
+
+    def sharded(overlap, all_defined):
+        a = aargs if all_defined else margs
+        got = derived_fields_fused_sharded(mesh1, *a, overlap=overlap,
+                                           all_defined=all_defined,
+                                           interpret=interp)
+        _cmp_tree(fails,
+                  f"sharded/ov={overlap},ad={all_defined}",
+                  jnp_ref("a" if all_defined else "m", a), got)
+    run("sharded/ov=False,ad=False", lambda: sharded(False, False))
+    run("sharded/ov=True,ad=False", lambda: sharded(True, False))
+    run("sharded/ov=True,ad=True", lambda: sharded(True, True))
+
+    # ---- conversion-suite kernels --------------------------------------
+    tk, q, u, v, ps = margs[:5]
+    rh = alevelhum(tk, q, Field(margs[5].reshape(NLEV, 1, 1)
+                                + margs[6].reshape(NLEV, 1, 1) * ps.values,
+                                jnp.broadcast_to(ps.mask, tk.values.shape)),
+                   compute=1)
+    p3 = Field(margs[5].reshape(NLEV, 1, 1)
+               + margs[6].reshape(NLEV, 1, 1) * ps.values[None],
+               jnp.broadcast_to(ps.mask[None], tk.values.shape))
+
+    def suite_alevel(all_defined):
+        t_, q_, rh_, p_ = (tk, q, rh, p3)
+        if all_defined:
+            # clean all-defined inputs (no sentinel values anywhere: a
+            # NaN produced from garbage would trip allclose spuriously)
+            atk, aq, _, _, aps = aargs[:5]
+            one = jnp.ones(atk.values.shape, bool)
+            pv = (aargs[5].reshape(NLEV, 1, 1)
+                  + aargs[6].reshape(NLEV, 1, 1) * aps.values[None])
+            t_, q_, p_ = (Field(atk.values, one), Field(aq.values, one),
+                          Field(pv, one))
+            rh_ = Field(jnp.clip(alevelhum(t_, q_, p_, compute=1).values,
+                                 5.0, 95.0), one)
+        temps, hq, hr = (3, 4), (1, 5, 9), (3, 7, 11)
+        got = alevel_suite_fused(t_, q_, rh_, p_, temps=temps, hums_q=hq,
+                                 hums_rh=hr, all_defined=all_defined,
+                                 interpret=interp)
+        ref = [jax.jit(lambda a, b, c=c: aleveltemp(a, b, compute=c))(t_, p_)
+               for c in temps]
+        ref += [jax.jit(lambda a, h, b, c=c: alevelhum(a, h, b, compute=c))(
+            t_, q_, p_) for c in hq]
+        ref += [jax.jit(lambda a, h, b, c=c: alevelhum(a, h, b, compute=c))(
+            t_, rh_, p_) for c in hr]
+        tag = f"suite/alevel,ad={all_defined}"
+        for k, (r, g) in enumerate(zip(ref, got)):
+            _cmp(fails, tag, str(k), r, g)
+    run("suite/alevel,ad=False", lambda: suite_alevel(False))
+    run("suite/alevel,ad=True", lambda: suite_alevel(True))
+
+    def suite_hlevel():
+        al, bl = np.asarray(margs[5]), np.asarray(margs[6])
+        got = hlevel_suite_fused(tk, q, rh, ps, al, bl, temps=(3,),
+                                 hums_q=(1, 9), hums_rh=(3,),
+                                 interpret=interp)
+        ref = []
+        for c, h3 in ((3, None),):
+            ref.append(_stack_levels(
+                jnp, [jax.jit(lambda a, b, k=k, c=c: hleveltemp(
+                    a, b, float(al[k]), float(bl[k]), compute=c))(
+                        Field(tk.values[k], tk.mask[k]), ps)
+                    for k in range(NLEV)]))
+        for h3, cs in ((q, (1, 9)), (rh, (3,))):
+            for c in cs:
+                ref.append(_stack_levels(
+                    jnp, [jax.jit(lambda a, h, b, k=k, c=c: hlevelhum(
+                        a, h, b, float(al[k]), float(bl[k]), compute=c))(
+                            Field(tk.values[k], tk.mask[k]),
+                            Field(h3.values[k], h3.mask[k]), ps)
+                        for k in range(NLEV)]))
+        for k, (r, g) in enumerate(zip(ref, got)):
+            _cmp(fails, "suite/hlevel", str(k), r, g)
+    run("suite/hlevel", suite_hlevel)
+
+    # ---- vertical interpolation kernel ---------------------------------
+    # hybrid pressure must be monotone INCREASING with level index
+    # (ops/vertical.py contract: k=0 is model top), so flip the pipeline
+    # inputs' coefficient convention; targets inside the ~[550, 1000]
+    # hPa envelope plus one below-surface lane class
+    targets = (950.0, 850.0, 600.0)
+
+    def vertical(all_defined):
+        a = aargs if all_defined else margs
+        tk_, q_, u_, v_, ps_ = a[:5]
+        al, bl = jnp.flip(a[5]), jnp.flip(a[6])
+        got = hlevel_to_plevel_fused((tk_, q_, u_, v_), ps_, al, bl,
+                                     targets, all_defined=all_defined,
+                                     interpret=interp)
+        ref = [hlevel_to_plevel(f, ps_, al, bl, targets)
+               for f in (tk_, q_, u_, v_)]
+        tag = f"vertical,ad={all_defined}"
+        for k, (r, g) in enumerate(zip(ref, got)):
+            # u/v are near-zero fields: interp-weight reassociation makes
+            # pure-relative comparison blow up; 1e-4 m/s absolute is the
+            # meaningful bound (test_vertical.py uses atol on ~280 K data)
+            _cmp(fails, tag, str(k), r, g, atol=1e-4)
+    run("vertical,ad=False", lambda: vertical(False))
+    run("vertical,ad=True", lambda: vertical(True))
+
+    # ---- vessel-icing solver kernels ------------------------------------
+    iargs = test_icing_fused._inputs(NY, NX, seed=5)
+
+    def mincog():
+        scal = (5.0, 0.52, 2.0, 11.0, 2)
+        ref = jax.jit(lambda *a: icing.vessel_icing_mincog(*a, *scal))(*iargs)
+        got = vessel_icing_mincog_fused(*iargs, *scal, interpret=interp)
+        _cmp(fails, "icing/mincog", "out", ref, got,
+             rtol=ICING_RTOL, atol=ICING_ATOL)
+    run("icing/mincog", mincog)
+
+    def modstall():
+        scal = (5.0, 0.52, 2.0, 11.0)
+        ref = jax.jit(lambda *a: icing.vessel_icing_modstall(
+            *a, *scal))(*iargs)
+        got = vessel_icing_modstall_fused(*iargs, *scal, warm_fp=0,
+                                          interpret=interp)
+        _cmp(fails, "icing/modstall-exact", "out", ref, got,
+             rtol=ICING_RTOL, atol=ICING_ATOL)
+    run("icing/modstall-exact", modstall)
+
+    total = time.time() - t_all
+    ok = not fails
+    result = {"ok": ok, "skipped": False, "device": str(dev),
+              "total_seconds": round(total, 1),
+              "shapes": [NLEV, NY, NX],
+              "cases": cases, "failures": fails}
+    json.dump(result, open(out_path, "w"), indent=1)
+    print(f"\n{'PASS' if ok else 'FAIL'}: {len(cases)} cases, "
+          f"{len(fails)} failures, {total:.0f}s -> {out_path}")
+    for f in fails:
+        print("  *", f.splitlines()[0])
+    return 0 if ok else 1
+
+
+def _stack_levels(jnp, fields):
+    from mi_fieldcalc_tpu.field import Field
+    return Field(jnp.stack([f.values for f in fields]),
+                 jnp.stack([f.mask for f in fields]))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
