@@ -167,11 +167,13 @@ def vesselIcingMertins(airtemp, seatemp, u, v, sal, aice,
 
 def _icing_modstall_auto(*args):
     # fused VMEM solver kernel on TPU, whole-array jnp path elsewhere
-    # (equivalent: tests/test_icing_fused.py).  The kernel's
-    # early-armed height-sweep projection (KERNEL_WARM_FP) trades
-    # ~1e-5 of points by up to 1.2e-2 for a 2.4x step-time win;
-    # MF_WARM_FP=0 in the environment restores the jnp path's exact
-    # 32-iteration warmup inside the kernel too.
+    # (equivalent: tests/test_icing_fused.py).  Exact-by-default: the
+    # kernel ships warm_fp=KERNEL_WARM_FP, whose default 0 runs the jnp
+    # path's exact 32-iteration height-sweep warmup, keeping TPU output
+    # within the documented 2e-3 icing tolerance (CONFORMANCE.md).  The
+    # early-armed projection (a further 2.4x step-time win that shifts
+    # ~1e-5 of points by up to 1.2e-2) is opt-in via MF_WARM_FP=8 or
+    # the warm_fp kwarg.
     import jax
     if jax.devices()[0].platform == "tpu":
         return ops.vessel_icing_modstall_fused(*args)

@@ -180,8 +180,11 @@ KERNEL_WARM_NEWTON = int(os.environ.get("MF_WARM_NEWTON", "3"))
 #: (25% of lanes >2e-3: early escapes are trajectory semantics), and
 #: arming the root projection earlier than the cap prediction is also
 #: worse (1.2e-5 -> 2.9e-4) — the machinery arms as a unit.
-#: env MF_WARM_FP overrides for labs.
-KERNEL_WARM_FP = int(os.environ.get("MF_WARM_FP", "8"))
+#: Default 0 (exact): the projection's max |d| of 1.2e-2 exceeds the
+#: 2e-3 icing conformance tolerance, so a drop-in surface must not
+#: ship it silently (round-2 verdict) — opt in with MF_WARM_FP=8 or
+#: the kernels' ``warm_fp`` kwarg.
+KERNEL_WARM_FP = int(os.environ.get("MF_WARM_FP", "0"))
 
 
 def _unrolled_fori(n: int, body, init, unroll: int):

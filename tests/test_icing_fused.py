@@ -76,25 +76,27 @@ def test_fused_adversarial_wave_lanes():
 @pytest.mark.parametrize("ny,nx", [(37, 61), (64, 256)])
 @pytest.mark.parametrize("adversarial", [False, True])
 def test_modstall_fused_matches_jnp(ny, nx, adversarial):
-    """Exact mode (warm_fp=0, the jnp path's 32-iteration warmup) must
-    match the jnp path to kernel round-off; the SHIPPED default
-    (KERNEL_WARM_FP) is allowed the documented early-projection bound
-    (CONFORMANCE.md: rare points shift up to ~1e-2, the mass of points
-    stays at round-off) — asserting the loose mode against the tight
-    tolerance only passed by seed luck."""
+    """The SHIPPED default (KERNEL_WARM_FP=0: the jnp path's exact
+    32-iteration warmup) must match the jnp path to kernel round-off —
+    a drop-in surface has to hold the documented 2e-3 icing tolerance
+    without knobs (round-2 verdict).  The opt-in early-armed projection
+    (warm_fp=8, a further 2.4x step-time win) is allowed the documented
+    bound (CONFORMANCE.md: rare points shift up to ~1e-2, the mass of
+    points stays at round-off)."""
     args = _inputs(ny, nx, seed=3 * ny + nx, adversarial=adversarial)
     scal = (5.0, 0.52, 2.0, 11.0)
     ref = icing.vessel_icing_modstall(*args, *scal)
     mr = np.asarray(ref.mask)
     vr = np.asarray(ref.values)[mr]
 
-    exact = vessel_icing_modstall_fused(*args, *scal, interpret=True,
-                                        warm_fp=0)
+    exact = vessel_icing_modstall_fused(*args, *scal, interpret=True)
+    assert icing.KERNEL_WARM_FP == 0, "shipped default must be exact"
     np.testing.assert_array_equal(mr, np.asarray(exact.mask))
     np.testing.assert_allclose(np.asarray(exact.values)[mr], vr,
                                rtol=2e-4, atol=1e-5)
 
-    warm = vessel_icing_modstall_fused(*args, *scal, interpret=True)
+    warm = vessel_icing_modstall_fused(*args, *scal, interpret=True,
+                                       warm_fp=8)
     np.testing.assert_array_equal(mr, np.asarray(warm.mask))
     vw = np.asarray(warm.values)[mr]
     d = np.abs(vw - vr)
