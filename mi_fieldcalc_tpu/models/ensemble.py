@@ -94,7 +94,8 @@ def ensemble_derived_summary(tk: Field, q: Field, u: Field, v: Field,
         out = DerivedFields(*[
             Field(st.values[:, i],
                   DerivedFieldsStacked.mask_plane(st.masks, i,
-                                                  st.values[:, i], axis=1))
+                                                  st.values[:, i], axis=1,
+                                                  region=st.region))
             for i in range(12)])
     else:
         per_member = jax.vmap(

@@ -78,9 +78,20 @@ class DerivedFieldsStacked(NamedTuple):
     int32 bit-plane with bit ``k`` = field ``k`` defined (fewer mask
     bytes, measured slightly slower; kept as an ABI option).  Named
     accessors slice / unpack lazily — outside ``jit`` each access is
-    one device-side op."""
+    one device-side op.
+
+    ``region`` is populated only for the ALL_DEFINED 2-plane gate
+    layout: a ``[1, ny, nx]`` bool plane, True exactly on the logical
+    grid region, that the accessors AND into the 10 synthesized
+    constant-True masks — so the canonical padded-layout invariant
+    (masks False on dead rows/lanes) holds on EVERY accessor path with
+    no caller-side trimming.  ``None`` for the written-mask layouts,
+    whose planes are region-gated by the kernel itself.  (On unsharded
+    unpadded grids the plane is compile-time constant True and XLA
+    folds it out of downstream reductions.)"""
     values: jax.Array
     masks: jax.Array
+    region: jax.Array | None = None
 
     #: field index -> plane index in the deduplicated 9-plane mask stack
     #: (DerivedFields order: p th rh td the duc ws vo dv ad gt tf)
@@ -92,29 +103,29 @@ class DerivedFieldsStacked(NamedTuple):
     MASK2 = (-1, -1, 0, 0, -1, -1, -1, -1, -1, -1, -1, 1)
 
     @classmethod
-    def mask_plane(cls, masks, i: int, values_i, axis: int = 0):
+    def mask_plane(cls, masks, i: int, values_i, axis: int = 0,
+                   region=None):
         """Field ``i``'s bool mask from any stacked-mask layout — the
         packed int32 bit-plane, the 2-plane ALL_DEFINED gate stack
-        (constant True for the 10 gate-free fields), the deduplicated
-        9-plane stack, or the plain 12-plane stack.  ``axis`` is the
-        plane axis (1 for member-batched ``[nmem, planes, ...]``
-        stacks); ``values_i`` supplies the shape for synthesized
-        constant-True masks.  Single source of truth for the layout
-        mapping — used by :meth:`field`, the ensemble summary, and the
-        sharded ensemble body.
-
-        Padded-layout caveat: synthesized constant-True masks cover the
-        ARRAY extent, including padded dead rows/lanes (this accessor
-        cannot know the logical shape) — trim to the logical grid
-        before mask-sensitive consumption.  The 2 written gate planes
-        and the per-field Fields returned by ``derived_fields_fused``
-        itself ARE region-gated (False on dead points)."""
+        (region-gated True for the 10 gate-free fields), the
+        deduplicated 9-plane stack, or the plain 12-plane stack.
+        ``axis`` is the plane axis (1 for member-batched
+        ``[nmem, planes, ...]`` stacks); ``values_i`` supplies the
+        shape for synthesized masks; ``region`` is the producing
+        stack's ``region`` plane (broadcast-ANDed into synthesized
+        masks so they are False on padded dead rows/lanes — the
+        canonical-layout invariant holds on every accessor path).
+        Single source of truth for the layout mapping — used by
+        :meth:`field`, the ensemble summary, and the sharded ensemble
+        body."""
         if masks.ndim == values_i.ndim:            # packed bit-plane
             return ((masks >> i) & 1) != 0
         nplanes = masks.shape[axis]
         if nplanes == 2:                           # all_defined gates
             j = cls.MASK2[i]
             if j < 0:
+                if region is not None:
+                    return jnp.broadcast_to(region, values_i.shape)
                 return jnp.ones(values_i.shape, bool)
         else:
             j = cls.MASK9[i] if nplanes == 9 else i
@@ -123,7 +134,8 @@ class DerivedFieldsStacked(NamedTuple):
 
     def field(self, i: int) -> Field:
         return Field(self.values[i],
-                     self.mask_plane(self.masks, i, self.values[i]))
+                     self.mask_plane(self.masks, i, self.values[i],
+                                     region=self.region))
 
     def as_fields(self) -> "DerivedFields":
         return DerivedFields(*[self.field(i) for i in range(12)])

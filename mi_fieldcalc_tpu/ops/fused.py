@@ -856,6 +856,15 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
             interpret=interpret,
         )(*scalars, *operands)
 
+    def region2():
+        # logical-region plane from global coordinates: True exactly on
+        # logical points, False on padded dead rows/lanes and halo rows
+        # outside the domain.  Unsharded unpadded calls see constant
+        # inputs (offs is a literal zero) and XLA folds it to True.
+        r = jnp.arange(ny, dtype=jnp.int32)[:, None] + offs[0]
+        c = jnp.arange(nx, dtype=jnp.int32)[None, :] + offs[1]
+        return (r >= 0) & (r < nyg) & (c >= 0) & (c < nxg)
+
     if split:
         ev = run("elementwise", TY_E)
         sv = run("stencil", TY)
@@ -865,7 +874,9 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         outs = run("all", TY)
         if stacked:
             from ..models.pipeline import DerivedFieldsStacked
-            return DerivedFieldsStacked(values=outs[0], masks=outs[1])
+            return DerivedFieldsStacked(
+                values=outs[0], masks=outs[1],
+                region=region2()[None] if all_defined else None)
         vals, m9 = outs[:12], outs[12:]
     if mask8:
         # put_ref stores strictly-0/1 bytes, so a bool view is valid
@@ -876,10 +887,7 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         # on the logical region — gated to False on padded dead
         # rows/lanes so the canonical-layout invariant (masks False on
         # dead points) holds.  One shared buffer for all 10.
-        r = jnp.arange(ny, dtype=jnp.int32)[:, None] + offs[0]
-        c = jnp.arange(nx, dtype=jnp.int32)[None, :] + offs[1]
-        region2 = (r >= 0) & (r < nyg) & (c >= 0) & (c < nxg)
-        ones = jnp.broadcast_to(region2, vals[0].shape)
+        ones = jnp.broadcast_to(region2(), vals[0].shape)
         masks = [ones, ones, m9[0], m9[0], ones, ones, ones, ones, ones,
                  ones, ones, m9[1]]
     else:

@@ -193,7 +193,7 @@ def _sharded_fn(mesh: Mesh, global_shape, interpret: bool,
         return jax.tree_util.tree_map(
             lambda a: a[..., HY:HY + ny_loc, HX:HX + nx_loc], out)
 
-    in_specs, out_specs = _pipeline_specs(mesh, stacked)
+    in_specs, out_specs = _pipeline_specs(mesh, stacked, all_defined)
     return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
                              out_specs=out_specs, check_vma=False))
 
@@ -204,19 +204,25 @@ _TREEDEF = jax.tree_util.tree_structure(
      0, 0, 0, 0, 0))
 
 
-def _pipeline_specs(mesh: Mesh, stacked: bool = False):
+def _pipeline_specs(mesh: Mesh, stacked: bool = False,
+                    all_defined: bool = False):
     """(in_specs, out_specs) for the 13-leaf pipeline argument tree and
     the DerivedFields result — ONE definition for all three shard_map
     builders, kept next to _TREEDEF whose leaf order it encodes:
     (values, mask) x tk,q,u,v [3-D], ps [2-D], alevel/blevel [1-D],
     xmapr/ymapr/fcoriolis [2-D].  ``stacked`` swaps the result spec for
-    the 2-array SoA layout (leading field-plane axis unsharded)."""
+    the 2-array SoA layout (leading field-plane axis unsharded);
+    ``stacked + all_defined`` adds the spatial spec of the
+    ``[1, ny, nx]`` logical-region plane (models/pipeline.py)."""
     from jax.sharding import PartitionSpec
     from ..models.pipeline import DerivedFields, DerivedFieldsStacked
     if stacked:
         p3 = partition_spec(3, mesh)
         sspec = PartitionSpec(None, *p3)
-        out_specs = DerivedFieldsStacked(values=sspec, masks=sspec)
+        rspec = (PartitionSpec(None, p3[-2], p3[-1]) if all_defined
+                 else None)
+        out_specs = DerivedFieldsStacked(values=sspec, masks=sspec,
+                                         region=rspec)
     else:
         out_spec = partition_spec(3, mesh)
         out_specs = DerivedFields(*[Field(out_spec, out_spec)] * 12)
@@ -396,7 +402,7 @@ def _sharded_fn_overlap(mesh: Mesh, global_shape, interpret: bool,
         return _overlap_core(names, gy, gx, nyg, nxg, interpret, *args,
                              stacked=stacked, all_defined=all_defined)
 
-    in_specs, out_specs = _pipeline_specs(mesh, stacked)
+    in_specs, out_specs = _pipeline_specs(mesh, stacked, all_defined)
     return jax.jit(shard_map(body, mesh=mesh, in_specs=(in_specs,),
                              out_specs=out_specs, check_vma=False))
 
@@ -708,7 +714,8 @@ def _ensemble_sharded_fn(mesh: Mesh, global_shape, wind_limit: float,
         out = DerivedFields(*[
             Field(st.values[:, i],
                   DerivedFieldsStacked.mask_plane(st.masks, i,
-                                                  st.values[:, i], axis=1))
+                                                  st.values[:, i], axis=1,
+                                                  region=st.region))
             for i in range(12)])
 
         def member_flags(f):

@@ -221,6 +221,17 @@ def test_fused_all_defined_padded_layout():
     gates = np.asarray(got.masks)
     assert not gates[..., ny:, :].any() and not gates[..., :, nx:].any()
 
+    # ... and so does EVERY stacked accessor path: the synthesized
+    # constant-True masks are ANDed with the carried `region` plane, so
+    # no caller-side trimming is needed on the 10 gate-free fields
+    assert got.region is not None
+    assert got.region.shape == (1,) + got.values.shape[-2:]
+    for i in range(12):
+        for gm in (np.asarray(got.field(i).mask),
+                   np.asarray(got.as_fields()[i].mask)):
+            assert not gm[..., ny:, :].any(), i
+            assert not gm[..., :, nx:].any(), i
+
     # per-field (non-stacked) fast-path output preserves the invariant
     # for ALL 12 masks, including the synthesized constant-True ones
     got_pf = derived_fields_fused(*pargs, interpret=True,
