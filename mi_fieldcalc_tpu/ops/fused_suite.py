@@ -167,8 +167,8 @@ def _region(TY, nx, nyg, nxg, offs):
     fast path's written mask planes False on padded dead rows/lanes
     (CLAUDE.md layout invariant).  ``offs`` is the (row, col) global
     position of local element (0, 0) — zeros unsharded; per-shard runs
-    must thread their offsets via ``grid_offsets`` (``run_sharded``
-    does NOT, so combine it with the masked path instead)."""
+    thread their offsets via ``grid_offsets``
+    (``run_sharded(..., offset_arg="grid_offsets")`` injects them)."""
     j = pl.program_id(0)
     rr = jax.lax.broadcasted_iota(jnp.int32, (TY, nx), 0) + j * TY + offs[0]
     cc = jax.lax.broadcasted_iota(jnp.int32, (TY, nx), 1) + offs[1]
@@ -313,9 +313,10 @@ def alevel_suite_fused(t: Field, q: Field, rh: Field, p: Field,
     gates and synthesized masks stay False on dead rows/lanes;
     ``grid_offsets`` is the traced (row, col) global position of local
     element (0, 0) for per-shard execution inside ``shard_map`` (zeros
-    unsharded — ``run_sharded`` does NOT thread offsets, so combine it
-    with the masked path instead).  Values are bit-identical to the
-    masked path on all-defined inputs.
+    unsharded — ``run_sharded(op, mesh, 0, ...,
+    offset_arg="grid_offsets")`` threads each shard's offsets, so the
+    fast path composes with the decomposition).  Values are
+    bit-identical to the masked path on all-defined inputs.
     """
     reqs = _build_reqs("alevel_suite_fused", temps, hums_q, hums_rh,
                        thes, ducts_q, ducts_rh)

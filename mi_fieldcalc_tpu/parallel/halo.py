@@ -303,7 +303,8 @@ def _crop(a, r: int):
     return a[..., r:-r, r:-r]
 
 
-def run_sharded(op, mesh: Mesh, radius: int, *args, **kwargs):
+def run_sharded(op, mesh: Mesh, radius: int, *args, offset_arg=None,
+                **kwargs):
     """Run stencil operator ``op`` with (gy, gx) domain decomposition.
 
     ``args`` may be Fields, arrays (``[..., ny, nx]``, sharded on the
@@ -311,6 +312,14 @@ def run_sharded(op, mesh: Mesh, radius: int, *args, **kwargs):
     (closed over statically).  ``radius`` is the op's *composed* stencil
     radius (1 for simple derivatives, 2 for plevelqvector /
     thermal_front_parameter).  ``kwargs`` are static.
+
+    ``offset_arg`` names a keyword of ``op`` that receives each shard's
+    traced ``(row, col)`` global position of local element (0, 0)
+    (negative on halo rows) — how offset-aware Pallas kernels
+    (``grid_offsets`` on the suite kernels' ALL_DEFINED fast path and
+    on ``derived_fields_fused``) compose their logical-region gates
+    with the decomposition; pair it with a static
+    ``global_shape=(logical ny, nx)`` kwarg on padded grids.
 
     Returns the same pytree-of-Fields the unsharded op returns, with
     global values identical to the unsharded run (sharded-vs-unsharded
@@ -347,10 +356,15 @@ def run_sharded(op, mesh: Mesh, radius: int, *args, **kwargs):
             row0=iy * ny_loc - radius, col0=ix * nx_loc - radius,
             nyg=ny_loc * gy, nxg=nx_loc * gx,
             mesh_axes=tuple(n for n in ("gy", "gx") if n in names))
+        kw = kwargs
+        if offset_arg is not None:
+            kw = dict(kwargs)
+            kw[offset_arg] = jnp.stack(
+                [sctx.row0, sctx.col0]).astype(jnp.int32)
         token = _stencil_mod._EDGE_FILL.set(ctx.fill)
         token2 = _stencil_mod._SHARD_CTX.set(sctx)
         try:
-            out = op(*jax.tree_util.tree_unflatten(treedef, padded), **kwargs)
+            out = op(*jax.tree_util.tree_unflatten(treedef, padded), **kw)
         finally:
             _stencil_mod._EDGE_FILL.reset(token)
             _stencil_mod._SHARD_CTX.reset(token2)

@@ -353,6 +353,60 @@ def test_suite_all_defined_grid_offsets():
     assert m[..., :10, :].all() and not m[..., 10:, :].any()
 
 
+@pytest.mark.parametrize("suite", ["alevel", "hlevel"])
+def test_suite_all_defined_sharded_padded(suite):
+    """ALL_DEFINED composes with the (gy, gx) decomposition on a ragged
+    padded grid: ``run_sharded(..., offset_arg="grid_offsets")`` threads
+    each shard's global offsets into the region gate, and the fast
+    sharded run matches the MASKED sharded run bitwise — masks False on
+    dead rows/lanes included (mirrors test_parallel_fused's pipeline
+    fast-path test for the conversion suites)."""
+    import functools
+    from mi_fieldcalc_tpu.layout import pad_field
+    from mi_fieldcalc_tpu.ops import hlevel_suite_fused
+    from mi_fieldcalc_tpu.parallel import grid_mesh, run_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(31)
+    nlev, ny, nx = 2, 21, 150    # ragged: pads to (24, 256)
+
+    def mk(lo, hi, shape=None):
+        a = rng.uniform(lo, hi, shape or (nlev, ny, nx)).astype(np.float32)
+        return from_sentinel(a)
+
+    tk, q, rh = mk(250, 300), mk(1e-4, 1e-2), mk(5, 95)
+    v = np.asarray(tk.values).copy()
+    v[0, 2, 2] = 520.0           # out-of-table: the gate planes fire
+    tk = Field(jnp.asarray(v), tk.mask)
+    kw = dict(temps=(3, 4), hums_q=(1, 9), thes=(1,), interpret=True)
+    mesh = grid_mesh((1, 2, 2), devices=jax.devices()[:4])
+
+    if suite == "alevel":
+        p = mk(300, 1000)
+        pf = [pad_field(f) for f in (tk, q, rh, p)]
+        op = functools.partial(alevel_suite_fused, **kw)
+        args = pf
+    else:
+        ps = mk(950, 1030, (ny, nx))
+        pf = [pad_field(f) for f in (tk, q, rh, ps)]
+        al = np.linspace(30, 0, nlev).astype(np.float32)
+        bl = np.linspace(0.02, 1.0, nlev).astype(np.float32)
+        op = functools.partial(hlevel_suite_fused, **kw)
+        args = pf + [al, bl]
+
+    masked = run_sharded(op, mesh, 0, *args)
+    fast = run_sharded(
+        functools.partial(op, all_defined=True, global_shape=(ny, nx)),
+        mesh, 0, *args, offset_arg="grid_offsets")
+    for k, (r, g) in enumerate(zip(masked, fast)):
+        rm, gm = np.asarray(r.mask), np.asarray(g.mask)
+        assert np.array_equal(rm, gm), k
+        assert not gm[..., ny:, :].any() and not gm[..., :, nx:].any(), k
+        assert np.array_equal(np.asarray(r.values)[rm],
+                              np.asarray(g.values)[rm]), k
+
+
 def test_run_hlevel_suite_np_validation():
     """The numpy runner validates exactly like the kernels (CPU and TPU
     raise identically) and rejects None for a consumed input."""
