@@ -209,69 +209,117 @@ def _unrolled_fori(n: int, body, init, unroll: int):
 
 
 def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float,
-                            unroll: int = 1, warmup: int = 32):
+                            unroll: int = 1, warmup: int = 32,
+                            ref_f32: bool = False):
     """Shallow-water wave speed c = c0 * tanh(a / c), iterated from c = 1
     until |dc| <= tol with the reference's diverged => 0 semantics
     (ModStall VI:221-237, Mincog VI:494-508).
 
+    ``ref_f32`` selects which REFERENCE is being conformed to: ModStall
+    iterates in double (VI:221 ``double c``) so cap-vs-converge follows
+    the f64 flow; Mincog is ``template<typename V>`` instantiated with
+    V=float (VI:464-468, call at VI:697), so the reference's own f32
+    iterates random-walk at a stationary amplitude ~eps*root/(1-s) and
+    STALL to the 1000-iteration cap => c = 0 whenever the stationary
+    step (1+s)*eps*root/(1-s) exceeds tol — even where the f64 flow
+    converges in a few hundred steps.  With ``ref_f32=True`` that stall
+    test gates convergence (round-3 precision lab, physical/Mincog_alt2).
+
     ``needs_iter`` marks lanes in the shallow-water branch; others return
-    ``c0`` untouched.  One whole-array while_loop; the trip count is the
-    slowest unconverged lane, capped at ``max_iter``.  ``warmup`` arms
-    the analytic projection early in kernel paths (see KERNEL_WARM_FP);
-    32 is the exact jnp-path default.
+    ``c0`` untouched.  Structure: ``warmup`` EXACT map iterations (fast
+    lanes exit on the reference's own |dc| <= tol criterion with exact
+    trajectories), then survivors switch to Newton on
+    ``h(c) = c - c0*tanh(a/c)``.  Since g' <= 0 everywhere, h' = 1 - g'
+    >= 1 and h is concave increasing, so Newton is globally convergent
+    and the loop exit stays the reference's own residual criterion
+    (|g(c) - c| <= tol, i.e. the next map step would move < tol).
+
+    Why Newton instead of iterating the map: the map's contraction at
+    the root, s = |g'(root)|, tends to 1- in the sqrt(g*depth) regime
+    (a << root), where the f64 reference needs thousands of iterations
+    and an f32 iterate STALLS at a noise floor of ~eps*c/(1-s) >> tol —
+    it can never satisfy the exit criterion (observed: f64 converges at
+    j=4954 to c=117.6 while f32 cycles forever; round-3 precision lab).
+    A secant/Aitken projection from the still-nonlinear oscillation
+    lands on a wrong root (259 vs 117.6) — hence analytic-slope Newton.
+
+    The reference's cap semantics (j > max_iter => c = 0, VI:232-235)
+    is decided by PREDICTION for Newton-resolved lanes: the f64
+    trajectory's iteration count from the switch iterate c_sw down to
+    the tol exit is computed as the log-amplitude ODE integral
+    ``j ~ warmup + 2 * int d(ln u) / (-ln q(u))`` where ``q(u)`` is the
+    two-map-step amplitude decay at amplitude u, evaluated at 17
+    log-spaced quadrature nodes with the cancellation-free tanh
+    subtraction identity (:func:`_wave_cap_predict`).  Measured
+    accuracy: within ~1.5% of the true f64 count across the whole
+    (c0, a) range, so only lanes whose true count lands within ~2% of
+    the cap can flip cap-vs-converge vs the reference — for physical
+    inputs (wave period <= 25 s) that band is depths of a few
+    decimeters (PRECISION.md quantifies it on adversarial grids).
 
     Kernel-safe: the ``done`` carry rides as int32 and finiteness tests
-    avoid ``isfinite`` so the SAME function lowers inside a Pallas tile
-    (Mosaic cannot carry/select i1 vectors) — icing_fused.py calls it
-    per tile with per-tile early exit.
+    avoid ``isfinite``/``sinh`` so the SAME function lowers inside a
+    Pallas tile (Mosaic cannot carry/select i1 vectors) —
+    icing_fused.py calls it per tile with per-tile early exit.
     """
     c_init = jnp.where(needs_iter, _f32(1.0), c0)
     done0 = (~needs_iter).astype(jnp.int32)
+    tolf = _f32(tol)
+    # Newton converges in <= ~15 steps from any warmup endpoint; 64 is
+    # margin.  `forced` below is a safety net only.
+    loop_cap = warmup + 64
 
     def cond(state):
-        c_prev, c, err, done_i, j = state
-        return jnp.logical_and(j < max_iter, ~jnp.all(done_i != 0))
+        c, c_sw, done_i, j = state
+        return jnp.logical_and(j < loop_cap, ~jnp.all(done_i != 0))
 
     def body(state):
-        # Oscillatory fixed point (slope < 0) whose contraction tends to 1
-        # as a/c -> 0 (very shallow water / long periods): after a
-        # 32-iteration exact warmup, geometric lanes are resolved
-        # analytically like the freezing-fraction loop above — provable
-        # cap-hitters get the reference's diverged => 0 (VI:232-235),
-        # provable convergers get the Aitken fixed point (the reference's
-        # exit iterate is within tol of it).
-        c_prev, c, err, done_i, j = state
+        c, c_sw, done_i, j = state
         done = done_i != 0
-        c_new = c0 * jnp.tanh(a / c)
-        err1 = jnp.abs(c_new - c)
+        t = jnp.tanh(a / c)
+        g = c0 * t
+        # |g'(c)| = c0 * a * sech^2(a/c) / c^2   (g' is always <= 0)
+        gp = (c0 * a) * (_f32(1.0) - t * t) / (c * c)
+        err1 = jnp.abs(g - c)
         j1 = j + 1
-        dprev = c - c_prev
-        slope = (c_new - c) / jnp.where(dprev != 0, dprev, _f32(jnp.inf))
-        rat = err1 / jnp.maximum(err, _f32(1e-30))
-        geo = ((~done) & (j1 >= warmup) & (rat < _f32(1.0 - 1e-6))
-               & (err1 > _f32(tol)))
-        rem = jnp.log(_f32(tol) / err1) / jnp.log(rat)
-        caps = geo & (j1.astype(_f32) + rem > _f32(max_iter))
-        # near-period-2 cycle: |c_{j+1} - c_{j-1}| << err means the error
-        # shrinks by <= ~3e-4 per step — provably still above tol at the
-        # cap, which the reference resolves to 0 (VI:232-235)
-        cyc = ((~done) & (j1 >= 2 * warmup) & (err1 > _f32(3.0 * tol))
-               & (jnp.abs(c_new - c_prev) < _f32(3e-4) * err1))
-        # survivors at 256 are f32-noisy cycles; the f64 reference runs
-        # them to the cap -> 0 (see the freezing-fraction loop note)
-        late = (~done) & (j1 >= 256)
-        caps = caps | cyc | late
-        root = (c_new - slope * c) / (_f32(1.0) - slope)
-        root = jnp.where(jnp.abs(root) < _f32(jnp.inf), root, _f32(0.0))
-        fin = geo & ~caps
-        forced = (~done) & (j1 >= max_iter)
+        newton_phase = j1 > warmup
+        # switch-point iterate: where the f64 trajectory stands after
+        # `warmup` exact steps — start amplitude for the cap prediction
+        c_sw = jnp.where((~done) & (j1 == warmup + 1), c, c_sw)
+        # warmup: the reference's own |dc| <= tol exit.  Newton phase:
+        # the f32 residual |g(c) - c| bottoms out at the backend tanh's
+        # relative error times c (measured ~2e-6*c on XLA:CPU — it can
+        # exceed tol when the root is large), so accept the root once
+        # the residual is below 2e-5*|c|; that is still far inside the
+        # reference's own exit slack of tol*s/(1-s) for every lane that
+        # reaches the Newton phase (those have s > ~0.56).  The
+        # threshold only controls how EARLY Newton stops: lanes that
+        # never meet it resolve at loop_cap with the stalled iterate
+        # (di=2 below), never with a wrong 0.
+        conv = (~done) & (err1 <= jnp.maximum(
+            tolf, jnp.where(newton_phase,
+                            _f32(2e-5) * jnp.abs(c), _f32(0.0))))
+        # next iterate: exact map in warmup, Newton afterwards; root is
+        # in (0, c0], clamp for safety
+        newt = jnp.clip(c - (c - g) / (_f32(1.0) + gp), tolf, c0)
+        c_next = jnp.where(newton_phase, newt, g)
+        forced = (~done) & (j1 >= loop_cap)
+        # freeze values: reference exit iterate g during warmup, the
+        # Newton root c afterwards (cap decision applied post-loop).
+        # Newton is globally convergent here, so a lane still live at
+        # loop_cap sits at the f32 residual floor around the root —
+        # resolve it as Newton-converged too.
         c_out = jnp.where(
             done, c,
-            jnp.where(forced | caps, _f32(0.0),
-                      jnp.where(fin, root, c_new)))
-        done_out = done | forced | caps | fin | (err1 <= _f32(tol))
-        return (jnp.where(done, c_prev, c), c_out,
-                jnp.where(done, err, err1), done_out.astype(jnp.int32), j1)
+            jnp.where(conv & ~newton_phase, g,
+                      jnp.where(forced & ~newton_phase, _f32(0.0), c)))
+        c_out = jnp.where((~done) & ~(conv | forced), c_next, c_out)
+        di = jnp.where(done, done_i,
+                       jnp.where((conv | forced) & newton_phase,
+                                 jnp.int32(2),
+                                 jnp.where(conv | forced, jnp.int32(1),
+                                           jnp.int32(0))))
+        return (c_out, c_sw, di, j1)
 
     if unroll > 1:
         # u steps per cond check: done lanes hold, the per-step j/cap
@@ -284,10 +332,90 @@ def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float,
                 state = step(state)
             return state
 
-    _, c, _, done_i, _ = jax.lax.while_loop(
-        cond, body, (c_init, c_init, jnp.ones_like(c_init), done0,
-                     jnp.int32(0)))
-    return jnp.where((done_i != 0) | ~needs_iter, c, _f32(0.0))
+    c, c_sw, done_i, _ = jax.lax.while_loop(
+        cond, body, (c_init, c_init, done0, jnp.int32(0)))
+    # cap-vs-converge for Newton-resolved lanes (di == 2): would the
+    # reference have reached |dc| <= tol within max_iter?
+    jpred = _wave_cap_predict(c0, a, c, c_sw, tol, warmup)
+    conv_ok = jpred <= _f32(max_iter)
+    if ref_f32:
+        # the f32 reference additionally stalls when its stationary
+        # noise step eps*r*(1+s)/(1-s) stays above ~tol.  The 3e-5
+        # threshold is CALIBRATED against an emulated libc-tanhf f32
+        # reference over 13824 f64-convergent shallow lanes (round-3
+        # precision lab): it misclassifies 159 (1.2%) — and that band
+        # is irreducible implementation luck: near the boundary the
+        # reference's own outcome flips with single-ulp tanhf
+        # differences (an exactly-rounded-tanh emulation still
+        # disagrees with libc on 0.74% of lanes)
+        rr = jnp.maximum(c, _f32(tol))
+        t_r = jnp.tanh(a / rr)
+        s = (c0 * a) * (_f32(1.0) - t_r * t_r) / (rr * rr)
+        floor_step = (_f32(1.0) + s) * _f32(1.19e-7) * rr \
+            / jnp.maximum(_f32(1.0) - s, _f32(1e-7))
+        conv_ok = conv_ok & (floor_step < _f32(3e-5))
+    newton_val = jnp.where(conv_ok, c, _f32(0.0))
+    out = jnp.where(done_i == 2, newton_val, c)
+    return jnp.where(needs_iter, out, c0)
+
+
+def _wave_cap_predict(c0, a, r, c_sw, tol: float, warmup: int, nodes=16):
+    """Predicted f64 iteration count of the wave-speed map from the
+    switch iterate ``c_sw`` (after ``warmup`` exact steps) to the
+    |dc| <= tol exit, given the Newton-resolved root ``r``.
+
+    Model: near-1 contraction makes the discrete iteration a flow —
+    per two map steps the amplitude u = |c - r| decays by
+    ``q(u) = |g(g(r +- u)) - r| / u``, so the count is the ODE integral
+    ``j ~ warmup + 2 * int_{u_end}^{u_sw} d(ln u) / (-ln q(u))`` with
+    ``u_end = tol / (1 + s)`` (the amplitude where the map step first
+    satisfies |dc| <= tol).  Trapezoid on ``nodes`` log-spaced
+    intervals; ``g(x) - r`` is evaluated cancellation-free via
+    ``tanh A - tanh B = tanh(A - B) * (1 - tanh A * tanh B)``.
+    Validated within ~1.5% of exact f64 counts over the full (c0, a)
+    range including knife-edge cap cases (round-3 precision lab).
+
+    Mosaic-safe: tanh/exp/log/select only, no sinh/isfinite/inf.
+    Lanes whose ``r`` is not a Newton root (masked callers) produce
+    garbage-but-finite values — callers gate on their own flags.
+    """
+    tolf = _f32(tol)
+    rr = jnp.maximum(r, tolf)
+    t_r = jnp.tanh(a / rr)
+    s = (c0 * a) * (_f32(1.0) - t_r * t_r) / (rr * rr)
+    u_end = tolf / (_f32(1.0) + s)
+    u_sw = jnp.maximum(jnp.abs(c_sw - rr), u_end)
+    side = jnp.where(c_sw >= rr, _f32(1.0), _f32(-1.0))
+    ln_lo = jnp.log(u_end)
+    dln = (jnp.log(u_sw) - ln_lo) / _f32(nodes)
+
+    def gdiff(du):
+        # g(r + du) - r for a signed amplitude du, cancellation-free:
+        # the tanh-argument difference a/(r+du) - a/r = -a*du/((r+du)*r)
+        # is formed from du directly, never as a difference of two
+        # nearly-equal f32 quotients
+        x = rr + du
+        xs = jnp.maximum(jnp.abs(x), _f32(1e-20)) * jnp.where(
+            x < 0, _f32(-1.0), _f32(1.0))
+        tx = jnp.tanh(a / xs)
+        td = jnp.tanh(-(a * du) / (xs * rr))
+        return c0 * td * (_f32(1.0) - tx * t_r)
+
+    def node(i, acc):
+        u = jnp.exp(ln_lo + i.astype(_f32) * dln)
+        d1 = gdiff(side * u)
+        d2 = gdiff(d1)
+        q = jnp.abs(d2) / u
+        mln = jnp.maximum(-jnp.log(jnp.minimum(q, _f32(1.0 - 1e-7))),
+                          _f32(1e-7))
+        w = jnp.where((i == 0) | (i == nodes), _f32(0.5), _f32(1.0))
+        return acc + w * (_f32(2.0) / mln)
+
+    acc = jax.lax.fori_loop(0, nodes + 1, node,
+                            jnp.zeros_like(c0 + r))
+    jpred = _f32(warmup) + dln * acc
+    # s >= 1: the map diverges at the root — the reference always caps
+    return jnp.where(s < _f32(1.0), jpred, _f32(1e9))
 
 
 def _modstall_static(sal, wave, x_wind, y_wind, airtemp, rh, p, pw, depth,
@@ -873,8 +1001,10 @@ def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
         # mispredictions and the whole lane's icing with it — measured
         # 6.98e-2 of adversarial points >2e-3 for a 0.6 ms win
         # (2026-08-18); `warmup` stays available for labs only
+        # ref_f32: the reference Mincog is template<V=float> (VI:697),
+        # so conformance follows ITS f32 stall-to-cap behavior
         c = _wave_speed_fixed_point(c0, a, shallow, 1000, 1e-5,
-                                    unroll=fp_u)
+                                    unroll=fp_u, ref_f32=True)
 
     vr = c - _f32(vsca)
     tper = jnp.abs(c * pw / vr)
