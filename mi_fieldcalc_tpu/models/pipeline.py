@@ -74,11 +74,15 @@ class DerivedFieldsStacked(NamedTuple):
     bitwise-identical to rh/the/vo by construction, so the kernel skips
     3 of 12 plane writes per step on a DMA-byte-bound path), indexed
     through :data:`MASK9`; ``dedup_masks=False`` restores the plain
-    12-plane stack, and ``packed_masks=True`` ONE ``(nlev, ny, nx)``
+    12-plane stack; ``packed_masks=True`` ONE ``(nlev, ny, nx)``
     int32 bit-plane with bit ``k`` = field ``k`` defined (fewer mask
-    bytes, measured slightly slower; kept as an ABI option).  Named
-    accessors slice / unpack lazily — outside ``jit`` each access is
-    one device-side op.
+    bytes, measured slightly slower; kept as an ABI option); and
+    ``levpack_masks=True`` a ``(9, ny, nx)`` **uint32** stack with bit
+    ``L`` = level ``L`` defined — the most compact mask payload (8x
+    smaller than the int8 stack; step time a wash, the int8 mask
+    streams already hide behind the f32 streams — PERF.md "Structural
+    light speed").  Named accessors slice / unpack lazily — outside
+    ``jit`` each access is one device-side op.
 
     ``region`` is populated only for the ALL_DEFINED 2-plane gate
     layout: a ``[1, ny, nx]`` bool plane, True exactly on the logical
@@ -118,6 +122,16 @@ class DerivedFieldsStacked(NamedTuple):
         Single source of truth for the layout mapping — used by
         :meth:`field`, the ensemble summary, and the sharded ensemble
         body."""
+        if masks.dtype == jnp.uint32:
+            # LEV-packed: plane j of the deduplicated 9-stack, bit L =
+            # level L.  Unpack along a fresh lev axis at `axis`.
+            j = cls.MASK9[i] if masks.shape[axis] == 9 else i
+            m = jnp.take(masks, j, axis=axis) if axis else masks[j]
+            nlev = values_i.shape[axis]
+            m_e = jnp.expand_dims(m.view(jnp.int32), axis)
+            levs = jnp.arange(nlev, dtype=jnp.int32).reshape(
+                [-1 if d == axis else 1 for d in range(m_e.ndim)])
+            return ((m_e >> levs) & 1) != 0
         if masks.ndim == values_i.ndim:            # packed bit-plane
             return ((masks >> i) & 1) != 0
         nplanes = masks.shape[axis]

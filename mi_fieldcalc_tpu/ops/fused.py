@@ -277,6 +277,26 @@ def _flush_packed(acc, om_ref):
     om_ref[0] = packed
 
 
+class _LevBit:
+    """Mask slot for the LEV-packed stacked layout: plane ``k`` of the
+    ``(nmp, TY, nx)`` int32 output block accumulates bit ``lev`` across
+    the 32 innermost lev grid steps (the block index map ignores lev, so
+    the block stays VMEM-resident and is written back ONCE per y-tile —
+    zero per-step mask stores, unlike the measured field-packed dead
+    end which still wrote every step).  ``dtype = int8`` routes
+    :func:`_edge_store` through its full-tile fill path, so every store
+    lands here as one whole tile."""
+    dtype = jnp.int8
+
+    def __init__(self, ref, k, lev):
+        self._ref, self._k, self._lev = ref, k, lev
+
+    def __setitem__(self, idx, val):
+        bit = (val != 0).astype(jnp.int32) << self._lev
+        old = self._ref[self._k]
+        self._ref[self._k] = jnp.where(self._lev == 0, bit, old | bit)
+
+
 def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
     """Kernel body for all three layouts: ``part`` = "all" (monolith),
     "elementwise" (no halos, no stencils - bigger row tiles), or
@@ -343,6 +363,13 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
             mslots = [_PackedBit(acc, k) for k in range(12)]
             (m_p, m_th, m_rh, m_td, m_the, m_duc, m_ws, m_vo, m_dv, m_ad,
              m_gt, m_tf) = mslots
+        elif stacked == "lev":
+            # LEV-packed masks: 9 deduplicated int32 bit-planes, bit =
+            # level, accumulated across the innermost lev grid steps
+            # and written once per y-tile
+            _lv = pl.program_id(1)
+            (m_p, m_th, m_rh, m_the, m_ws, m_vo, m_ad, m_gt, m_tf) = \
+                [_LevBit(om_ref, k, _lv) for k in range(9)]
         elif stacked == "dedup9":
             # 9 deduplicated mask planes (td/duc/dv share rh/the/vo, as
             # in the non-stacked layout): 3 fewer int8 plane writes per
@@ -404,17 +431,29 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
         # mask lanes ride as int32: Mosaic cannot rotate/select i1 vectors
         return x.astype(jnp.int32)
 
+    levmask = stacked == "lev"
+
+    def _mx(ref2d):
+        # LEV-packed input mask: 2-D int32 plane, bit `lev` = this
+        # level's mask.  The plane's block index ignores lev, so it is
+        # DMA'd once per y-tile; extraction is one VPU shift+and
+        return (ref2d[...] >> lev) & 1
+
     tkv = tk_c[0]
     uv, vv = u_c[0], v_c[0]
     if not allm:
-        tkm, um, vm = _b(tkm_c[0]), _b(um_c[0]), _b(vm_c[0])
+        if levmask:
+            tkm, um, vm = _mx(tkm_c), _mx(um_c), _mx(vm_c)
+        else:
+            tkm, um, vm = _b(tkm_c[0]), _b(um_c[0]), _b(vm_c[0])
 
     if o_p is not None:
         # ---- elementwise family (levels.py formulas) ----------------------
         qv = q_c[0]
         psv = ps[...]
         if not allm:
-            qm, psvm = _b(qm_c[0]), _b(psm[...])
+            qm = _mx(qm_c) if levmask else _b(qm_c[0])
+            psvm = _b(psm[...])
         a = alev_ref[lev]
         b = blev_ref[lev]
         p_raw = a + b * psv
@@ -474,8 +513,12 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
                    ext(u_c[...], u_p[...], u_n[...]),
                    ext(v_c[...], v_p[...], v_n[...]))
     if not allm:
-        tkme = ext(_b(tkm_c[...]), _b(tkm_p[...]), _b(tkm_n[...]))
-        ume = ext(_b(um_c[...]), _b(um_p[...]), _b(um_n[...]))
+        if levmask:
+            tkme = (ext2d(tkm_c[...], tkm_p[...], tkm_n[...]) >> lev) & 1
+            ume = (ext2d(um_c[...], um_p[...], um_n[...]) >> lev) & 1
+        else:
+            tkme = ext(_b(tkm_c[...]), _b(tkm_p[...]), _b(tkm_n[...]))
+            ume = ext(_b(um_c[...]), _b(um_p[...]), _b(um_n[...]))
     xme = ext2d(xm_c[...], xm_p[...], xm_n[...])
     yme = ext2d(ym_c[...], ym_p[...], ym_n[...])
     xmv, ymv = xm_c[...], ym_c[...]
@@ -615,7 +658,7 @@ def fused_supported(ny: int, nx: int) -> bool:
                    static_argnames=("interpret", "global_shape", "halo_rows",
                                     "ty", "stacked", "mask8", "split",
                                     "ty_ew", "packed_masks", "dedup_masks",
-                                    "all_defined"))
+                                    "all_defined", "levpack_masks"))
 def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                          alevel, blevel, xmapr, ymapr, fcoriolis,
                          interpret: bool = False,
@@ -625,7 +668,9 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                          split: bool = False, ty_ew: int | None = None,
                          packed_masks: bool = False,
                          dedup_masks: bool = True,
-                         all_defined: bool = False):
+                         all_defined: bool = False,
+                         levpack_masks: bool = False,
+                         packed_input_masks=None):
     """Fused single-pass equivalent of
     :func:`mi_fieldcalc_tpu.models.derived_fields` (same signature, same
     :class:`DerivedFields` result).
@@ -696,6 +741,11 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         raise ValueError("derived_fields_fused: all_defined+packed_masks "
                          "unsupported (the fast path already writes only "
                          "the 2 data-dependent planes)")
+    if levpack_masks and (not stacked or split or all_defined
+                          or packed_masks or nlev > 32):
+        raise ValueError("derived_fields_fused: levpack_masks requires "
+                         "stacked=True, no split/all_defined/packed_masks, "
+                         "and nlev <= 32")
     # elementwise tile: no halos, no fills -> any multiple of 8
     TY_E = ty_ew if ty_ew is not None else min(-(-ny // 8) * 8, 96)
     if TY_E % 8 != 0 or TY_E <= 0:
@@ -703,6 +753,24 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
 
     if all_defined:
         tkm = um = vm = qm = psm = None      # masks never touch the device
+    elif levpack_masks:
+        # LEV-packed input masks: one (ny, nx) int32 plane per 3-D input,
+        # bit L = level L's mask.  The planes are lev-constant blocks —
+        # DMA'd once per y-tile instead of one int8 plane per lev step.
+        # Callers on the hot path pass them pre-packed (ingest-time,
+        # like padding); otherwise pack here at one extra mask-read pass.
+        if packed_input_masks is not None:
+            tkm, qm, um, vm = [jnp.asarray(m).view(jnp.int32)
+                               for m in packed_input_masks]
+        else:
+            sh = jnp.arange(nlev, dtype=jnp.int32)[:, None, None]
+            def _packm(m):
+                return (m.astype(jnp.int32) << sh).sum(0)
+            tkm, qm, um, vm = [_packm(m) for m in
+                               (tk.mask, q.mask, u.mask, v.mask)]
+        psm = (ps.mask.view(jnp.int8)
+               if not _V("MF_FUSED_MASK_CONVERT")
+               else ps.mask.astype(jnp.int8))
     elif mask8:
         # bitcast, not convert: XLA:TPU stores bool as one 0/1 byte, so the
         # reinterpret is traffic-free where astype is a round trip per mask
@@ -772,7 +840,13 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                         u.values, u.values, u.values,
                         v.values, v.values, v.values, q.values]
             if not all_defined:
-                in_specs += [c3(), p83(), n83()] * 2 + [c3(), c3()]
+                if levpack_masks:
+                    # 2-D lev-packed planes: center + 8-row halo blocks,
+                    # all lev-constant (fetched once per y-tile)
+                    in_specs += [c2(), p82(im2_p8), p82(im2_n8)] * 2 \
+                        + [c2(), c2()]
+                else:
+                    in_specs += [c3(), p83(), n83()] * 2 + [c3(), c3()]
                 operands += [tkm, tkm, tkm, um, um, um, vm, qm]
             in_specs += [c2()] + ([] if all_defined else [c2()])   # ps(+m)
             operands += [ps.values] + ([] if all_defined else [psm])
@@ -820,6 +894,17 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
                 out_shape = (
                     jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.float32),
                     jax.ShapeDtypeStruct((nlev, ny, nx), jnp.int32))
+            elif levpack_masks:
+                # LEV-packed output masks: 9 deduplicated int32 planes,
+                # bit L = level L; the block index ignores lev, so the
+                # (9, TY, nx) block accumulates in VMEM across the 32
+                # innermost lev steps and is written ONCE per y-tile
+                out_specs = (vspec, pl.BlockSpec(
+                    (9, TY, nx), lambda j, lev, *_: (0, j, 0),
+                    memory_space=pltpu.VMEM))
+                out_shape = (
+                    jax.ShapeDtypeStruct((12, nlev, ny, nx), jnp.float32),
+                    jax.ShapeDtypeStruct((9, ny, nx), jnp.int32))
             else:
                 nmp = 2 if all_defined else (9 if dedup_masks else 12)
                 mspec = pl.BlockSpec((nmp, 1, TY, nx), im4,
@@ -847,7 +932,8 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         skind = stacked
         if stacked:
             skind = ("packed" if packed_masks
-                     else ("dedup9" if dedup_masks else True))
+                     else ("lev" if levpack_masks
+                           else ("dedup9" if dedup_masks else True)))
         return pl.pallas_call(
             functools.partial(_kernel, ny, nx, TY, nlev, nyg, nxg,
                               full_x, skind, part, all_defined),
@@ -874,8 +960,13 @@ def derived_fields_fused(tk: Field, q: Field, u: Field, v: Field, ps: Field,
         outs = run("all", TY)
         if stacked:
             from ..models.pipeline import DerivedFieldsStacked
+            masks = outs[1]
+            if levpack_masks:
+                # uint32 marks the LEV-packed layout for mask_plane
+                # (free bitcast; int32 in-kernel keeps Mosaic happy)
+                masks = masks.view(jnp.uint32)
             return DerivedFieldsStacked(
-                values=outs[0], masks=outs[1],
+                values=outs[0], masks=masks,
                 region=region2()[None] if all_defined else None)
         vals, m9 = outs[:12], outs[12:]
     if mask8:

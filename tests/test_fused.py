@@ -150,6 +150,60 @@ def test_fused_stacked_matches_per_field():
                                   np.asarray(fields[i].values)[ma]), name
 
 
+def test_fused_levpack_masks_match():
+    """levpack_masks=True: input masks enter as lev-bit-packed 2-D int32
+    planes, output masks come back as a (9, ny, nx) uint32 bit-plane
+    stack (bit L = level L) — values and unpacked masks bitwise-equal to
+    the per-field path, on plain AND padded layouts, with and without
+    pre-packed input masks."""
+    import jax.numpy as jnp
+    from mi_fieldcalc_tpu.layout import pad_array, pad_field
+
+    nlev, ny, nx = 3, 37, 61
+    args = _inputs(nlev, ny, nx, seed=11, undefs=True)
+    ref = derived_fields_fused(*args, interpret=True)
+    got = derived_fields_fused(*args, interpret=True, stacked=True,
+                               levpack_masks=True)
+    assert got.masks.dtype == np.uint32
+    assert got.masks.shape == (9, ny, nx)
+    for i, name in enumerate(ref._fields):
+        ra, ga = ref[i], got.field(i)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, np.asarray(ga.mask)), name
+        assert np.array_equal(np.asarray(ra.values)[rm],
+                              np.asarray(ga.values)[rm]), name
+
+    # padded layout + pre-packed input masks (the hot-path form)
+    pargs = tuple(
+        pad_field(a) if hasattr(a, "mask") else
+        (pad_array(a) if a.ndim == 2 else a)
+        for a in args)
+    sh = jnp.arange(nlev, dtype=jnp.int32)[:, None, None]
+    pm = tuple((pargs[i].mask.astype(jnp.int32) << sh).sum(0)
+               for i in (0, 1, 2, 3))
+    got2 = derived_fields_fused(*pargs, interpret=True, stacked=True,
+                                levpack_masks=True, global_shape=(ny, nx),
+                                packed_input_masks=pm)
+    for i, name in enumerate(ref._fields):
+        ra = ref[i]
+        ga = got2.field(i)
+        gm = np.asarray(ga.mask)
+        rm = np.asarray(ra.mask)
+        assert np.array_equal(rm, gm[:, :ny, :nx]), name
+        assert not gm[:, ny:, :].any() and not gm[:, :, nx:].any(), name
+        assert np.array_equal(np.asarray(ra.values)[rm],
+                              np.asarray(ga.values)[:, :ny, :nx][rm]), name
+
+
+def test_fused_levpack_rejects_bad_combos():
+    args = _inputs(2, 16, 24, seed=1, undefs=True)
+    with pytest.raises(ValueError):
+        derived_fields_fused(*args, interpret=True, levpack_masks=True)
+    with pytest.raises(ValueError):
+        derived_fields_fused(*args, interpret=True, stacked=True,
+                             levpack_masks=True, packed_masks=True)
+
+
 @pytest.mark.parametrize("nlev,ny,nx", [
     (3, 37, 61),
     (2, 33, 135),

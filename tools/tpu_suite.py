@@ -171,6 +171,10 @@ def main():
         fails, "fused/stacked-packed", jnp_ref("m", margs),
         derived_fields_fused(*margs, stacked=True, packed_masks=True,
                              interpret=interp).as_fields()))
+    run("fused/stacked-levpack", lambda: _cmp_tree(
+        fails, "fused/stacked-levpack", jnp_ref("m", margs),
+        derived_fields_fused(*margs, stacked=True, levpack_masks=True,
+                             interpret=interp).as_fields()))
     run("fused/split", lambda: _cmp_tree(
         fails, "fused/split", jnp_ref("m", margs),
         derived_fields_fused(*margs, split=True, interpret=interp)))
@@ -244,9 +248,19 @@ def main():
             t_, q_, p_) for c in hq]
         ref += [jax.jit(lambda a, h, b, c=c: alevelhum(a, h, b, compute=c))(
             t_, rh_, p_) for c in hr]
+        # unit-aware atol: a pure rtol misreads f32 reassociation as a
+        # failure wherever the OUTPUT crosses zero in its natural unit
+        # (Celsius dewpoints near 0 C: |d| ~ 7e-6 from ~300 K inputs is
+        # round-off, but rel ~ 1e-2).  Scale atol by each output's
+        # natural magnitude: temperatures/dewpoints ~300 K, RH ~100 %,
+        # q ~ 1e-2 kg/kg.
+        hum_atol = {1: 100 * RTOL, 3: 0.02 * RTOL, 5: 300 * RTOL,
+                    7: 300 * RTOL, 9: 300 * RTOL, 11: 300 * RTOL}
+        atols = [300 * RTOL] * len(temps) \
+            + [hum_atol[c] for c in hq] + [hum_atol[c] for c in hr]
         tag = f"suite/alevel,ad={all_defined}"
         for k, (r, g) in enumerate(zip(ref, got)):
-            _cmp(fails, tag, str(k), r, g)
+            _cmp(fails, tag, str(k), r, g, atol=atols[k])
     run("suite/alevel,ad=False", lambda: suite_alevel(False))
     run("suite/alevel,ad=True", lambda: suite_alevel(True))
 
@@ -270,8 +284,10 @@ def main():
                             Field(tk.values[k], tk.mask[k]),
                             Field(h3.values[k], h3.mask[k]), ps)
                         for k in range(NLEV)]))
+        # unit-aware atol (see suite_alevel): temps K, q->rh %, rh->q
+        hatols = [300 * RTOL, 100 * RTOL, 300 * RTOL, 0.02 * RTOL]
         for k, (r, g) in enumerate(zip(ref, got)):
-            _cmp(fails, "suite/hlevel", str(k), r, g)
+            _cmp(fails, "suite/hlevel", str(k), r, g, atol=hatols[k])
     run("suite/hlevel", suite_hlevel)
 
     # ---- vertical interpolation kernel ---------------------------------
