@@ -19,9 +19,12 @@ import functools
 import numpy as np
 
 from .field import Field, UNDEF, ValuesDefined, from_sentinel  # noqa: F401
+from .batch import batch, Deferred, BatchError  # noqa: F401
 from . import ops
 
 __all__ = [
+    # call-storm batching (batch.py): one device program per storm
+    "batch", "Deferred", "BatchError",
     # the 15 functions the reference's pybind11 module exposes
     "ValuesDefined", "kIndex", "ductingIndex", "showalterIndex",
     "boydenIndex", "sweatIndex", "seaSoundSpeed", "cvtemp", "cvhum",
@@ -81,7 +84,17 @@ def _wrap(op, undef, *arrays, scalars=(), kwscalars=None, lead_scalars=()):
     sentinels, run the jit-compiled operator, re-encode.  Returns None on
     invalid input, like the reference binding.  ``lead_scalars`` go
     BEFORE the fields (the reference's ``(compute, ...)``-first
-    signatures)."""
+    signatures).
+
+    Inside a :func:`batch` context the call is RECORDED instead of
+    dispatched (one device program for the whole storm — batch.py)."""
+    from .batch import active_batch
+    b = active_batch()
+    if b is not None:
+        return b.record(op, float(undef), arrays,
+                        tuple(_canon(s) for s in scalars),
+                        tuple(sorted((kwscalars or {}).items())),
+                        tuple(_canon(s) for s in lead_scalars))
     npa = [np.asarray(a, dtype=np.float32) for a in arrays]
     if npa[0].ndim != 2 or any(a.shape != npa[0].shape for a in npa[1:]):
         return None
@@ -447,11 +460,20 @@ def constantOPERfield(compute: int, value: float, field,
 
 def _wrap_members(op, undef, fields, lead_scalars=(), scalars=()):
     """Ensemble wrapper: stack member fields on a leading axis and run the
-    jitted reduction (``op(*lead_scalars, stack, *scalars)``)."""
+    jitted reduction (``op(*lead_scalars, stack, *scalars)``).  Inside a
+    :func:`batch` context the stacked call is recorded like any other
+    (Deferred members materialize through the numpy protocol when
+    stacked)."""
     npa = [np.asarray(a, np.float32) for a in fields]
     if not npa or npa[0].ndim != 2 \
             or any(a.shape != npa[0].shape for a in npa[1:]):
         return None
+    from .batch import active_batch
+    b = active_batch()
+    if b is not None:
+        return b.record(op, float(undef), (np.stack(npa),),
+                        tuple(_canon(s) for s in scalars), (),
+                        tuple(_canon(s) for s in lead_scalars), ndim=3)
     fn = _compiled(op, float(undef), tuple(_canon(s) for s in scalars), (),
                    tuple(_canon(s) for s in lead_scalars))
     try:

@@ -1,0 +1,99 @@
+"""Call-storm batching (mi_fieldcalc_tpu/batch.py): one device program
+per storm, results equal to the eager call-by-call path."""
+
+import numpy as np
+import pytest
+
+import mi_fieldcalc_tpu.api as fc
+from mi_fieldcalc_tpu.batch import BatchError, Deferred
+
+UNDEF = fc.UNDEF
+
+
+def _grids(ny=24, nx=33, seed=0):
+    rng = np.random.default_rng(seed)
+    t = rng.uniform(250.0, 300.0, (ny, nx)).astype(np.float32)
+    rh = rng.uniform(5.0, 95.0, (ny, nx)).astype(np.float32)
+    q = rng.uniform(1e-4, 8e-3, (ny, nx)).astype(np.float32)
+    t[0, 0] = UNDEF
+    rh[1, 1] = UNDEF
+    return t, rh, q
+
+
+def test_batch_matches_eager():
+    t, rh, q = _grids()
+    e1 = fc.abshum(t, rh, UNDEF)
+    e2 = fc.cvtemp(t, 2)
+    e3 = fc.alevelhum(t, q, t * 0 + 900.0, "", 1)
+    with fc.batch():
+        b1 = fc.abshum(t, rh, UNDEF)
+        b2 = fc.cvtemp(t, 2)
+        b3 = fc.alevelhum(t, q, t * 0 + 900.0, "", 1)
+        assert isinstance(b1, Deferred) and b1.shape == e1.shape
+    assert np.array_equal(e1, np.asarray(b1))
+    assert np.array_equal(e2, np.asarray(b2))
+    assert np.array_equal(e3, np.asarray(b3))
+
+
+def test_batch_chaining_stays_in_program():
+    """A Deferred fed to a later call equals the eager composition."""
+    t, rh, q = _grids(seed=1)
+    ec = fc.cvtemp(t, 2)                     # K -> C
+    eh = fc.abshum(fc.cvtemp(ec, 1), rh, UNDEF)   # back to K, then abshum
+    with fc.batch():
+        c = fc.cvtemp(t, 2)
+        k = fc.cvtemp(c, 1)
+        h = fc.abshum(k, rh, UNDEF)
+    assert np.array_equal(np.asarray(ec), np.asarray(c))
+    assert np.array_equal(np.asarray(eh), np.asarray(h))
+
+
+def test_batch_invalid_returns_none_eagerly():
+    t, rh, _ = _grids()
+    with fc.batch():
+        bad_shape = fc.abshum(t, rh[:-1], UNDEF)      # mismatched shapes
+        bad_param = fc.cvtemp(t, 99)                  # invalid compute
+        ok = fc.cvtemp(t, 2)
+        assert bad_shape is None
+        assert bad_param is None
+    assert np.array_equal(np.asarray(ok), fc.cvtemp(t, 2))
+
+
+def test_batch_early_touch_flushes_segment_and_continues():
+    t, rh, _ = _grids(seed=2)
+    with fc.batch():
+        a = fc.cvtemp(t, 2)
+        av = np.asarray(a)                   # early materialization
+        assert np.array_equal(av, fc.cvtemp(t, 2))
+        b = fc.cvtemp(a, 1)                  # flushed Deferred as input
+    assert np.allclose(np.asarray(b), t, rtol=1e-6)
+
+
+def test_batch_multi_output():
+    ny, nx = 16, 20
+    rng = np.random.default_rng(3)
+    z = rng.uniform(100.0, 5000.0, (ny, nx)).astype(np.float32)
+    xm = np.full((ny, nx), 1e-5, np.float32)
+    ym = np.full((ny, nx), 1e-5, np.float32)
+    fcor = np.full((ny, nx), 1e-4, np.float32)
+    eg = fc.ilevelgwind(z, xm, ym, fcor)
+    with fc.batch():
+        bg = fc.ilevelgwind(z, xm, ym, fcor)
+        assert isinstance(bg, tuple) and len(bg) == len(eg)
+    for e, b in zip(eg, bg):
+        assert np.array_equal(e, np.asarray(b))
+
+
+def test_batch_undef_propagation():
+    t, rh, _ = _grids(seed=4)
+    with fc.batch():
+        out = fc.abshum(t, rh, UNDEF)
+    o = np.asarray(out)
+    assert o[0, 0] == UNDEF and o[1, 1] == UNDEF
+
+
+def test_batch_no_nesting():
+    with fc.batch():
+        with pytest.raises(BatchError):
+            with fc.batch():
+                pass
