@@ -518,98 +518,113 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
         shape broadcasting against the lane planes: ``(ny, nx)`` per
         height, ``(number, ny, nx)`` stacked.  Returns clip(n, 0, 1).
 
-        ``warmup`` arms the analytic projection (Aitken root / cap
-        prediction) after that many exact iterations instead of 32.
-        Every iterate up to the projection is exact, so the reference's
-        trajectory-dependent early escapes (``n1`` outside [0, 1] —
-        common from the cold start) are preserved bit-for-bit; only
-        slow oscillatory lanes resolve through the projection, whose
-        root the reference's own exit iterate is within tol of (see
-        KERNEL_WARM_FP).  NOTE: warm-STARTING heights from the previous
-        height's iterate was tried and is WRONG — 25% of lanes differ
-        >2e-3 because the early escapes are trajectory semantics."""
+        Round-3 redesign (same pattern as `_wave_speed_fixed_point`,
+        validated by tools/precision_lab.py): ``warmup`` EXACT map
+        iterations preserve the reference's trajectory semantics
+        bit-for-bit — early escapes outside [0, 1] are common from the
+        cold start (VI:302-315) — then survivors switch to
+        Newton-accelerated iterates with the ANALYTIC slope
+        ``B = d(ri/rw)/dN = tf*(0.012012*rw + (ha/333000)*(1 +
+        ratio*f1'(Ts)))/rw`` (B <= 0 since tf <= 0; f1' reuses the
+        f1(Ts) exp already computed for ri).  No secant from noisy f32
+        differences, no unverified Aitken root: the loop still exits on
+        the reference's own |n1 - n| criterion, so a projected iterate
+        is accepted only when the map itself confirms it.
+
+        Newton fires only when (a) the map is locally contracting
+        (|B| < 1 — for |B| >= 1 the reference's trajectory escapes by
+        growth and the escape SIDE is trajectory semantics, so those
+        lanes keep exact steps) and (b) the remaining oscillation
+        envelope root +- err1*|B|/(1-|B|) provably stays inside [0, 1]
+        (a contracting lane can still escape mid-oscillation when the
+        envelope crosses the boundary; the reference then clamps — the
+        old Aitken path projected those to the interior root).
+
+        Cap semantics (j > 1000 => N = 0): single-rate prediction
+        ``j_sw + ln(tol/err_sw)/ln|B|`` with the analytic |B| — the
+        N-map is near-affine over its Ts excursion (f1 curvature over
+        ~3 C is small), so the single rate is accurate where the wave
+        map needed a quadrature.  Slowly-growing |B| >= 1 lanes whose
+        predicted escape exceeds the cap resolve to 0 the same way.
+        f32 convergence floor: |n1 - n| bottoms out at ~eps * (sum of
+        |ri| term magnitudes)/rw, which can exceed tol when ri's terms
+        cancel — the Newton-phase criterion widens to that floor and
+        the cap prediction (f64 flow) still decides the outcome.
+
+        NOTE: warm-STARTING heights from the previous height's iterate
+        was tried and is WRONG — 25% of lanes differ >2e-3 because the
+        early escapes are trajectory semantics."""
         if "heights" in ablate:
             return jnp.clip(rw, _f32(0.0), _f32(1.0))
 
+        tolf = _f32(1e-5)
+        loop_cap = warmup + 96
+        hk = ha / _f32(333000.0)
+        d_f1 = _f32(17.67 * 243.5)
+
+        def _map(n):
+            """One map application + analytic slope + residual floor.
+            All terms reuse the single f1(Ts) exp."""
+            ts = (_f32(1.0) + n) * tf
+            f1ts = _icing_f1(ts)
+            ri = (_f32(0.012012012) * rw * (ts - td)
+                  + hk * ((ts - at) + ratio * (f1ts - rhv * f1_air)))
+            n1 = ri / rw
+            tsq = ts + _f32(243.5)
+            f1p = f1ts * d_f1 / (tsq * tsq)
+            B = tf * (_f32(0.012012012) * rw
+                      + hk * (_f32(1.0) + ratio * f1p)) / rw
+            ri_mag = (_f32(0.012012012) * rw * jnp.abs(ts - td)
+                      + hk * (jnp.abs(ts - at)
+                              + ratio * (f1ts + rhv * f1_air)))
+            return n1, B, _f32(8e-7) * ri_mag / rw
+
         def n_cond(state):
-            n_prev, n, err, j, done_i = state
-            return jnp.logical_and(j < 1001, ~jnp.all(done_i != 0))
+            n, err_sw, j, done_i = state
+            return jnp.logical_and(j < loop_cap, ~jnp.all(done_i != 0))
 
         def n_body(state):
-            # The reference fixed point N <- ri(N)/rw (VI:302-315) is
-            # oscillatory (the map's slope B = dN1/dN < 0) and its
-            # contraction |B| passes through 1 across the height sweep, so
-            # a ~0.1% lane tail needs hundreds of iterations or hits the
-            # 1000 cap — and a whole-array loop pays the max lane at FULL
-            # grid cost (514 ms measured on adversarial inputs vs ~5 ms on
-            # friendly ones).  After a 32-iteration exact warmup, lanes in
-            # the geometric regime are resolved analytically: err shrinks
-            # by |B| per step (measured as err1/err), so a lane provably
-            # still above tol at iteration 1000 gets the reference's own
-            # cap semantics (N = 0), and a provably-converging lane gets
-            # the Aitken fixed point (the reference's exit iterate is
-            # within tol of it, and conformance tolerance is 2e-3).
-            # Diverging-in-range lanes (|B| >= 1) keep iterating exactly —
-            # their escape side is trajectory-dependent.
-            n_prev, n, err, j, done_i = state
+            # HOT LOOP: map + Newton only — no logs; the cap/escape
+            # predictions run ONCE post-loop (a 2.7x kernel step-time
+            # regression was measured with them in-loop)
+            n, err_sw, j, done_i = state
             done = done_i != 0
-            ts = (_f32(1.0) + n) * tf
-            ri = (_f32(0.012012012) * rw * (ts - td)
-                  + (ha / _f32(333000.0))
-                  * ((ts - at) + ratio * (_icing_f1(ts) - rhv * f1_air)))
-            n1 = ri / rw
+            n1, B, floor = _map(n)
             err1 = jnp.abs(n1 - n)
             j1 = j + 1
-            forced = (~done) & (j1 > 1000)  # cap => N = 0 (VI:311-314)
-            dprev = n - n_prev
-            slope = (n1 - n) / jnp.where(dprev != 0, dprev, _f32(jnp.inf))
-            rat = err1 / jnp.maximum(err, _f32(1e-30))
-            # The full projection machinery (root, cap prediction, cycle
-            # resolution) arms at `warmup` as a unit.  Arming the root
-            # projection earlier than the cap prediction was measured
-            # WORSE (frac >2e-3 rises 1.2e-5 -> 2.9e-4): converging-but-
-            # slow lanes get resolved to the root before the cap
-            # prediction can claim them for the reference's cap => 0
-            # (tools/perf_lab_modstall_warm.py, 2026-08-18).
-            geo = ((~done) & (j1 >= warmup) & (rat < _f32(1.0 - 1e-6))
-                   & (err1 >= _f32(1e-5)))
-            rem = jnp.log(_f32(1e-5) / err1) / jnp.log(rat)
-            caps = geo & (j1.astype(_f32) + rem > _f32(1000.0))
-            # near-period-2 cycle inside [0,1]: error shrink <= ~3e-4 per
-            # step is provably still above tol at the cap -> N = 0.  (A
-            # slowly *growing* cycle that would escape [0,1] before
-            # iteration 1000 lands here too — its reference value is the
-            # parity-dependent clamp; recorded as an accepted divergence,
-            # amplitude growth is <= 1.0003^1000 ~ 1.35x.)
-            cyc = ((~done) & (j1 >= 2 * warmup) & (err1 > _f32(3e-5))
-                   & (jnp.abs(n1 - n_prev) < _f32(3e-4) * err1))
-            # Still undone at 256: geometric convergers were all resolved
-            # by `geo` (it fires at any iteration >= 32 with a shrinking
-            # error), so survivors are f32-noisy cycles or chaotic
-            # trajectories.  The f64 reference runs those to the cap and
-            # yields 0 (f32/f64 iterates separate exponentially in this
-            # regime, so iterate-exact matching is impossible anyway);
-            # resolve them to the cap outcome now instead of paying 744
-            # more full-grid passes.
-            late = (~done) & (j1 >= 256)
-            caps = caps | cyc | late
-            root = (n1 - slope * n) / (_f32(1.0) - slope)
-            root = jnp.where(jnp.abs(root) < _f32(jnp.inf), root, _f32(0.0))
-            # (An escape-safety guard — only project when the remaining
-            # oscillation envelope provably stays inside [0,1] — was
-            # tried here and measured 2 ms SLOWER with identical
-            # accuracy: the rare boundary-oscillating lanes reach the
-            # same exits either way.  tools/perf_lab_modstall_warm.py.)
-            fin = geo & ~caps
-            n_out = jnp.where(
-                done, n,
-                jnp.where(forced | caps, _f32(0.0),
-                          jnp.where(fin, root, n1)))
-            done_out = done | forced | caps | fin | (err1 < _f32(1e-5)) \
-                | (n1 < 0) | (n1 > 1)
-            return (jnp.where(done, n_prev, n), n_out,
-                    jnp.where(done, err, err1), j1,
-                    done_out.astype(jnp.int32))
+            newton_phase = j1 > warmup
+            absB = jnp.abs(B)
+            contracting = absB < _f32(1.0 - 1e-6)
+            # switch-point residual for the post-loop cap prediction
+            err_sw = jnp.where((~done) & (j1 == warmup + 1), err1, err_sw)
+            # f32 residual floor: ri's terms can cancel (see docstring)
+            conv = (~done) & (err1 <= jnp.where(
+                newton_phase, jnp.maximum(tolf, floor), tolf))
+            # Newton step, gated on the map contracting AND the
+            # oscillation envelope staying inside [0, 1] (escapes are
+            # trajectory semantics).  For the oscillatory map (B <= 0)
+            # |n - root| = err1/(1 + |B|) and excursions decay by |B|
+            # per step, so once n1 itself is inside, every skipped
+            # future iterate lies within root +- B^2*err1/(1+|B|).
+            root = (n1 - B * n) / (_f32(1.0) - B)
+            amp_env = absB * absB * err1 / (_f32(1.0) + absB)
+            inside = (n1 >= _f32(0.0)) & (n1 <= _f32(1.0))
+            env_ok = (inside & (root + amp_env <= _f32(1.0))
+                      & (root - amp_env >= _f32(0.0)))
+            use_newton = newton_phase & contracting & env_ok
+            n_next = jnp.where(use_newton, root, n1)
+            forced = (~done) & (j1 >= loop_cap)
+            # freeze at the map output; di=2 marks post-warmup stops
+            # whose cap-vs-converge the post-loop prediction decides
+            n_out = jnp.where(done, n,
+                              jnp.where(conv | forced, n1, n_next))
+            di = jnp.where(done, done_i,
+                           jnp.where((conv | forced) & newton_phase,
+                                     jnp.int32(2),
+                                     jnp.where(conv | (n1 < 0) | (n1 > 1),
+                                               jnp.int32(1),
+                                               jnp.int32(0))))
+            return (n_out, err_sw, j1, di)
 
         if fp_u > 1:
             # u fixed-point steps per cond check (see
@@ -623,9 +638,28 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
 
         n_init = jnp.zeros_like(rw)
         done0 = jnp.broadcast_to((~gate).astype(jnp.int32), rw.shape)
-        _, n, _, _, _ = jax.lax.while_loop(
+        n, err_sw, _, di = jax.lax.while_loop(
             n_cond, n_body_u,
-            (n_init, n_init, jnp.ones_like(rw), jnp.int32(0), done0))
+            (n_init, jnp.ones_like(rw), jnp.int32(0), done0))
+        # post-loop cap resolution for di=2 lanes (ONE extra map eval):
+        # contracting lanes get the single-rate f64 count prediction
+        # warmup + ln(tol/err_sw)/ln|B|; diverging lanes whose
+        # escape-by-growth cannot reach the [0,1] boundary before the
+        # cap get the reference's cap => 0 as well
+        n1f, Bf, _ = _map(n)
+        absB = jnp.abs(Bf)
+        lB = jnp.log(jnp.maximum(absB, _f32(1e-30)))
+        rem = jnp.log(tolf / jnp.maximum(err_sw, tolf)) \
+            / jnp.where(lB < 0, lB, _f32(-1e-30))
+        capped_c = (absB < _f32(1.0)) \
+            & (_f32(warmup) + rem > _f32(1000.0))
+        errf = jnp.abs(n1f - n)
+        amp = errf / (_f32(1.0) + absB)
+        esc_rem = jnp.log(_f32(2.0) / jnp.maximum(amp, _f32(1e-30))) \
+            / jnp.where(lB > 0, lB, _f32(1e-30))
+        capped_d = (absB >= _f32(1.0)) & (errf > tolf) \
+            & (_f32(loop_cap) + esc_rem > _f32(1000.0))
+        n = jnp.where((di == 2) & (capped_c | capped_d), _f32(0.0), n)
         return jnp.clip(n, _f32(0.0), _f32(1.0))
 
     if stack_heights:
