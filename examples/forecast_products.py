@@ -96,6 +96,21 @@ def main():
     print(f"suite dewpoint (K): mean {td[td < 1e34].mean():6.1f} "
           f"({sorted(suite)})")
 
+    # -- 5. call storms: many small drop-in calls, ONE device program ------
+    # the Diana-caller pattern; measured 8.7-10x on a 22-call storm
+    # (PERF.md "Call-storm batching")
+    t850 = np.asarray(tk[-1])
+    rh850 = np.clip(np.abs(np.asarray(q[-1])) * 1e4, 5.0, 95.0)
+    with fc.batch():
+        tc = fc.cvtemp(t850, 2)                 # K -> C, deferred
+        hum = fc.plevelhum(t850, rh850, 850.0, "", 3)
+        back = fc.cvtemp(tc, 1)                 # chains on tc, on device
+    hv = np.asarray(hum)
+    defined = hv[hv < 1e34]
+    print(f"storm of 3 ran as one program: cvtemp roundtrip max|d| = "
+          f"{np.abs(np.asarray(back) - t850).max():.2g}, "
+          f"q850 mean {defined.mean():.2e} kg/kg")
+
 
 if __name__ == "__main__":
     main()
