@@ -74,6 +74,48 @@ def config1():
          ny * nx, dt)
 
 
+def config1b():
+    """The same small-grid class as config 1 but at the production call
+    pattern: a 22-call drop-in storm (tools/perf_lab_batch.storm) run
+    through api.batch() — one device program per cycle instead of one
+    dispatch per call (PERF.md "Call-storm batching")."""
+    import time
+
+    import mi_fieldcalc_tpu.api as fc
+    from tools.perf_lab_batch import storm, NY, NX
+
+    rng = np.random.default_rng(7)
+
+    def u(lo, hi):
+        x = rng.uniform(lo, hi, (NY, NX)).astype(np.float32)
+        x[0, 0] = UNDEF
+        return x
+
+    g = (u(240, 260), u(250, 275), u(260, 290), u(5, 95), u(5, 95),
+         u(1e-4, 8e-3), u(2800, 3200), u(0, 300), u(-20, 20), u(-20, 20),
+         u(-40, 40), u(-40, 40), u(255, 285), u(230, 255))
+    ncalls = len(storm(fc, g))                   # eager compile pass
+    with fc.batch():
+        storm(fc, g)                             # batched compile pass
+    best = eager = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        storm(fc, g)
+        de = time.perf_counter() - t0
+        eager = de if eager is None else min(eager, de)
+        t0 = time.perf_counter()
+        with fc.batch():
+            out = storm(fc, g)
+        np.asarray(out[0])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    emit("1b", f"config-1 class at the production call pattern: "
+         f"{ncalls}-call storm via api.batch(), 96x128",
+         ncalls * NY * NX, best,
+         extra={"eager_ms": round(eager * 1e3, 1),
+                "speedup": round(eager / best, 1)})
+
+
 def config2():
     """Humidity/temperature conversion suite, 10 levels, undef masking."""
     from mi_fieldcalc_tpu.ops import aleveltemp, alevelhum
@@ -194,7 +236,7 @@ def config4():
 
 
 def main():
-    for f in (config1, config2, config3, config4):
+    for f in (config1, config1b, config2, config3, config4):
         f()
     print(json.dumps({
         "config": 5,
