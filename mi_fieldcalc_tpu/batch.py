@@ -121,10 +121,16 @@ def _compiled_batch(sig):
     import jax
 
     def run(*flat):
+        import jax.numpy as jnp
+
         results = {}
         outs = []
         for ci, (op, undef, scalars, kwitems, lead, srcs) in enumerate(sig):
-            arrs = [flat[s] if isinstance(s, int) else results[s]
+            # src forms: ("i", group, row) = row of a stacked input
+            # group (same-shape inputs ship as ONE transfer each —
+            # per-array H2D latency dominates storms on this backend);
+            # (call, output) = an earlier call's traced result
+            arrs = [flat[s[1]][s[2]] if s[0] == "i" else results[s]
                     for s in srcs]
             fields = tuple(from_sentinel(a, undef) for a in arrs)
             out = op(*lead, *fields, *scalars, **dict(kwitems))
@@ -134,7 +140,17 @@ def _compiled_batch(sig):
                 enc = o.to_sentinel(undef)
                 results[(ci, oi)] = enc
                 outs.append(enc)
-        return tuple(outs)
+        # group same-shape outputs into stacks: the tunneled backend
+        # pays a per-ARRAY fetch latency, so the host side fetches one
+        # stacked array per shape group instead of one per output.
+        # The grouping is a pure function of the static output shapes —
+        # flush() derives the identical (sorted-shape, declaration-
+        # order) layout from the Deferred shapes to unpack.
+        groups = {}
+        for k, o in enumerate(outs):
+            groups.setdefault(tuple(o.shape), []).append(k)
+        return tuple(jnp.stack([outs[k] for k in groups[s]])
+                     for s in sorted(groups))
 
     return jax.jit(run)
 
@@ -203,26 +219,44 @@ class _Batch:
         for ci, c in enumerate(calls):
             for oi, r in enumerate(c.refs):
                 ref_key[id(r)] = (ci, oi)
-        slot_of, inputs, sig = {}, [], []
+        # dedup concrete inputs by identity, then group by shape so
+        # each group ships as ONE stacked transfer (per-array H2D
+        # latency dominates storms on this tunneled backend)
+        slot_of, uniq = {}, []
+        for c in calls:
+            for a in c.args:
+                if not isinstance(a, Deferred) and id(a) not in slot_of:
+                    slot_of[id(a)] = len(uniq)
+                    uniq.append(a)
+        gidx, order = {}, []
+        for k, a in enumerate(uniq):
+            gidx.setdefault(a.shape, []).append(k)
+        order = sorted(gidx)
+        src_of = {}
+        for gi, s in enumerate(order):
+            for row, k in enumerate(gidx[s]):
+                src_of[k] = ("i", gi, row)
+        inputs = [np.stack([uniq[k] for k in gidx[s]]) for s in order]
+        sig = []
         for c in calls:
             srcs = []
             for a in c.args:
                 if isinstance(a, Deferred):
                     srcs.append(ref_key[id(a)])
                 else:
-                    key = id(a)
-                    if key not in slot_of:
-                        slot_of[key] = len(inputs)
-                        inputs.append(a)
-                    srcs.append(slot_of[key])
+                    srcs.append(src_of[slot_of[id(a)]])
             sig.append((c.op, c.undef, c.scalars, c.kwitems, c.lead,
                         tuple(srcs)))
-        flat = jax.device_get(_compiled_batch(tuple(sig))(*inputs))
-        k = 0
-        for c in calls:
-            for r in c.refs:
-                r._value = np.asarray(flat[k])
-                k += 1
+        stacks = jax.device_get(_compiled_batch(tuple(sig))(*inputs))
+        # rebuild the same shape-grouped layout the program used
+        refs = [r for c in calls for r in c.refs]
+        groups = {}
+        for k, r in enumerate(refs):
+            groups.setdefault(tuple(r.shape), []).append(k)
+        for s, stack in zip(sorted(groups), stacks):
+            arr = np.asarray(stack)
+            for row, k in enumerate(groups[s]):
+                refs[k]._value = arr[row]
 
 
 class batch:
