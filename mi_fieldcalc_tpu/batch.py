@@ -25,10 +25,36 @@ the traced value through the SAME program — no host round trip).  The
 whole recorded DAG compiles to one jitted program, cached by the call
 sequence's static signature (op identities, scalar parameters, shapes),
 so a repeating forecast-cycle storm compiles once and then costs one
-dispatch per cycle.  Materialization happens at context exit, or
-earlier if any Deferred's data is touched (numpy protocol) — an early
-touch flushes the calls recorded so far and recording continues in a
-fresh segment.
+dispatch per cycle.  Materialization happens lazily: context exit (or
+an early data touch) RUNS the program, but result bytes cross the
+tunnel only when a Deferred's data is actually read — one stacked
+fetch per output-shape group, shared by every Deferred in the group.
+
+Forecast cycles (repeated storms) get two more levers:
+
+* **outputs stay on device** — a flushed Deferred passed into a later
+  call (same batch or a later ``batch()`` context) is fed to the next
+  program as its device-resident stack row; no host round trip, no
+  re-upload;
+* **device-resident input caching** (``batch(cache_inputs=True)``) —
+  concrete inputs are cached on device keyed by the *identity* of the
+  caller's float32 array (the cache pins the array, so the key cannot
+  be recycled); a cycle that re-passes the same terrain/threshold
+  arrays ships only the arrays that actually changed.  The cache is
+  process-global with an LRU byte budget (``MF_BATCH_CACHE_MB``,
+  default 256) and survives across ``batch()`` contexts; clear it with
+  :func:`clear_input_cache`.  Identity caching requires the caller to
+  (a) pass the SAME ndarray object for unchanged fields (float64
+  inputs are re-converted per call and never hit), and (b) not mutate
+  a passed array in place — pass a fresh array for changed data.
+
+Input capture semantics: recorded calls hold input arrays BY REFERENCE
+and read them at flush time (context exit / first data touch).  The
+eager path snapshots values at call time; mutating an input array in
+place between a recorded call and the flush is therefore undefined —
+flush first (touch any Deferred) or pass a copy.  This is the one
+intentional semantic difference from the eager path; see
+docs/MIGRATION.md.
 
 Reference-binding semantics preserved:
 
@@ -41,18 +67,25 @@ Reference-binding semantics preserved:
   eager call-by-call composition);
 * multi-output ops (ilevelgwind, neighbourFunctions) return a tuple of
   Deferreds.
+
+If the device program fails (compile or runtime), the segment's
+Deferreds are marked failed and every later data access re-raises the
+stored error as a :class:`BatchError` — a failed storm can never be
+mistaken for data.
 """
 
 from __future__ import annotations
 
+import collections
 import functools
+import os
 import threading
 
 import numpy as np
 
 from .field import Field, from_sentinel
 
-__all__ = ["batch", "Deferred", "BatchError"]
+__all__ = ["batch", "Deferred", "BatchError", "clear_input_cache"]
 
 _state = threading.local()
 
@@ -65,18 +98,48 @@ def active_batch():
     return getattr(_state, "batch", None)
 
 
-class Deferred:
-    """Lazy handle for one output of a batched call.  Materializes the
-    pending batch segment on first data access (``np.asarray`` or any
-    numpy ufunc via ``__array__``)."""
+class _StackHandle:
+    """One device-resident output stack, fetched to host at most once
+    (one stacked transfer shared by every Deferred in the group)."""
 
-    __slots__ = ("_batch", "shape", "dtype", "_value")
+    __slots__ = ("dev", "host", "failed")
+
+    def __init__(self, dev):
+        self.dev = dev
+        self.host = None
+        self.failed = None
+
+    def fetch(self):
+        if self.failed is not None:
+            raise BatchError(
+                "batched program failed; no data") from self.failed
+        if self.host is None:
+            import jax
+            try:
+                self.host = np.asarray(jax.device_get(self.dev))
+            except Exception as e:          # surface async device errors
+                self.failed = e
+                raise BatchError(
+                    "batched program failed; no data") from e
+        return self.host
+
+
+class Deferred(np.lib.mixins.NDArrayOperatorsMixin):
+    """Lazy handle for one output of a batched call.
+
+    Data access (``np.asarray``, any arithmetic operator, indexing, or
+    a numpy method like ``.mean()``) flushes the pending batch segment
+    if needed and fetches the output's stack from the device (once per
+    stack).  The device copy is kept, so passing a materialized
+    Deferred into a later batched call re-uses it on device.
+    """
 
     def __init__(self, batch, aval):
         self._batch = batch
         self.shape = tuple(aval.shape)
         self.dtype = aval.dtype
-        self._value = None
+        self._dev = None              # (_StackHandle, row) once executed
+        self._failed = None
 
     @property
     def ndim(self):
@@ -85,10 +148,88 @@ class Deferred:
     def __array__(self, dtype=None, copy=None):
         return np.asarray(self.value(), dtype=dtype)
 
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        inputs = tuple(np.asarray(x) if isinstance(x, Deferred) else x
+                       for x in inputs)
+        return getattr(ufunc, method)(*inputs, **kwargs)
+
+    def __getitem__(self, idx):
+        return self.value()[idx]
+
+    def __len__(self):
+        if not self.shape:
+            raise TypeError("len() of unsized Deferred")
+        return self.shape[0]
+
+    def __getattr__(self, name):
+        # Fallback for numpy conveniences (.mean(), .T, .size, ...).
+        # Dunders are excluded so protocol probes (pickle/copy) don't
+        # silently materialize.
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(np.asarray(self), name)
+
     def value(self):
-        if self._value is None:
+        if self._failed is not None:
+            raise BatchError(
+                "batched program failed; no data") from self._failed
+        if self._dev is None:
             self._batch.flush()
-        return self._value
+            if self._failed is not None:
+                raise BatchError(
+                    "batched program failed; no data") from self._failed
+        handle, row = self._dev
+        return handle.fetch()[row]
+
+
+# ---------------------------------------------------------------------------
+# Device-resident input cache (identity-keyed, LRU byte budget).  The
+# entry PINS the caller's ndarray, so its id() cannot be recycled while
+# the entry lives; a hit therefore really is the same object.
+# ---------------------------------------------------------------------------
+
+class _CacheEntry:
+    __slots__ = ("host_ref", "stack", "row", "nbytes")
+
+    def __init__(self, host_ref, stack, row):
+        self.host_ref = host_ref          # pins identity
+        self.stack = stack                # jax device array (n, ...)
+        self.row = row
+        self.nbytes = host_ref.nbytes
+
+
+_cache_lock = threading.Lock()
+_dev_cache = collections.OrderedDict()    # id(arr) -> _CacheEntry
+
+
+def _cache_budget():
+    return int(os.environ.get("MF_BATCH_CACHE_MB", "256")) * (1 << 20)
+
+
+def clear_input_cache():
+    """Drop every device-resident cached input (frees HBM + host pins)."""
+    with _cache_lock:
+        _dev_cache.clear()
+
+
+def _cache_get(arr):
+    with _cache_lock:
+        e = _dev_cache.get(id(arr))
+        if e is not None and e.host_ref is arr:
+            _dev_cache.move_to_end(id(arr))
+            return e
+    return None
+
+
+def _cache_put(arr, stack, row):
+    with _cache_lock:
+        _dev_cache[id(arr)] = _CacheEntry(arr, stack, row)
+        _dev_cache.move_to_end(id(arr))
+        budget, total = _cache_budget(), sum(
+            e.nbytes for e in _dev_cache.values())
+        while total > budget and len(_dev_cache) > 1:
+            _, old = _dev_cache.popitem(last=False)
+            total -= old.nbytes
 
 
 @functools.lru_cache(maxsize=256)
@@ -116,8 +257,11 @@ def _validate(op, undef, scalars, kwitems, lead, shapes):
 def _compiled_batch(sig):
     """ONE jitted program for a recorded call sequence.  ``sig`` holds
     per call (op, undef, scalars, kwitems, lead, arg-sources); each arg
-    source is an input slot index (int) or an (call, output) tuple
-    referencing an earlier call's traced result."""
+    source is ("a", pos, row) — row of the stacked array passed at
+    position ``pos`` (a shipped host stack OR a device-resident stack:
+    a cached input's or an earlier program's output stack) — or
+    ("c", call, output), an earlier call's traced result in THIS
+    program."""
     import jax
 
     def run(*flat):
@@ -126,11 +270,7 @@ def _compiled_batch(sig):
         results = {}
         outs = []
         for ci, (op, undef, scalars, kwitems, lead, srcs) in enumerate(sig):
-            # src forms: ("i", group, row) = row of a stacked input
-            # group (same-shape inputs ship as ONE transfer each —
-            # per-array H2D latency dominates storms on this backend);
-            # (call, output) = an earlier call's traced result
-            arrs = [flat[s[1]][s[2]] if s[0] == "i" else results[s]
+            arrs = [flat[s[1]][s[2]] if s[0] == "a" else results[s[1:]]
                     for s in srcs]
             fields = tuple(from_sentinel(a, undef) for a in arrs)
             out = op(*lead, *fields, *scalars, **dict(kwitems))
@@ -167,8 +307,9 @@ class _Call:
 
 
 class _Batch:
-    def __init__(self):
+    def __init__(self, cache_inputs=False):
         self.calls = []           # current (unflushed) segment
+        self.cache_inputs = cache_inputs
 
     # -- recording ----------------------------------------------------
     def record(self, op, undef, arrays, scalars, kwitems, lead,
@@ -180,12 +321,13 @@ class _Batch:
         shapes, args = [], []
         for a in arrays:
             if isinstance(a, Deferred):
-                if a._value is not None:
-                    a = a._value            # flushed: concrete numpy
-                elif a._batch is not self:
+                if a._failed is not None:
+                    raise BatchError(
+                        "input Deferred comes from a failed program"
+                    ) from a._failed
+                if a._dev is None and a._batch is not self:
                     raise BatchError(
                         "Deferred belongs to another live batch")
-            if isinstance(a, Deferred):
                 shapes.append(a.shape)
                 args.append(a)
             else:
@@ -208,64 +350,132 @@ class _Batch:
 
     # -- execution ----------------------------------------------------
     def flush(self):
-        """Run every recorded-but-unflushed call as ONE device program
-        and materialize their Deferreds.  Recording may continue after."""
+        """Run every recorded-but-unflushed call as ONE device program.
+        Outputs become device-resident stacks (fetched lazily, one
+        transfer per shape group, on first data access).  Recording may
+        continue after.  On failure the segment's Deferreds are marked
+        failed and the error re-raises here AND on any later access."""
         calls, self.calls = self.calls, []
         if not calls:
             return
+        try:
+            self._run(calls)
+        except Exception as e:
+            for c in calls:
+                for r in c.refs:
+                    if r._dev is None:
+                        r._failed = e
+            raise
+
+    def _run(self, calls):
         import jax
 
-        ref_key = {}
+        seg_key = {}                  # Deferreds produced IN this segment
         for ci, c in enumerate(calls):
             for oi, r in enumerate(c.refs):
-                ref_key[id(r)] = (ci, oi)
-        # dedup concrete inputs by identity, then group by shape so
-        # each group ships as ONE stacked transfer (per-array H2D
-        # latency dominates storms on this tunneled backend)
-        slot_of, uniq = {}, []
+                seg_key[id(r)] = ("c", ci, oi)
+
+        flat_args = []                # values passed to the jitted program
+        arg_pos = {}                  # id(stack-like) -> position
+
+        def pos_of(stack):
+            p = arg_pos.get(id(stack))
+            if p is None:
+                p = arg_pos[id(stack)] = len(flat_args)
+                flat_args.append(stack)
+            return p
+
+        # Partition concrete inputs: device-cached (ride their resident
+        # stack) vs to-ship.  Shipped inputs dedup by buffer pointer —
+        # not object id — so distinct views of one buffer ship once;
+        # then group by shape so each group is ONE stacked transfer
+        # (per-array H2D latency dominates storms on this backend).
+        slot_of, uniq, cached = {}, [], {}
         for c in calls:
             for a in c.args:
-                if not isinstance(a, Deferred) and id(a) not in slot_of:
-                    slot_of[id(a)] = len(uniq)
+                if isinstance(a, Deferred):
+                    continue
+                pk = (a.__array_interface__["data"][0], a.shape,
+                      a.strides, a.dtype.str)
+                if pk in slot_of or pk in cached:
+                    continue
+                e = _cache_get(a) if self.cache_inputs else None
+                if e is not None:
+                    cached[pk] = e
+                else:
+                    slot_of[pk] = len(uniq)
                     uniq.append(a)
-        gidx, order = {}, []
+        gidx = {}
         for k, a in enumerate(uniq):
             gidx.setdefault(a.shape, []).append(k)
-        order = sorted(gidx)
         src_of = {}
-        for gi, s in enumerate(order):
+        ship = []
+        for s in sorted(gidx):
+            stack = np.stack([uniq[k] for k in gidx[s]])
+            if self.cache_inputs:
+                stack = jax.device_put(stack)
+                ship.append((s, stack))
+            p = pos_of(stack)
             for row, k in enumerate(gidx[s]):
-                src_of[k] = ("i", gi, row)
-        inputs = [np.stack([uniq[k] for k in gidx[s]]) for s in order]
+                src_of[k] = ("a", p, row)
+
         sig = []
         for c in calls:
             srcs = []
             for a in c.args:
                 if isinstance(a, Deferred):
-                    srcs.append(ref_key[id(a)])
+                    k = seg_key.get(id(a))
+                    if k is not None:
+                        srcs.append(k)
+                    else:           # flushed earlier: device-resident
+                        handle, row = a._dev
+                        srcs.append(("a", pos_of(handle.dev), row))
                 else:
-                    srcs.append(src_of[slot_of[id(a)]])
+                    pk = (a.__array_interface__["data"][0], a.shape,
+                          a.strides, a.dtype.str)
+                    e = cached.get(pk)
+                    if e is not None:
+                        srcs.append(("a", pos_of(e.stack), e.row))
+                    else:
+                        srcs.append(src_of[slot_of[pk]])
             sig.append((c.op, c.undef, c.scalars, c.kwitems, c.lead,
                         tuple(srcs)))
-        stacks = jax.device_get(_compiled_batch(tuple(sig))(*inputs))
+
+        stacks = _compiled_batch(tuple(sig))(*flat_args)
+
+        # enter freshly shipped inputs into the device cache (rows ride
+        # the shipped stack — no per-row device work)
+        if self.cache_inputs:
+            for s, stack in ship:
+                for row, k in enumerate(gidx[s]):
+                    _cache_put(uniq[k], stack, row)
+
         # rebuild the same shape-grouped layout the program used
         refs = [r for c in calls for r in c.refs]
         groups = {}
         for k, r in enumerate(refs):
             groups.setdefault(tuple(r.shape), []).append(k)
         for s, stack in zip(sorted(groups), stacks):
-            arr = np.asarray(stack)
+            handle = _StackHandle(stack)
             for row, k in enumerate(groups[s]):
-                refs[k]._value = arr[row]
+                refs[k]._dev = (handle, row)
 
 
 class batch:
-    """Context manager activating call batching for the drop-in API."""
+    """Context manager activating call batching for the drop-in API.
+
+    ``cache_inputs=True`` additionally keeps concrete inputs resident
+    on device across flushes and contexts (identity-keyed; see module
+    docstring) so repeated forecast cycles ship only changed arrays.
+    """
+
+    def __init__(self, cache_inputs=False):
+        self._cache_inputs = cache_inputs
 
     def __enter__(self):
         if active_batch() is not None:
             raise BatchError("batch() contexts do not nest")
-        self._b = _Batch()
+        self._b = _Batch(cache_inputs=self._cache_inputs)
         _state.batch = self._b
         return self._b
 

@@ -97,3 +97,100 @@ def test_batch_no_nesting():
         with pytest.raises(BatchError):
             with fc.batch():
                 pass
+
+
+def test_deferred_operators_and_methods():
+    """Plain-Python operations on a Deferred materialize and work
+    (ADVICE r3: `d + 1`, `d[0, 0]`, `d.mean()` must not TypeError)."""
+    t, rh, _ = _grids(seed=5)
+    e = fc.cvtemp(t, 2)
+    with fc.batch():
+        d = fc.cvtemp(t, 2)
+        plus = d + 1.0                       # operator inside the context
+        elem = d[2, 3]
+        mean = d.mean()
+    assert np.allclose(plus, e + 1.0)
+    assert elem == e[2, 3]
+    assert mean == pytest.approx(e.mean())
+    assert (2.0 * d).shape == e.shape        # reflected op after exit
+    assert np.allclose(np.negative(d), -e)   # ufunc path
+
+
+def test_batch_failure_marks_deferreds(monkeypatch):
+    """A failing device program re-raises on every later data access
+    instead of silently yielding None (ADVICE r3)."""
+    import mi_fieldcalc_tpu.batch as B
+    t, rh, _ = _grids(seed=6)
+
+    def boom(sig):
+        def run(*a):
+            raise RuntimeError("injected device failure")
+        return run
+
+    with fc.batch():
+        d = fc.cvtemp(t, 2)
+        monkeypatch.setattr(B, "_compiled_batch", boom)
+        with pytest.raises(RuntimeError):
+            np.asarray(d)                    # flush fails
+    with pytest.raises(BatchError):
+        np.asarray(d)                        # stays failed
+    with pytest.raises(BatchError):
+        with fc.batch():
+            fc.cvtemp(d, 1)                  # failed Deferred as input
+    monkeypatch.undo()
+    with fc.batch():                         # the API recovers after
+        ok = fc.cvtemp(t, 2)
+    assert np.array_equal(np.asarray(ok), fc.cvtemp(t, 2))
+
+
+def test_batch_cross_context_device_chaining():
+    """A materialized Deferred from a previous batch() feeds a later
+    batch() on device (no host round trip) with eager-equal values."""
+    t, rh, _ = _grids(seed=7)
+    with fc.batch():
+        c = fc.cvtemp(t, 2)
+    with fc.batch():
+        k = fc.cvtemp(c, 1)                  # device-resident input
+        h = fc.abshum(k, rh, UNDEF)
+    eh = fc.abshum(fc.cvtemp(fc.cvtemp(t, 2), 1), rh, UNDEF)
+    assert np.array_equal(np.asarray(h), eh)
+
+
+def test_batch_input_cache_ships_only_changed(monkeypatch):
+    """cache_inputs=True: a repeated storm re-ships only the arrays
+    whose objects changed; values stay eager-equal."""
+    import jax
+    import mi_fieldcalc_tpu.batch as B
+    B.clear_input_cache()
+    t, rh, q = _grids(seed=8)
+    ps = (t * 0 + 900.0).astype(np.float32)
+
+    puts = []
+    real_put = jax.device_put
+    monkeypatch.setattr(
+        jax, "device_put",
+        lambda x, *a, **k: (puts.append(np.asarray(x).shape),
+                            real_put(x, *a, **k))[1])
+
+    def storm(tt, rr):
+        with fc.batch(cache_inputs=True):
+            a = fc.abshum(tt, rr, UNDEF)
+            b = fc.cvtemp(tt, 2)
+            c = fc.alevelhum(tt, q, ps, "", 1)
+        return [np.asarray(x) for x in (a, b, c)]
+
+    r1 = storm(t, rh)
+    n_first = len(puts)
+    assert n_first >= 1                      # cold cycle ships stacks
+    puts.clear()
+    r2 = storm(t, rh)                        # identical cycle
+    assert puts == []                        # nothing re-ships
+    rh2 = np.ascontiguousarray(rh * 0.9)
+    r3 = storm(t, rh2)                       # one changed input
+    assert len(puts) == 1 and puts[0][0] == 1   # one 1-row stack
+    for got, want in zip(
+            r3, [fc.abshum(t, rh2, UNDEF), fc.cvtemp(t, 2),
+                 fc.alevelhum(t, q, ps, "", 1)]):
+        assert np.array_equal(got, want)
+    assert np.array_equal(r1[0], r2[0])
+    B.clear_input_cache()
