@@ -25,3 +25,63 @@ def qtime(fn, probe, iters=20, reps=3):
         probe(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
+
+
+def make_dispatch_probe():
+    """A negligible-bytes program whose queue-drain time is pure
+    dispatch: the shared tunnel's enqueue cost drifts 0.9-4 ms
+    minute-to-minute (PERF.md "Structural light speed"), and a timing
+    round taken inside such a spike is noise, not signal.  Compile
+    happens here, outside any timed region."""
+    import jax
+    import jax.numpy as jnp
+    tiny = jnp.ones((8, 128), jnp.float32)
+    add1 = jax.jit(lambda x: x + 1.0)
+    float(add1(tiny)[0, 0])
+
+    def disp(iters=10):
+        out = add1(tiny)
+        float(out[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = add1(tiny)
+        float(out[0, 0])
+        return (time.perf_counter() - t0) / iters
+
+    return disp
+
+
+def qtime_probed(fn, probe, iters=20, rounds=5, disp=None):
+    """Congestion-robust queue-drain timing (bench.py's rejection
+    machinery, shared): each round brackets the step measurement with
+    dispatch probes and is REJECTED when the dispatch estimate spikes
+    above ``max(1.5x, +0.5 ms)`` of the best round's — a congested
+    tunnel inflates every sample taken through it.  Returns
+    ``(step_time, info)`` where step_time is the min over surviving
+    rounds and info records the dispatch estimate and rejection tally
+    (all-congested falls back to min over every round, flagged)."""
+    if disp is None:
+        disp = make_dispatch_probe()
+    recs = []
+    for _ in range(rounds):
+        d0 = disp()
+        out = fn()
+        probe(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        probe(out)
+        dt = (time.perf_counter() - t0) / iters
+        d1 = disp()
+        recs.append((max(d0, d1), dt))
+    dmin = min(d for d, _ in recs)
+    thresh = max(1.5 * dmin, dmin + 5e-4)
+    ok = [dt for d, dt in recs if d <= thresh]
+    congested = not ok
+    sel = ok if ok else [dt for _, dt in recs]
+    return min(sel), {
+        "disp_ms": round(dmin * 1e3, 3),
+        "rounds_used": len(sel),
+        "rounds": rounds,
+        "congested": congested,
+    }
