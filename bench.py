@@ -47,8 +47,18 @@ every measured chip phase — all in-kernel compute hides behind DMA
 (every math ablation is a wash, PERF.md).  (The same-chip XLA pipeline
 is 3.8x slower either way.)
 
+Tile-aligned control (round 4, VERDICT r3 item 3): the same kernel on
+a 720x1024 LOGICAL grid — where logical bytes equal wire bytes, i.e.
+zero lane padding — is measured in the same rounds and reported as
+``aligned_vs_baseline``/``aligned_points_per_sec`` on the same line.
+It separates "kernel at light speed, grid is ragged" (aligned ratio
+>= ~0.93 while the 719x929 ratio sits at its ~0.88 structural ceiling)
+from residual kernel headroom (both low).
+
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "points/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "points/s", "vs_baseline": N,
+   "aligned_vs_baseline": N, "aligned_points_per_sec": N}
+(off-TPU the aligned keys are omitted)
 """
 
 import json
@@ -96,9 +106,18 @@ def main():
             pad_field(a) if isinstance(a, Field) else
             (pad_array(a) if a.ndim == 2 else a)
             for a in raw))
+        # tile-aligned control: logical grid = wire grid (no lane pad)
+        NYA, NXA = 720, 1024
+        step_al = functools.partial(derived_fields_fused,
+                                    global_shape=(NYA, NXA), stacked=True)
+        args_al = jax.device_put(tuple(
+            pad_field(a) if isinstance(a, Field) else
+            (pad_array(a) if a.ndim == 2 else a)
+            for a in _example_inputs(NLEV, NYA, NXA)))
     else:
         step = jax.jit(derived_fields)
         args = jax.device_put(_example_inputs(NLEV, NY, NX))
+        step_al = None
 
     def qtime(fn, probe, iters):
         out = fn()
@@ -211,49 +230,68 @@ def main():
 
     points = NLEV * NY * NX
     bytes_step = _hbm_bytes_per_step(NLEV, NY, NX)
+    if on_tpu:
+        step_al(*args_al)                         # compile outside rounds
+        bytes_al = _hbm_bytes_per_step(NLEV, NYA, NXA)
     ratios, scaled, dts = [], [], []
+    ratios_al, scaled_al, dts_al = [], [], []
     for _ in range(7):
         t_disp = qtime(lambda: add1(tiny), probe1, 10)
         t_copy = qtime(lambda: copyk(*cargs), probe, 15)
         dt = qtime(lambda: step(*args),
                    lambda o: float(o.tfp.values[0, 0, 0]), 30)
         dts.append(dt)
+        if on_tpu:
+            dt_al = qtime(lambda: step_al(*args_al),
+                          lambda o: float(o.tfp.values[0, 0, 0]), 30)
+            dts_al.append(dt_al)
         # dispatch-free fallback ratio: scale the copy's time to the
         # workload's logical bytes.  Tunnel congestion (enqueue cost
         # 0.9-4 ms minute-to-minute on this shared backend) hits copy
         # and kernel alike, so it largely cancels here.
         scaled.append((t_copy * bytes_step / bytes_copy) / dt)
+        if on_tpu:
+            scaled_al.append((t_copy * bytes_al / bytes_copy) / dt_al)
         if t_copy <= t_disp:                      # enqueue-bound: skip
             continue
         bw = bytes_copy / (t_copy - t_disp)
         if bw > 819e9:   # > physical peak: congested-dispatch artifact
             continue
         r = (t_disp + bytes_step / bw) / dt
-        if r > 1.05:
+        if r <= 1.05:
             # measured-beats-roofline is physically impossible when the
             # roofline is real — the round's dispatch sample was taken
             # in a congestion spike the copy/step samples missed
-            continue
-        ratios.append(r)
+            ratios.append(r)
+        if on_tpu:
+            r_al = (t_disp + bytes_al / bw) / dt_al
+            if r_al <= 1.05:
+                ratios_al.append(r_al)
 
-    dt = min(dts)
-    ratios.sort()
-    scaled.sort()
-    if ratios:
-        # lower-middle for even counts: with 2 surviving rounds take the
-        # conservative one, not the favorable one
-        vs = ratios[(len(ratios) - 1) // 2]
-    else:
+    def _pick(rs, sc):
+        rs, sc = sorted(rs), sorted(sc)
+        if rs:
+            # lower-middle for even counts: with 2 surviving rounds take
+            # the conservative one, not the favorable one
+            return rs[(len(rs) - 1) // 2]
         # every round was enqueue-congested: use the dispatch-free
         # scaled-copy ratio (never the old physical-peak fallback — an
         # unattainable roofline is not a baseline)
-        vs = scaled[(len(scaled) - 1) // 2]
-    print(json.dumps({
+        return sc[(len(sc) - 1) // 2]
+
+    dt = min(dts)
+    row = {
         "metric": "derived_field_pipeline_points_per_sec",
         "value": round(points / dt, 1),
         "unit": "points/s",
-        "vs_baseline": round(vs, 4),
-    }))
+        "vs_baseline": round(_pick(ratios, scaled), 4),
+    }
+    if on_tpu:
+        # tile-aligned control: same kernel, logical bytes == wire bytes
+        dt_al = min(dts_al)
+        row["aligned_vs_baseline"] = round(_pick(ratios_al, scaled_al), 4)
+        row["aligned_points_per_sec"] = round(NLEV * NYA * NXA / dt_al, 1)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
