@@ -33,6 +33,7 @@ __all__ = [
     "decode",
     "decode_pad",
     "decode_pad_batch",
+    "decode_pad_levpack_batch",
     "encode",
     "encode_trim",
     "encode_trim_batch",
@@ -40,7 +41,7 @@ __all__ = [
     "defined_state_host",
 ]
 
-_ABI = 4
+_ABI = 5
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_REPO, "native", "build", "libmifieldcalc_host.so")
@@ -89,6 +90,13 @@ def _bind(lib: ctypes.CDLL) -> Optional[ctypes.CDLL]:
     lib.mf_encode_trim_batch_map.restype = None
     lib.mf_encode_trim_batch_map.argtypes = [f32p, u8p, i64p, i64, i64,
                                              i64, i64, i64, i64, f32, f32pp]
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.mf_decode_pad_levpack_batch.restype = None
+    lib.mf_decode_pad_levpack_batch.argtypes = [
+        f32pp, i64, i64, i64, i64, i64, i64, f32, f32, f32p, u32p, i64p]
+    lib.mf_encode_trim_batch_levpack.restype = None
+    lib.mf_encode_trim_batch_levpack.argtypes = [
+        f32p, u32p, i64p, i64, i64, i64, i64, i64, i64, f32, f32pp]
     return lib
 
 
@@ -261,6 +269,76 @@ def decode_pad_batch(arrays, ny_p: Optional[int] = None,
     return out, mask.view(np.bool_), list(counts)
 
 
+def decode_pad_levpack_batch(arrays, ny_p: Optional[int] = None,
+                             nx_p: Optional[int] = None,
+                             undef: float = UNDEF, fill: float = 0.0,
+                             out: Optional[np.ndarray] = None,
+                             pmask: Optional[np.ndarray] = None,
+                             ) -> Tuple[np.ndarray, np.ndarray, list]:
+    """Stage K same-shape ``[nlev, ny, nx]`` sentinel stacks into ONE
+    contiguous tile-aligned values block ``[K, nlev, ny_p, nx_p]`` plus
+    LEV-bit-packed mask planes ``[K, ny_p, nx_p]`` uint32 (bit L =
+    level L defined; dead rows/lanes all-zero) in a single parallel
+    pass.  The planes feed the fused kernel's levpack ABI directly
+    (``derived_fields_fused(levpack_masks=True,
+    packed_input_masks=...)``, ops/fused.py) so the mask payload
+    shipped per step is nlev/32 of the uint8 block.  Requires 3-D
+    inputs with nlev <= 32; returns ``(values, pmask, counts)``.
+    """
+    from .layout import padded_shape
+    vs = [_f32c(a) for a in arrays]
+    shape = vs[0].shape
+    for a in vs:
+        if a.shape != shape:
+            raise ValueError(
+                "decode_pad_levpack_batch: arrays must share a shape")
+    if len(shape) != 3:
+        raise ValueError("decode_pad_levpack_batch: inputs must be "
+                         "[nlev, ny, nx]")
+    nlev, ny, nx = shape
+    if nlev > 32:
+        raise ValueError("decode_pad_levpack_batch: nlev must be <= 32")
+    if ny_p is None or nx_p is None:
+        d_ny, d_nx = padded_shape(ny, nx)
+        ny_p = d_ny if ny_p is None else ny_p
+        nx_p = d_nx if nx_p is None else nx_p
+    if ny_p < ny or nx_p < nx:
+        raise ValueError(f"padded shape ({ny_p}, {nx_p}) smaller than "
+                         f"logical ({ny}, {nx})")
+    k = len(vs)
+    oshape = (k, nlev, ny_p, nx_p)
+    mshape = (k, ny_p, nx_p)
+    if out is None:
+        out = np.empty(oshape, np.float32)
+    if pmask is None:
+        pmask = np.empty(mshape, np.uint32)
+    if out.shape != oshape or out.dtype != np.float32:
+        raise ValueError("decode_pad_levpack_batch: bad `out` buffer")
+    if pmask.shape != mshape or pmask.dtype != np.uint32:
+        raise ValueError("decode_pad_levpack_batch: bad `pmask` buffer")
+    lib = _load()
+    if lib is None:
+        counts = []
+        bits = (np.uint32(1) << np.arange(nlev, dtype=np.uint32)
+                )[:, None, None]
+        for i, a in enumerate(vs):
+            o, m, n = decode_pad(a, ny_p, nx_p, undef, fill)
+            out[i] = o
+            pmask[i] = (m.astype(np.uint32) * bits).sum(
+                0, dtype=np.uint32)
+            counts.append(n)
+        return out, pmask, counts
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    srcs = (f32p * k)(*[a.ctypes.data_as(f32p) for a in vs])
+    counts = (ctypes.c_int64 * k)()
+    lib.mf_decode_pad_levpack_batch(
+        srcs, k, nlev, ny, nx, ny_p, nx_p, ctypes.c_float(undef),
+        ctypes.c_float(fill), out.ctypes.data_as(f32p),
+        pmask.ctypes.data_as(u32p), counts)
+    return out, pmask, list(counts)
+
+
 def encode_trim_batch(values, mask, ny: int, nx: int,
                       undef: float = UNDEF, mask_map=None) -> list:
     """K padded device results ``[K, ..., ny_p, nx_p]`` (one contiguous
@@ -274,7 +352,13 @@ def encode_trim_batch(values, mask, ny: int, nx: int,
     "constant defined" (plain trim, no sentinel pass).  This serves the
     fused kernel's deduplicated 9-plane stack
     (``DerivedFieldsStacked.MASK9``) and the ALL_DEFINED fast path's
-    2-plane stack (``MASK2``) without expanding masks host-side."""
+    2-plane stack (``MASK2``) without expanding masks host-side.
+
+    A **uint32** mask block of shape ``[km, ny_p, nx_p]`` against 4-D
+    values ``[K, nlev, ny_p, nx_p]`` is the fused kernel's LEV-packed
+    layout (``levpack_masks=True``: bit L of plane ``mask_map[f]`` =
+    level L of field f defined); it is consumed in place — no host-side
+    unpack pass."""
     v = _f32c(values)
     ny_p, nx_p = v.shape[-2:]
     if ny_p < ny or nx_p < nx:
@@ -282,6 +366,15 @@ def encode_trim_batch(values, mask, ny: int, nx: int,
                          f"logical ({ny}, {nx})")
     k = v.shape[0]
     m = np.ascontiguousarray(mask)
+    if m.dtype == np.uint32:
+        if v.ndim != 4 or m.ndim != 3 or m.shape[-2:] != v.shape[-2:]:
+            raise ValueError("encode_trim_batch: LEV-packed masks need "
+                             "[K, nlev, ny_p, nx_p] values and "
+                             "[km, ny_p, nx_p] uint32 masks")
+        if mask_map is None:
+            raise ValueError("encode_trim_batch: LEV-packed masks "
+                             "require mask_map")
+        return _encode_trim_batch_levpack(v, m, ny, nx, undef, mask_map)
     if mask_map is None:
         if m.shape != v.shape:
             m = np.ascontiguousarray(np.broadcast_to(m, v.shape))
@@ -315,6 +408,40 @@ def encode_trim_batch(values, mask, ny: int, nx: int,
             v.ctypes.data_as(f32p), m.ctypes.data_as(u8p),
             mmap.ctypes.data_as(i64p), k, lead, ny, nx,
             ny_p, nx_p, ctypes.c_float(undef), optrs)
+    return outs
+
+
+def _encode_trim_batch_levpack(v, pm, ny, nx, undef, mask_map) -> list:
+    """encode_trim_batch's LEV-packed branch: values [K, nlev, ny_p,
+    nx_p] + uint32 planes [km, ny_p, nx_p] (bit L = level L defined)."""
+    k, nlev, ny_p, nx_p = v.shape
+    mmap = np.asarray(mask_map, np.int64)
+    if mmap.shape != (k,):
+        raise ValueError(f"mask_map must have length {k}")
+    if mmap.max(initial=-1) >= pm.shape[0]:
+        raise ValueError("mask block does not cover mask_map")
+    lib = _load()
+    if lib is None:
+        outs = []
+        bits = (np.uint32(1) << np.arange(nlev, dtype=np.uint32)
+                )[:, None, None]
+        for f in range(k):
+            if mmap[f] < 0:
+                outs.append(v[f, :, :ny, :nx].copy())
+            else:
+                m = (pm[mmap[f], None, :ny, :nx] & bits[:, :ny, :nx]) != 0
+                outs.append(np.where(m, v[f, :, :ny, :nx],
+                                     np.float32(undef)))
+        return outs
+    outs = [np.empty((nlev, ny, nx), np.float32) for _ in range(k)]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    optrs = (f32p * k)(*[o.ctypes.data_as(f32p) for o in outs])
+    lib.mf_encode_trim_batch_levpack(
+        v.ctypes.data_as(f32p), pm.ctypes.data_as(u32p),
+        mmap.ctypes.data_as(i64p), k, nlev, ny, nx, ny_p, nx_p,
+        ctypes.c_float(undef), optrs)
     return outs
 
 

@@ -55,6 +55,9 @@ class HostStager:
         self._values: Optional[np.ndarray] = None
         self._mask: Optional[np.ndarray] = None
         self._shape = None
+        self._lp_values: Optional[np.ndarray] = None
+        self._lp_pmask: Optional[np.ndarray] = None
+        self._lp_shape = None
         self.counts: List[int] = []
 
     def stage(self, *arrays, device=None) -> List[Field]:
@@ -79,10 +82,40 @@ class HostStager:
         dm = jax.device_put(mask, device)
         return [Field(dv[i], dm[i]) for i in range(self.k)]
 
+    def stage_levpack(self, *arrays, device=None):
+        """Like :meth:`stage` for ``[nlev <= 32, ny, nx]`` stacks, but
+        masks ship LEV-bit-packed: ONE ``[K, ny_p, nx_p]`` uint32 block
+        (bit L = level L defined) instead of the K full uint8 blocks —
+        nlev/32 of the mask payload over a latency-bound host link.
+        Returns ``(fields, packed)`` where each Field carries
+        ``mask=None`` (the fused kernel's levpack ABI never reads it;
+        pass ``packed`` as ``packed_input_masks``)."""
+        import jax
 
-def _stage_step(args, stager: HostStager, undef: float, on_tpu: bool):
+        if len(arrays) != self.k:
+            raise ValueError(f"HostStager(k={self.k}) got {len(arrays)}")
+        a0 = np.asarray(arrays[0])
+        ny, nx = a0.shape[-2:]
+        ny_p, nx_p = padded_shape(ny, nx) if self.pad else (ny, nx)
+        oshape = (self.k,) + a0.shape[:-2] + (ny_p, nx_p)
+        if self._lp_shape != oshape:
+            self._lp_values = np.empty(oshape, np.float32)
+            self._lp_pmask = np.empty((self.k, ny_p, nx_p), np.uint32)
+            self._lp_shape = oshape
+        vals, pmask, self.counts = native.decode_pad_levpack_batch(
+            arrays, ny_p, nx_p, self.undef, self.fill,
+            out=self._lp_values, pmask=self._lp_pmask)
+        dv = jax.device_put(vals, device)
+        dp = jax.device_put(pmask, device)
+        return [Field(dv[i], None) for i in range(self.k)], dp
+
+
+def _stage_step(args, stager: HostStager, undef: float, on_tpu: bool,
+                levpack: bool = False):
     """Decode + pad one step's inputs onto the device (host-thread-safe:
-    everything here is numpy + the native codec + async device_put)."""
+    everything here is numpy + the native codec + async device_put).
+    ``levpack=True`` (TPU, nlev <= 32) ships the 4 stack masks as one
+    LEV-bit-packed uint32 block — nlev/32 of the mask payload."""
     import jax
     import jax.numpy as jnp
 
@@ -91,7 +124,11 @@ def _stage_step(args, stager: HostStager, undef: float, on_tpu: bool):
     nlev, ny, nx = tk.shape
     ny_p, nx_p = padded_shape(ny, nx) if on_tpu else (ny, nx)
 
-    tkf, qf, uf, vf = stager.stage(tk, q, u, v)
+    packed = None
+    if levpack and on_tpu and nlev <= 32:
+        (tkf, qf, uf, vf), packed = stager.stage_levpack(tk, q, u, v)
+    else:
+        tkf, qf, uf, vf = stager.stage(tk, q, u, v)
     psp, psm, ps_ndef = native.decode_pad(np.asarray(ps, np.float32),
                                           ny_p, nx_p, undef)
     psf = Field(jnp.asarray(psp), jnp.asarray(psm))
@@ -110,10 +147,11 @@ def _stage_step(args, stager: HostStager, undef: float, on_tpu: bool):
     al = jnp.asarray(np.asarray(alevel, np.float32))
     bl = jnp.asarray(np.asarray(blevel, np.float32))
     return ((tkf, qf, uf, vf, psf, al, bl, pad2(xmapr), pad2(ymapr),
-             pad2(fcoriolis)), (ny, nx), all_defined)
+             pad2(fcoriolis)), (ny, nx), all_defined, packed)
 
 
-def _compute_fetch(staged, shape, on_tpu: bool, all_defined: bool = False):
+def _compute_fetch(staged, shape, on_tpu: bool, all_defined: bool = False,
+                   packed=None):
     """Dispatch the pipeline and fetch (values, masks) numpy stacks."""
     import jax
 
@@ -121,11 +159,21 @@ def _compute_fetch(staged, shape, on_tpu: bool, all_defined: bool = False):
         from .ops.fused import derived_fields_fused
         # the mask-mapped encode codec (encode_trim_batch mask_map=...)
         # consumes the kernel's native mask layouts directly: the
-        # deduplicated 9-plane stack, or the ALL_DEFINED fast path's
-        # 2 data-dependent planes (~23% step time, PERF.md) — no
-        # plane-aligned 12-stack expansion on device or host
-        out = derived_fields_fused(*staged, global_shape=shape,
-                                   stacked=True, all_defined=all_defined)
+        # deduplicated 9-plane stack, the LEV-packed uint32 planes, or
+        # the ALL_DEFINED fast path's 2 data-dependent planes (~23%
+        # step time, PERF.md) — no plane-aligned 12-stack expansion on
+        # device or host
+        if packed is not None and not all_defined:
+            # levpack staging: input masks arrived LEV-bit-packed; the
+            # kernel consumes the planes directly and writes its masks
+            # in the same packed layout (nlev/4 of the int8 fetch)
+            out = derived_fields_fused(*staged, global_shape=shape,
+                                       stacked=True, levpack_masks=True,
+                                       packed_input_masks=packed)
+        else:
+            out = derived_fields_fused(*staged, global_shape=shape,
+                                       stacked=True,
+                                       all_defined=all_defined)
         return np.asarray(out.values), np.asarray(out.masks)
     from .models import derived_fields
     out = jax.jit(derived_fields)(*staged)
@@ -145,6 +193,7 @@ def _encode_step(values, masks, ny, nx, undef) -> Dict[str, np.ndarray]:
 
 def run_derived_fields_np(tk, q, u, v, ps, alevel, blevel, xmapr, ymapr,
                           fcoriolis, undef: float = UNDEF,
+                          levpack: Optional[bool] = None,
                           ) -> Dict[str, np.ndarray]:
     """The 12-output derived-field pipeline, numpy sentinel boundary to
     numpy sentinel boundary, on the production padded device layout.
@@ -157,15 +206,26 @@ def run_derived_fields_np(tk, q, u, v, ps, alevel, blevel, xmapr, ymapr,
     The jnp fallback (off-TPU) fills edges at ARRAY extent, so it runs
     on the logical shape; the fused kernel takes ``global_shape`` and
     runs on the canonical padded layout.
+
+    ``levpack`` (TPU, nlev <= 32): masks cross the host link
+    LEV-bit-packed in BOTH directions — one uint32 plane per stack
+    instead of nlev int8 planes (input payload /32, output mask fetch
+    /8 at nlev=32; kernel step time is a wash, PERF.md item 4).
+    Values are unchanged.  Default: the ``MF_STAGING_LEVPACK`` env var
+    (unset = off).
     """
     import jax
 
+    if levpack is None:
+        import os
+        levpack = os.environ.get("MF_STAGING_LEVPACK", "0") != "0"
     on_tpu = jax.devices()[0].platform == "tpu"
     stager = _stager_cache(k=4, undef=undef, pad=on_tpu)
-    staged, (ny, nx), all_defined = _stage_step(
+    staged, (ny, nx), all_defined, packed = _stage_step(
         (tk, q, u, v, ps, alevel, blevel, xmapr, ymapr, fcoriolis),
-        stager, undef, on_tpu)
-    values, masks = _compute_fetch(staged, (ny, nx), on_tpu, all_defined)
+        stager, undef, on_tpu, levpack=levpack)
+    values, masks = _compute_fetch(staged, (ny, nx), on_tpu, all_defined,
+                                   packed)
     return _encode_step(values, masks, ny, nx, undef)
 
 
@@ -207,12 +267,12 @@ def stream_derived_fields_np(steps, undef: float = UNDEF):
         prev_encode = None
         i = 0
         while fut_stage is not None:
-            staged, (ny, nx), all_defined = fut_stage.result()
+            staged, (ny, nx), all_defined, packed = fut_stage.result()
             nxt = next(it, None)
             fut_stage = None if nxt is None else ex_in.submit(
                 _stage_step, nxt, stagers[(i + 1) % 2], undef, on_tpu)
             values, masks = _compute_fetch(staged, (ny, nx), on_tpu,
-                                           all_defined)
+                                           all_defined, packed)
             if prev_encode is not None:
                 yield prev_encode.result()
             prev_encode = ex_out.submit(_encode_step, values, masks,

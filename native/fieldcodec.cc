@@ -179,7 +179,7 @@ inline bool is_defined(float v, float undef) {
 
 extern "C" {
 
-int mf_native_abi_version() { return 4; }
+int mf_native_abi_version() { return 5; }
 
 // Decode: out[i] = defined ? v[i] : fill; mask[i] = defined.  `out` may
 // alias `v` (in-place sanitize).  Returns the number of defined points.
@@ -361,6 +361,87 @@ void mf_encode_trim_batch_map(const float* v, const uint8_t* mask,
       } else {
         const uint8_t* sm = mask + ((mf * lead + l) * ny_p + r) * nx_p;
         for (int64_t i = 0; i < nx; ++i) ov[i] = sm[i] ? sv[i] : undef;
+      }
+    }
+  });
+}
+
+// LEV-packed batch staging (ABI v5): decode+pad K same-shape
+// [nlev, ny, nx] sentinel stacks in ONE parallel region, emitting the
+// mask bit-planes the fused kernel's levpack ABI consumes directly
+// (derived_fields_fused(levpack_masks=True, packed_input_masks=...)):
+// `pmask` is one [K, ny_p, nx_p] uint32 block with bit L = level L
+// defined (dead rows/lanes all-zero), matching the kernel's in-program
+// pack ((m << lev).sum(0), ops/fused.py).  The mask payload shipped
+// per step is nlev/32 of the uint8 block — the 8-32x cut PERF.md item
+// 4 measured as a step-time wash but a real transfer-bytes win on a
+// latency-bound host link.  Values block and counts as
+// mf_decode_pad_batch.  Requires nlev <= 32.
+void mf_decode_pad_levpack_batch(const float** srcs, int64_t k,
+                                 int64_t nlev, int64_t ny, int64_t nx,
+                                 int64_t ny_p, int64_t nx_p, float undef,
+                                 float fill, float* out, uint32_t* pmask,
+                                 int64_t* counts) {
+  std::vector<std::atomic<int64_t>> n_def(k);
+  for (auto& c : n_def) c.store(0, std::memory_order_relaxed);
+  // one row owner per (field, padded row): the lev loop stays private,
+  // so the bit-OR accumulation into pmask needs no atomics
+  parallel_for(k * ny_p, [&](int64_t b, int64_t e) {
+    for (int64_t row = b; row < e; ++row) {
+      int64_t f = row / ny_p, r = row % ny_p;
+      uint32_t* pm = pmask + row * nx_p;
+      for (int64_t i = 0; i < nx_p; ++i) pm[i] = 0;
+      if (r < ny) {
+        int64_t local = 0;
+        for (int64_t lev = 0; lev < nlev; ++lev) {
+          const float* sv = srcs[f] + (lev * ny + r) * nx;
+          float* ov = out + ((f * nlev + lev) * ny_p + r) * nx_p;
+          uint32_t bit = 1u << lev;
+          for (int64_t i = 0; i < nx; ++i) {
+            bool d = is_defined(sv[i], undef);
+            pm[i] |= d ? bit : 0u;
+            ov[i] = d ? sv[i] : fill;
+            local += d;
+          }
+          for (int64_t i = nx; i < nx_p; ++i) ov[i] = fill;
+        }
+        n_def[f].fetch_add(local, std::memory_order_relaxed);
+      } else {
+        for (int64_t lev = 0; lev < nlev; ++lev) {
+          float* ov = out + ((f * nlev + lev) * ny_p + r) * nx_p;
+          for (int64_t i = 0; i < nx_p; ++i) ov[i] = fill;
+        }
+      }
+    }
+  });
+  for (int64_t f = 0; f < k; ++f) counts[f] = n_def[f].load();
+}
+
+// Trim+encode for LEV-packed device masks (ABI v5): value planes
+// [k, nlev, ny_p, nx_p] with a packed mask block of `km <= k`
+// [ny_p, nx_p] uint32 planes (bit L = level L defined, the fused
+// kernel's levpack_masks output layout); `mask_map[f]` names value
+// plane f's packed plane (-1 = constant defined: plain trim copy).
+void mf_encode_trim_batch_levpack(const float* v, const uint32_t* pmask,
+                                  const int64_t* mask_map, int64_t k,
+                                  int64_t nlev, int64_t ny, int64_t nx,
+                                  int64_t ny_p, int64_t nx_p, float undef,
+                                  float** outs) {
+  parallel_for(k * nlev * ny, [&](int64_t b, int64_t e) {
+    for (int64_t row = b; row < e; ++row) {
+      int64_t f = row / (nlev * ny);
+      int64_t rem = row % (nlev * ny);
+      int64_t l = rem / ny, r = rem % ny;
+      const float* sv = v + ((f * nlev + l) * ny_p + r) * nx_p;
+      float* ov = outs[f] + rem * nx;
+      int64_t mf = mask_map[f];
+      if (mf < 0) {
+        std::memcpy(ov, sv, nx * sizeof(float));
+      } else {
+        const uint32_t* pm = pmask + (mf * ny_p + r) * nx_p;
+        uint32_t bit = 1u << l;
+        for (int64_t i = 0; i < nx; ++i)
+          ov[i] = (pm[i] & bit) ? sv[i] : undef;
       }
     }
   });

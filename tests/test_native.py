@@ -243,3 +243,85 @@ def test_encode_trim_batch_mask_map():
     with pytest.raises(ValueError):
         native.encode_trim_batch(vals, masks, ny, nx,
                                  mask_map=(0, 1, 2, -1))
+
+
+def test_decode_pad_levpack_batch_matches_batch():
+    """LEV-packed staging (ABI v5): values and counts equal the plain
+    batch decode; the uint32 planes equal the manual bit pack (bit L =
+    level L defined — the fused kernel's in-program pack order,
+    ops/fused.py), with dead rows/lanes all-zero; native == fallback."""
+    rng = np.random.default_rng(11)
+    nlev, ny, nx = 5, 13, 37
+    arrays = [_sentinel_grid(rng, (nlev, ny, nx)) for _ in range(3)]
+    vals, pm, counts = native.decode_pad_levpack_batch(arrays, 16, 128)
+    v2, m2, c2 = native.decode_pad_batch(arrays, 16, 128)
+    np.testing.assert_array_equal(vals, v2)
+    assert counts == c2
+    assert pm.dtype == np.uint32 and pm.shape == (3, 16, 128)
+    bits = (np.uint32(1) << np.arange(nlev, dtype=np.uint32)
+            )[:, None, None]
+    for k in range(3):
+        want = (m2[k].astype(np.uint32) * bits).sum(0, dtype=np.uint32)
+        np.testing.assert_array_equal(pm[k], want)
+    assert not pm[:, ny:, :].any() and not pm[:, :, nx:].any()
+
+    # numpy fallback path (forced by hiding the lib)
+    import mi_fieldcalc_tpu.native as nat
+    saved = nat._lib, nat._tried
+    try:
+        nat._lib, nat._tried = None, True
+        fv, fp, fcnt = nat.decode_pad_levpack_batch(arrays, 16, 128)
+    finally:
+        nat._lib, nat._tried = saved
+    np.testing.assert_array_equal(fv, vals)
+    np.testing.assert_array_equal(fp, pm)
+    assert fcnt == counts
+
+    with pytest.raises(ValueError):
+        native.decode_pad_levpack_batch([arrays[0][0]])      # 2-D input
+    with pytest.raises(ValueError):
+        native.decode_pad_levpack_batch(
+            [np.zeros((33, 4, 4), np.float32)])              # nlev > 32
+
+
+def test_encode_trim_batch_levpack_roundtrip():
+    """encode_trim_batch consumes the LEV-packed uint32 mask layout:
+    round-trips the levpack decode bit-exactly, honors shared planes and
+    -1 (constant defined), native == fallback."""
+    rng = np.random.default_rng(12)
+    nlev, ny, nx = 4, 11, 30
+    arrays = [_sentinel_grid(rng, (nlev, ny, nx), with_nan=False)
+              for _ in range(3)]
+    vals, pm, _ = native.decode_pad_levpack_batch(arrays, 16, 128)
+    outs = native.encode_trim_batch(vals, pm, ny, nx,
+                                    mask_map=list(range(3)))
+    for a, o in zip(arrays, outs):
+        np.testing.assert_array_equal(o, a)
+
+    # shared plane + constant-defined entries
+    outs2 = native.encode_trim_batch(vals, pm[:1], ny, nx,
+                                     mask_map=[0, -1, 0])
+    np.testing.assert_array_equal(outs2[1], vals[1][:, :ny, :nx])
+    bits = (np.uint32(1) << np.arange(nlev, dtype=np.uint32)
+            )[:, None, None]
+    m0 = (pm[0, None, :ny, :nx] & bits) != 0
+    m0 = m0.reshape(nlev, ny, nx)
+    np.testing.assert_array_equal(
+        outs2[2], np.where(m0, vals[2][:, :ny, :nx],
+                           np.float32(native.UNDEF)))
+
+    import mi_fieldcalc_tpu.native as nat
+    saved = nat._lib, nat._tried
+    try:
+        nat._lib, nat._tried = None, True
+        fb = nat.encode_trim_batch(vals, pm[:1], ny, nx,
+                                   mask_map=[0, -1, 0])
+    finally:
+        nat._lib, nat._tried = saved
+    for a, b in zip(outs2, fb):
+        np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError):      # packed masks require mask_map
+        native.encode_trim_batch(vals, pm, ny, nx)
+    with pytest.raises(ValueError):      # map names a missing plane
+        native.encode_trim_batch(vals, pm[:1], ny, nx, mask_map=[0, 1, 0])

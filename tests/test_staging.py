@@ -107,7 +107,7 @@ def test_stage_step_all_defined_gate():
 
     args = list(_inputs())          # has undefs in tk and q
     stager = HostStager(k=4, pad=True)
-    _, _, all_defined = _stage_step(tuple(args), stager, UNDEF, True)
+    _, _, all_defined, _ = _stage_step(tuple(args), stager, UNDEF, True)
     assert not all_defined
 
     clean = list(_inputs(seed=9))
@@ -115,13 +115,14 @@ def test_stage_step_all_defined_gate():
     for a in clean[:5]:
         a[np.isnan(a)] = 1.0
         a[a == np.float32(UNDEF)] = 1.0
-    _, _, all_defined = _stage_step(tuple(clean), stager, UNDEF, True)
+    _, _, all_defined, _ = _stage_step(tuple(clean), stager, UNDEF, True)
     assert all_defined
 
     dirty_ps = [a.copy() if isinstance(a, np.ndarray) else a
                 for a in clean]
     dirty_ps[4][0, 0] = UNDEF       # a single undef in ps flips the gate
-    _, _, all_defined = _stage_step(tuple(dirty_ps), stager, UNDEF, True)
+    _, _, all_defined, _ = _stage_step(tuple(dirty_ps), stager, UNDEF,
+                                       True)
     assert not all_defined
 
 
@@ -244,3 +245,63 @@ def test_run_vessel_icing_np():
     with pytest.raises(ValueError):
         run_vessel_icing_np(sal, wave, xw, yw, at, rh, sst, p, pw,
                             aice, depth, *scal, products=("nope",))
+
+
+def test_stage_levpack_feeds_kernel_abi():
+    """stage_levpack: codec-packed uint32 planes equal the in-device
+    pack of stage()'s masks (same bit order as ops/fused.py), and drive
+    the fused kernel's levpack ABI to the same values/masks as the
+    default mask path — the host-codec -> kernel contract end to end."""
+    from mi_fieldcalc_tpu.layout import pad_array
+    from mi_fieldcalc_tpu.ops.fused import derived_fields_fused
+
+    nlev, ny, nx = 3, 21, 70
+    args = _inputs(nlev, ny, nx, seed=6)
+    stager = HostStager(k=4, pad=True)
+    fields = stager.stage(*args[:4])
+    counts = list(stager.counts)
+    lp_fields, packed = stager.stage_levpack(*args[:4])
+    assert stager.counts == counts
+    pk = np.asarray(packed)
+    assert pk.dtype == np.uint32 and pk.shape == (4, 24, 128)
+    sh = np.arange(nlev, dtype=np.uint32)[:, None, None]
+    for k, (f, lf) in enumerate(zip(fields, lp_fields)):
+        np.testing.assert_array_equal(np.asarray(f.values),
+                                      np.asarray(lf.values))
+        assert lf.mask is None
+        want = ((np.asarray(f.mask).astype(np.uint32) << sh)
+                .sum(0, dtype=np.uint32))
+        np.testing.assert_array_equal(pk[k], want)
+
+    from mi_fieldcalc_tpu.field import Field
+    from mi_fieldcalc_tpu.native import decode_pad
+    psv, psm, _ = decode_pad(args[4], 24, 128)
+    psf = Field(jnp.asarray(psv), jnp.asarray(psm))
+    al, bl = jnp.asarray(args[5]), jnp.asarray(args[6])
+    xm, ym = pad_array(args[7]), pad_array(args[8])
+    fc = jnp.asarray(args[9])
+    ref = derived_fields_fused(*fields, psf, al, bl, xm, ym, fc,
+                               interpret=True, stacked=True,
+                               global_shape=(ny, nx))
+    got = derived_fields_fused(*lp_fields, psf, al, bl, xm, ym, fc,
+                               interpret=True, stacked=True,
+                               levpack_masks=True,
+                               packed_input_masks=packed,
+                               global_shape=(ny, nx))
+    from mi_fieldcalc_tpu.models.pipeline import DerivedFields
+    np.testing.assert_array_equal(np.asarray(ref.values),
+                                  np.asarray(got.values))
+    for i in range(12):
+        np.testing.assert_array_equal(np.asarray(ref.field(i).mask),
+                                      np.asarray(got.field(i).mask),
+                                      err_msg=DerivedFields._fields[i])
+
+
+def test_run_derived_fields_np_levpack_param():
+    """levpack=True is accepted everywhere (it only changes the device
+    ABI on TPU; off-TPU results are identical by construction)."""
+    args = _inputs(seed=8)
+    ref = run_derived_fields_np(*args)
+    got = run_derived_fields_np(*args, levpack=True)
+    for name in ref:
+        np.testing.assert_array_equal(got[name], ref[name])

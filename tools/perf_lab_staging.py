@@ -57,6 +57,18 @@ def main():
     print(f"decode_pad_batch (spawn):  {t*1e3:7.2f} ms  {gb/t:6.1f} GB/s in")
     os.environ.pop("MF_NATIVE_POOL")
 
+    # LEV-packed staging (ABI v5): same values block, masks as ONE
+    # uint32 bit-plane per field instead of NLEV uint8 planes — the
+    # mask payload shipped to the device drops NLEV/4 = 8x at nlev=32
+    lp_out = np.empty((4, NLEV, 720, 1024), np.float32)
+    lp_pm = np.empty((4, 720, 1024), np.uint32)
+    t = timeit(lambda: native.decode_pad_levpack_batch(
+        fields, out=lp_out, pmask=lp_pm))
+    mask_mb = (4 * NLEV * 720 * 1024) / 1e6
+    lp_mb = lp_pm.nbytes / 1e6
+    print(f"decode_pad_levpack_batch:  {t*1e3:7.2f} ms  {gb/t:6.1f} GB/s in"
+          f"  (mask payload {mask_mb:.0f} -> {lp_mb:.0f} MB)")
+
     t = timeit(lambda: [np.where(~np.isnan(f) & (f != np.float32(UNDEF)),
                                  f, 0.0) for f in fields])
     print(f"numpy 2-pass (no pad):     {t*1e3:7.2f} ms")
@@ -70,6 +82,16 @@ def main():
     t = timeit(lambda: [native.encode_trim(vals[i], masks[i], NY, NX)
                         for i in range(12)])
     print(f"encode_trim x12 per-field: {t*1e3:7.2f} ms  {gbo/t:6.1f} GB/s")
+    # LEV-packed device masks (the kernel's levpack_masks output): 9
+    # uint32 planes instead of 9 x NLEV int8 — the mask FETCH payload
+    # drops NLEV/4 = 8x; the encode consumes the bit-planes in place
+    bits = (np.uint32(1) << np.arange(NLEV, dtype=np.uint32))[:, None, None]
+    plane = (msk[0].astype(np.uint32) * bits).sum(0, dtype=np.uint32)
+    pm9 = np.ascontiguousarray(np.broadcast_to(plane, (9,) + plane.shape))
+    m9 = [0, 1, 2, 2, 3, 3, 4, 5, 5, 6, 7, 8]      # MASK9
+    t = timeit(lambda: native.encode_trim_batch(vals, pm9, NY, NX,
+                                                mask_map=m9))
+    print(f"encode_trim_batch levpack: {t*1e3:7.2f} ms  {gbo/t:6.1f} GB/s")
 
     # streaming executor: decode(i+1) + encode(i-1) overlap compute(i)
     from mi_fieldcalc_tpu.staging import (run_derived_fields_np,
