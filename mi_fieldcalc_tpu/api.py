@@ -458,22 +458,46 @@ def constantOPERfield(compute: int, value: float, field,
                  kwscalars={"undef": undef})
 
 
+@functools.lru_cache(maxsize=256)
+def _member_stack_op(op, nlead, nfields):
+    """Adapter giving a member reduction the regular per-field call
+    convention: the members enter as ``nfields`` separate 2-D Fields
+    and are stacked IN-PROGRAM.  Inside :func:`batch` this keeps each
+    member an individual input — it dedups/caches like any other array
+    and ships inside the shared same-shape transfer group instead of as
+    a separate pre-stacked 3-D block."""
+    def run(*args, **kw):
+        import jax.numpy as jnp
+        lead = args[:nlead]
+        fs = args[nlead:nlead + nfields]
+        scal = args[nlead + nfields:]
+        stacked = Field(jnp.stack([f.values for f in fs]),
+                        jnp.stack([f.mask for f in fs]))
+        return op(*lead, stacked, *scal, **kw)
+    return run
+
+
 def _wrap_members(op, undef, fields, lead_scalars=(), scalars=()):
     """Ensemble wrapper: stack member fields on a leading axis and run the
     jitted reduction (``op(*lead_scalars, stack, *scalars)``).  Inside a
-    :func:`batch` context the stacked call is recorded like any other
-    (Deferred members materialize through the numpy protocol when
-    stacked)."""
+    :func:`batch` context each member records as its own 2-D input
+    (stacked in-program by :func:`_member_stack_op`), so Deferred
+    members chain on device and concrete members ride the input cache."""
+    from .batch import active_batch
+    b = active_batch()
+    if b is not None:
+        fields = list(fields)
+        if not fields:
+            return None
+        return b.record(
+            _member_stack_op(op, len(lead_scalars), len(fields)),
+            float(undef), tuple(fields),
+            tuple(_canon(s) for s in scalars), (),
+            tuple(_canon(s) for s in lead_scalars))
     npa = [np.asarray(a, np.float32) for a in fields]
     if not npa or npa[0].ndim != 2 \
             or any(a.shape != npa[0].shape for a in npa[1:]):
         return None
-    from .batch import active_batch
-    b = active_batch()
-    if b is not None:
-        return b.record(op, float(undef), (np.stack(npa),),
-                        tuple(_canon(s) for s in scalars), (),
-                        tuple(_canon(s) for s in lead_scalars), ndim=3)
     fn = _compiled(op, float(undef), tuple(_canon(s) for s in scalars), (),
                    tuple(_canon(s) for s in lead_scalars))
     try:

@@ -194,3 +194,26 @@ def test_batch_input_cache_ships_only_changed(monkeypatch):
         assert np.array_equal(got, want)
     assert np.array_equal(r1[0], r2[0])
     B.clear_input_cache()
+
+
+def test_batch_member_ops_stack_in_program():
+    """Ensemble reductions inside batch(): members record as individual
+    2-D inputs (stacked in-program), Deferred members chain on device,
+    results equal the eager path."""
+    t, rh, _ = _grids(seed=10)
+    t2 = np.ascontiguousarray(t * 0.99)
+    t3 = np.ascontiguousarray(t * 1.01)
+    e_sum = fc.sumFields([t, t2, t3])
+    e_mean = fc.meanValue([t, t2, t3])
+    with fc.batch():
+        s = fc.sumFields([t, t2, t3])
+        m = fc.meanValue([t, t2, t3])
+        c = fc.cvtemp(t, 2)
+        chained = fc.maxvalueFields(fc.cvtemp(c, 1), t2)  # Deferred member
+        bad = fc.sumFields([t, t2[:-1]])                  # shape mismatch
+        assert bad is None
+        assert fc.sumFields([]) is None
+    assert np.array_equal(np.asarray(s), e_sum)
+    assert np.array_equal(np.asarray(m), e_mean)
+    e_ch = fc.maxvalueFields(fc.cvtemp(fc.cvtemp(t, 2), 1), t2)
+    assert np.array_equal(np.asarray(chained), e_ch)
