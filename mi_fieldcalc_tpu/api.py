@@ -19,12 +19,12 @@ import functools
 import numpy as np
 
 from .field import Field, UNDEF, ValuesDefined, from_sentinel  # noqa: F401
-from .batch import batch, Deferred, BatchError  # noqa: F401
+from .batch import batch, clear_input_cache, Deferred, BatchError  # noqa: F401,E501
 from . import ops
 
 __all__ = [
     # call-storm batching (batch.py): one device program per storm
-    "batch", "Deferred", "BatchError",
+    "batch", "clear_input_cache", "Deferred", "BatchError",
     # the 15 functions the reference's pybind11 module exposes
     "ValuesDefined", "kIndex", "ductingIndex", "showalterIndex",
     "boydenIndex", "sweatIndex", "seaSoundSpeed", "cvtemp", "cvhum",

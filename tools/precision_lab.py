@@ -301,10 +301,20 @@ def main():
     ap.add_argument("--ny", type=int, default=96)
     ap.add_argument("--nx", type=int, default=128)
     ap.add_argument("--seed", type=int, default=5)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run our ops on the real TPU instead of the CPU "
+                         "backend: quantifies the TPU-libm (tanh/exp/pow) "
+                         "delta against the same oracle truths and writes "
+                         "PRECISION_TPU.json (VERDICT r3 missing #1 — the "
+                         "solver luck bands were calibrated against host "
+                         "libm; this measures whether they move on chip)")
     a = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if not a.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import mi_fieldcalc_tpu.api as fc
 
     lib = oracle_lib()
@@ -317,9 +327,12 @@ def main():
               sound_speed=False)
     results.update({f"physical/{k}": v for k, v in physical.items()})
 
-    out = {"grid": [ny, nx], "seed": a.seed, "results": results}
+    import jax as _jax
+    out = {"grid": [ny, nx], "seed": a.seed,
+           "platform": _jax.devices()[0].platform, "results": results}
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PRECISION.json")
+        os.path.abspath(__file__))),
+        "PRECISION_TPU.json" if a.tpu else "PRECISION.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
