@@ -200,6 +200,38 @@ def main():
                   jnp_ref("a", aargs), got.as_fields(), ny=NY, nx=NX)
     run("fused/all-defined-stacked-padded", ad_padded_stacked)
 
+    def staging_levpack():
+        # round 4: the native codec's LEV-bit-packed planes through the
+        # REAL Mosaic levpack ABI (sentinel numpy in, sentinel numpy
+        # out) must match the default mask path end to end
+        from mi_fieldcalc_tpu.staging import run_derived_fields_np
+        rng = np.random.default_rng(12)
+        tk3 = rng.uniform(250, 300, (NLEV, NY, NX)).astype(np.float32)
+        q3 = rng.uniform(1e-4, 1e-2, (NLEV, NY, NX)).astype(np.float32)
+        u3 = rng.normal(0, 12, (NLEV, NY, NX)).astype(np.float32)
+        v3 = rng.normal(0, 12, (NLEV, NY, NX)).astype(np.float32)
+        tk3[rng.random(tk3.shape) < 0.01] = np.float32(1e35)
+        q3[rng.random(q3.shape) < 0.01] = np.float32(1e35)
+        ps2 = rng.uniform(950, 1030, (NY, NX)).astype(np.float32)
+        al = np.linspace(0, 50, NLEV).astype(np.float32)
+        bl = np.linspace(1, 0.5, NLEV).astype(np.float32)
+        xm = np.full((NY, NX), 4e-7, np.float32)
+        ym = np.full((NY, NX), 3.6e-7, np.float32)
+        fcor = np.full((NY, NX), 1.2e-4, np.float32)
+        args = (tk3, q3, u3, v3, ps2, al, bl, xm, ym, fcor)
+        a = run_derived_fields_np(*args)
+        b = run_derived_fields_np(*args, levpack=True)
+        for k in a:
+            ua, ub = (a[k] == np.float32(1e35)), (b[k] == np.float32(1e35))
+            if not np.array_equal(ua, ub):
+                fails.append(f"staging/levpack-np: {k} sentinel pattern "
+                             f"mismatch ({int((ua != ub).sum())} pts)")
+                return
+            if not np.allclose(a[k][~ua], b[k][~ua], rtol=RTOL):
+                fails.append(f"staging/levpack-np: {k} values diverge")
+                return
+    run("staging/levpack-np", staging_levpack)
+
     # ---- sharded wrappers on a 1-device mesh (real shard_map+Mosaic) --
     mesh1 = grid_mesh((1, 1, 1), devices=jax.devices()[:1])
 
