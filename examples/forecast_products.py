@@ -111,6 +111,18 @@ def main():
           f"{np.abs(np.asarray(back) - t850).max():.2g}, "
           f"q850 mean {defined.mean():.2e} kg/kg")
 
+    # -- 6. forecast cycles: device-resident inputs across storms ----------
+    # cache_inputs=True pins concrete inputs on device (identity-keyed);
+    # a repeated cycle ships only the arrays that changed, and results
+    # from one batch() feed the next without a host round trip
+    for cycle in range(2):
+        t_new = t850 + np.float32(0.1 * cycle)   # "changed" field
+        with fc.batch(cache_inputs=True):
+            c = fc.cvtemp(t_new, 2)              # t_new ships; rh850
+            h = fc.plevelhum(t_new, rh850, 850.0, "", 3)   # rides cache
+        print(f"cycle {cycle}: q850 mean "
+              f"{np.asarray(h)[hv < 1e34].mean():.2e} kg/kg")
+
 
 if __name__ == "__main__":
     main()

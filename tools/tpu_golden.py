@@ -33,6 +33,8 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import jax
 
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -76,6 +78,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None,
                     help="JSON artifact to merge results into")
+    ap.add_argument("--cpu", action="store_true",
+                    help="sanity run on the CPU backend (must match the "
+                         "pytest conformance suite: 0 nonconformant)")
     args = ap.parse_args()
 
     from conformance_cases import CASES, UNDEF, case_inputs
