@@ -42,9 +42,58 @@ __all__ = [
 _f32 = jnp.float32
 
 
+# ---------------------------------------------------------------------------
+# Platform-deterministic f32 transcendentals (round 4).  The icing
+# solvers' sensitive stages (wave fixed point, droplet RK, freeze-
+# fraction Newton) amplify last-ulp exp/tanh differences into visible
+# output deltas — the Mosaic kernels' hardware approximations diverged
+# from XLA's by a few ulps and pushed ~1.8% of physical-regime MINCOG
+# lanes past the 2e-3 conformance band (PRECISION.md "TPU libm",
+# round-4 diagnosis).  These Cephes-structured implementations use only
+# mul/add/select/bitcast, so XLA:CPU, XLA:TPU, and Mosaic all lower
+# them to the same arithmetic: the jnp path and the VMEM kernels now
+# agree at the one-ulp level on every backend.  (exp is bitwise equal
+# to XLA:CPU's expf on 400k samples; both are <=1 ulp of true, tanh
+# <=1.3 ulp — the luck band vs the host-libm reference stays at its
+# CPU-calibrated width.)  Constants are the public Cephes expf/tanhf
+# reduction constants.
+# ---------------------------------------------------------------------------
+
+def _exp_f32(x):
+    z = jnp.floor(_f32(1.44269504088896341) * x + _f32(0.5))
+    r = x - z * _f32(0.693359375)
+    r = r - z * _f32(-2.12194440e-4)
+    p = _f32(1.9875691500e-4)
+    p = p * r + _f32(1.3981999507e-3)
+    p = p * r + _f32(8.3334519073e-3)
+    p = p * r + _f32(4.1665795894e-2)
+    p = p * r + _f32(1.6666665459e-1)
+    p = p * r + _f32(5.0000001201e-1)
+    e = r * r * p + r + _f32(1.0)
+    n = jnp.clip(z.astype(jnp.int32), -126, 127)
+    scale = jax.lax.bitcast_convert_type(
+        ((n + 127) << 23).astype(jnp.int32), jnp.float32)
+    return e * scale
+
+
+def _tanh_f32(x):
+    ax = jnp.abs(x)
+    z2 = x * x
+    p = _f32(-5.70498872745e-3)
+    p = p * z2 + _f32(2.06390887954e-2)
+    p = p * z2 - _f32(5.37397155531e-2)
+    p = p * z2 + _f32(1.33314422036e-1)
+    p = p * z2 - _f32(3.33332819422e-1)
+    small = z2 * x * p + x
+    big = _f32(1.0) - _f32(2.0) / (_exp_f32(_f32(2.0) * ax) + _f32(1.0))
+    big = jnp.where(x < 0, -big, big)
+    out = jnp.where(ax < _f32(0.625), small, big)
+    return jnp.where(ax > _f32(9.0), jnp.sign(x), out)
+
+
 def _icing_f1(t):
     """Magnus-type saturation vapor pressure (VI:53-57)."""
-    return _f32(0.6112) * jnp.exp(_f32(17.67) * t / (t + _f32(243.5)))
+    return _f32(0.6112) * _exp_f32(_f32(17.67) * t / (t + _f32(243.5)))
 
 
 def _kt4(t_celsius):
@@ -154,11 +203,17 @@ KERNEL_SOLVER_UNROLL = (16, 10, 4)
 KERNEL_SOLVER_UNROLL_MS = (8, 10, 4)
 
 #: kernel-path warm-start Newton iterations per height (0 = cold solve
-#: every height, the jnp path's exact behavior).  Measured sweep
-#: (tools, 2026-08-18): 3 is 28% faster than cold at max rel diff 8e-5
-#: (conformance tolerance is 2e-3); 2 degrades to 4e-3 — too loose.
-#: env MF_WARM_NEWTON overrides for labs.
-KERNEL_WARM_NEWTON = int(os.environ.get("MF_WARM_NEWTON", "3"))
+#: every height, the jnp path's exact behavior).  Round-3's sweep
+#: measured warm=3 at "max rel diff 8e-5", but the round-4 on-hardware
+#: precision pass falsified that on the physical icing regime: the
+#: warm-started roots differ at solver tolerance, and near-degenerate
+#: freeze-fraction residuals amplify that to |d| up to 1.5 cm/h on
+#: ~110/4694 lanes vs the jnp path (89 lanes beyond the 2e-3 oracle
+#: band; cold solves reproduce the jnp path to 8e-5 with ZERO lanes
+#: beyond 2e-3 — PRECISION.md "TPU revalidation").  Exact-by-default,
+#: like KERNEL_WARM_FP: cold solves ship; MF_WARM_NEWTON=3 remains the
+#: measured ~28%-faster opt-in for consumers inside the 2e-3 budget.
+KERNEL_WARM_NEWTON = int(os.environ.get("MF_WARM_NEWTON", "0"))
 
 #: kernel-path ModStall height sweep: arm the freezing-fraction loop's
 #: analytic projection (Aitken root + cap/cycle resolution) after this
@@ -276,7 +331,7 @@ def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float,
     def body(state):
         c, c_sw, done_i, j = state
         done = done_i != 0
-        t = jnp.tanh(a / c)
+        t = _tanh_f32(a / c)
         g = c0 * t
         # |g'(c)| = c0 * a * sech^2(a/c) / c^2   (g' is always <= 0)
         gp = (c0 * a) * (_f32(1.0) - t * t) / (c * c)
@@ -349,7 +404,7 @@ def _wave_speed_fixed_point(c0, a, needs_iter, max_iter: int, tol: float,
         # differences (an exactly-rounded-tanh emulation still
         # disagrees with libc on 0.74% of lanes)
         rr = jnp.maximum(c, _f32(tol))
-        t_r = jnp.tanh(a / rr)
+        t_r = _tanh_f32(a / rr)
         s = (c0 * a) * (_f32(1.0) - t_r * t_r) / (rr * rr)
         floor_step = (_f32(1.0) + s) * _f32(1.19e-7) * rr \
             / jnp.maximum(_f32(1.0) - s, _f32(1e-7))
@@ -381,7 +436,7 @@ def _wave_cap_predict(c0, a, r, c_sw, tol: float, warmup: int, nodes=16):
     """
     tolf = _f32(tol)
     rr = jnp.maximum(r, tolf)
-    t_r = jnp.tanh(a / rr)
+    t_r = _tanh_f32(a / rr)
     s = (c0 * a) * (_f32(1.0) - t_r * t_r) / (rr * rr)
     u_end = tolf / (_f32(1.0) + s)
     u_sw = jnp.maximum(jnp.abs(c_sw - rr), u_end)
@@ -397,12 +452,12 @@ def _wave_cap_predict(c0, a, r, c_sw, tol: float, warmup: int, nodes=16):
         x = rr + du
         xs = jnp.maximum(jnp.abs(x), _f32(1e-20)) * jnp.where(
             x < 0, _f32(-1.0), _f32(1.0))
-        tx = jnp.tanh(a / xs)
-        td = jnp.tanh(-(a * du) / (xs * rr))
+        tx = _tanh_f32(a / xs)
+        td = _tanh_f32(-(a * du) / (xs * rr))
         return c0 * td * (_f32(1.0) - tx * t_r)
 
     def node(i, acc):
-        u = jnp.exp(ln_lo + i.astype(_f32) * dln)
+        u = _exp_f32(ln_lo + i.astype(_f32) * dln)
         d1 = gdiff(side * u)
         d2 = gdiff(d1)
         q = jnp.abs(d2) / u
@@ -1075,7 +1130,7 @@ def _mincog_core(c0, a, shallow, skip0, wave, pw, depth, v, sst, sal,
         dl = _f32(4.0 * math.pi) * depth / lam
         # sinh via exp (Mosaic has no sinh); overflow behavior matches:
         # dl/sinh(dl) -> 0 either way once exp saturates
-        sh = (jnp.exp(dl) - jnp.exp(-dl)) * _f32(0.5)
+        sh = (_exp_f32(dl) - _exp_f32(-dl)) * _f32(0.5)
         cg = (c / _f32(2.0)) * (_f32(1.0) + dl / sh)
         vgr = cg - _f32(vsca)
         lwc0 = _f32(9.5205e-4) * (wave * wave) * jnp.sqrt(wave / lam) * vgr
