@@ -250,8 +250,35 @@ def config4(disp):
          {"plevels": len(STANDARD_PLEVELS), **info})
 
 
+def phase_probe(disp):
+    """Row 0: the chip/tunnel phase this ledger was measured in.
+    Rounds-over-rounds comparison of configs 1-3 is meaningful only
+    between ledgers whose phase probes match (~30%): the shared chip's
+    dispatch (0.9-4 ms) and streaming bandwidth (150-350+ GB/s) both
+    drift minute-to-minute, and the dispatch-bound (1, 1b) and
+    bandwidth-bound (2, 3, 4) configs track them directly."""
+    import time
+
+    x = jnp.ones((64, 1024, 1024), jnp.float32)   # 256 MB
+    cp = jax.jit(lambda a: a + 1.0)
+    y = cp(x)
+    float(y[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(4):
+        y = cp(x)
+    float(y[0, 0, 0])
+    dt = (time.perf_counter() - t0) / 4
+    d = disp()
+    bw = 2 * x.nbytes / max(dt - d, 1e-6)
+    print(json.dumps({"config": 0, "desc": "phase probes (condition "
+                      "rows on these before cross-ledger comparison)",
+                      "disp_ms": round(d * 1e3, 3),
+                      "bw_gbps": round(bw / 1e9, 1)}), flush=True)
+
+
 def main():
     disp = make_dispatch_probe()
+    phase_probe(disp)
     for f in (config1, config1b, config2, config3, config4):
         f(disp)
     print(json.dumps({

@@ -51,30 +51,46 @@ def make_dispatch_probe():
     return disp
 
 
-def qtime_probed(fn, probe, iters=20, rounds=5, disp=None):
+def qtime_probed(fn, probe, iters=20, rounds=5, disp=None,
+                 retry_disp=1.8e-3, retries=1):
     """Congestion-robust queue-drain timing (bench.py's rejection
     machinery, shared): each round brackets the step measurement with
     dispatch probes and is REJECTED when the dispatch estimate spikes
     above ``max(1.5x, +0.5 ms)`` of the best round's — a congested
-    tunnel inflates every sample taken through it.  Returns
-    ``(step_time, info)`` where step_time is the min over surviving
-    rounds and info records the dispatch estimate and rejection tally
-    (all-congested falls back to min over every round, flagged)."""
+    tunnel inflates every sample taken through it.  When even the BEST
+    round's dispatch exceeds ``retry_disp`` (the whole attempt sat in a
+    congestion phase the relative gate cannot see), the full attempt is
+    repeated up to ``retries`` times and the lowest-dispatch attempt
+    wins.  Returns ``(step_time, info)``: min over surviving rounds,
+    plus the dispatch estimate and rejection tally — cross-run ledger
+    comparisons should condition on ``disp_ms``."""
     if disp is None:
         disp = make_dispatch_probe()
-    recs = []
-    for _ in range(rounds):
-        d0 = disp()
-        out = fn()
-        probe(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
+
+    def attempt():
+        recs = []
+        for _ in range(rounds):
+            d0 = disp()
             out = fn()
-        probe(out)
-        dt = (time.perf_counter() - t0) / iters
-        d1 = disp()
-        recs.append((max(d0, d1), dt))
-    dmin = min(d for d, _ in recs)
+            probe(out)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn()
+            probe(out)
+            dt = (time.perf_counter() - t0) / iters
+            d1 = disp()
+            recs.append((max(d0, d1), dt))
+        return recs
+
+    best = None
+    for k in range(retries + 1):
+        recs = attempt()
+        dmin = min(d for d, _ in recs)
+        if best is None or dmin < best[0]:
+            best = (dmin, recs, k)
+        if dmin <= retry_disp:
+            break
+    dmin, recs, _ = best
     thresh = max(1.5 * dmin, dmin + 5e-4)
     ok = [dt for d, dt in recs if d <= thresh]
     congested = not ok
@@ -83,5 +99,5 @@ def qtime_probed(fn, probe, iters=20, rounds=5, disp=None):
         "disp_ms": round(dmin * 1e3, 3),
         "rounds_used": len(sel),
         "rounds": rounds,
-        "congested": congested,
+        "congested": congested or dmin > retry_disp,
     }
