@@ -14,12 +14,15 @@ B) alevel_suite_fused: the existing hand-fused Pallas suite kernel —
    plevel with per-level constant pressure IS alevel with a
    constant-per-level pressure field, so the candidate kernel already
    exists and the A/B needs no new code.  Same modes, same stack,
-   inputs device-resident, outputs fetched per cycle.
+   inputs device-resident.
 
-Both sides pay the same boundary work per cycle (zero H2D steady-state,
-full D2H of 6 x [10, 719, 929] outputs); the difference is the device
-program.  Decision rule (VERDICT): build a dedicated plevel suite
-kernel only if B/A > 1.3x.
+Timing is FETCH-FREE queue-drain: enqueue the program(s), then drain
+through a tiny independent program's scalar (device programs execute
+in order).  Both sides' boundary costs are identical either way (this
+tunnel's D2H saturates at ~125 MB/s and would drown the device-time
+difference the decision needs — PERF.md "Forecast cycles").  A full
+fetch + value cross-check runs once, untimed.  Decision rule
+(VERDICT): build a dedicated plevel suite kernel only if B/A > 1.3x.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
        python tools/perf_lab_plevel_suite.py [--rounds 5]
@@ -123,18 +126,45 @@ def main():
 
     disp = make_dispatch_probe()
     B.clear_input_cache()
-    ncalls = len(storm_batch())               # compiles + fills cache
-    storm_suite()                             # compiles
+    ra = storm_batch()                        # compiles + fills cache
+    rb = storm_suite()                        # compiles
+    ncalls = len(ra)
+
+    tiny = jnp.ones((8, 128), jnp.float32)
+    add1 = jax.jit(lambda x: x + 1.0)
+    float(add1(tiny)[0, 0])
+
+    def drain():
+        return float(add1(tiny)[0, 0])
+
+    def run_batch_nofetch():
+        # flush at context exit enqueues the ONE program; outputs stay
+        # device-resident (lazy fetch) — nothing crosses the link
+        with fc.batch(cache_inputs=True):
+            outs = []
+            for k in range(NLEV):
+                p = float(PLEVELS[k])
+                for c in TEMPS:
+                    outs.append(fc.pleveltemp(tkl[k], p, "", c))
+                for c in P_HUMS_Q:
+                    outs.append(fc.plevelhum(tkl[k], ql[k], p, "", c))
+                for c in P_HUMS_RH:
+                    outs.append(fc.plevelhum(tkl[k], rhl[k], p, "", c))
+        return outs
 
     recs = []
     for r in range(a.rounds):
         d0 = disp()
         t0 = time.perf_counter()
-        ra = storm_batch()
-        ta = time.perf_counter() - t0
+        for _ in range(5):
+            run_batch_nofetch()
+        drain()
+        ta = (time.perf_counter() - t0) / 5
         t0 = time.perf_counter()
-        rb = storm_suite()
-        tb = time.perf_counter() - t0
+        for _ in range(5):
+            suite(*args_dev)
+        drain()
+        tb = (time.perf_counter() - t0) / 5
         d1 = disp()
         recs.append((max(d0, d1), ta, tb))
         print(f"round {r}: disp {max(d0, d1)*1e3:5.2f} ms | "
@@ -154,9 +184,12 @@ def main():
         assert np.array_equal(und, ~(sm != 0)), mi
         m = ~und
         d = np.abs(kb[m] - sv[m])
-        rel = float((d / np.maximum(np.abs(kb[m]), 1e-6)).max())
-        assert rel < 2e-4, (mi, rel)
-        worst = max(worst, rel)
+        # allclose-style: Celsius-scale outputs cross zero, so a bare
+        # relative check explodes at the crossing lanes
+        tol = 1e-3 + 2e-4 * np.abs(kb[m])
+        nbad = int((d > tol).sum())
+        assert nbad == 0, (mi, nbad, float(d.max()))
+        worst = max(worst, float(d.max()))
 
     dmin = min(r[0] for r in recs)
     ok = [r for r in recs if r[0] <= max(1.5 * dmin, dmin + 5e-4)] or recs
@@ -164,7 +197,7 @@ def main():
     tb = min(r[2] for r in ok)
     print(f"best uncongested ({len(ok)}/{len(recs)}): batch-XLA "
           f"{ta*1e3:.1f} ms vs suite-kernel {tb*1e3:.1f} ms -> "
-          f"kernel buys {ta/tb:.2f}x ({ncalls} calls, max rel dev "
+          f"kernel buys {ta/tb:.2f}x ({ncalls} calls, max |d| "
           f"{worst:.1e}; decision threshold 1.3x)")
 
 
