@@ -1,0 +1,132 @@
+"""Platform-deterministic f32 transcendentals (round 4).
+
+XLA:TPU's pow/log/log10 are coarse approximations (the round-4 on-TPU
+golden pass measured logField ~3000 ulp and pow-heavy conversions
+~30-60 ulp off the host-libm oracle — TPUTEST_r04 "golden_jnp_tpu"),
+and the icing solvers showed that last-ulp libm drift amplifies through
+sensitive stages.  These Cephes-structured implementations use ONLY
+mul/add/select/int/bitcast, so XLA:CPU, XLA:TPU, and Mosaic lower them
+to the same arithmetic:
+
+* every backend computes the same bits (Mosaic-vs-XLA probed bitwise
+  on chip, PRECISION.md "TPU revalidation");
+* accuracy is libm-class — exp ≤1 ulp (bitwise equal to XLA:CPU expf
+  on 400k samples), log ≤0.9 ulp, tanh ≤1.3 ulp, the pow composition
+  ≤~5 ulp over (1e-6, 1e6) — so TPU results inherit the CPU-calibrated
+  conformance the goldens were tuned against.
+
+Constants are the public-domain Cephes expf/logf/tanhf reduction
+constants.  All functions are elementwise jnp and safe inside Pallas
+kernels (no gather, no i1 vectors, non-negative shifts).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["exp_f32", "tanh_f32", "log_f32", "log10_f32", "pow_f32",
+           "pow10_f32"]
+
+_f32 = jnp.float32
+
+#: ln2 split (Cephes C1/C2) and log2(e)
+_LOG2E = 1.44269504088896341
+_LN2_HI = 0.693359375
+_LN2_LO = -2.12194440e-4
+#: ln10 split (high part exact in f32)
+_LN10_HI = 2.30078125
+_LN10_LO = 1.8038429940459154e-3
+#: 1/ln10
+_LOG10E = 0.43429448190325176
+
+
+def exp_f32(x, xlo=None):
+    """Cephes expf: reduce by ln2 (hi/lo), degree-5 minimax, 2^k by
+    exponent bitcast.  ``xlo`` is an optional low part of the argument
+    (``pow10_f32`` passes the x*ln10 product in two pieces so the
+    product rounding does not cost ~|x| ulps in the result)."""
+    z = jnp.floor(_f32(_LOG2E) * x + _f32(0.5))
+    r = x - z * _f32(_LN2_HI)
+    r = r - z * _f32(_LN2_LO)
+    if xlo is not None:
+        r = r + xlo
+    p = _f32(1.9875691500e-4)
+    p = p * r + _f32(1.3981999507e-3)
+    p = p * r + _f32(8.3334519073e-3)
+    p = p * r + _f32(4.1665795894e-2)
+    p = p * r + _f32(1.6666665459e-1)
+    p = p * r + _f32(5.0000001201e-1)
+    e = r * r * p + r + _f32(1.0)
+    n = jnp.clip(z.astype(jnp.int32), -126, 127)
+    scale = lax.bitcast_convert_type(
+        ((n + 127) << 23).astype(jnp.int32), jnp.float32)
+    return e * scale
+
+
+def tanh_f32(x):
+    """Cephes tanhf: odd minimax polynomial for |x| < 0.625, else
+    1 - 2/(e^{2|x|}+1) with the sign restored."""
+    ax = jnp.abs(x)
+    z2 = x * x
+    p = _f32(-5.70498872745e-3)
+    p = p * z2 + _f32(2.06390887954e-2)
+    p = p * z2 - _f32(5.37397155531e-2)
+    p = p * z2 + _f32(1.33314422036e-1)
+    p = p * z2 - _f32(3.33332819422e-1)
+    small = z2 * x * p + x
+    big = _f32(1.0) - _f32(2.0) / (exp_f32(_f32(2.0) * ax) + _f32(1.0))
+    big = jnp.where(x < 0, -big, big)
+    out = jnp.where(ax < _f32(0.625), small, big)
+    return jnp.where(ax > _f32(9.0), jnp.sign(x), out)
+
+
+def log_f32(x):
+    """Cephes logf: mantissa in [sqrt(1/2), sqrt(2)), degree-8 minimax,
+    e*ln2 re-added in two parts.  Domain edges follow libm: log(0) =
+    -inf, log(negative) = nan (propagated through the mask lanes the
+    same way jnp.log's were)."""
+    xi = lax.bitcast_convert_type(x, jnp.int32)
+    e = ((xi >> 23) & 0xFF) - 126
+    m = lax.bitcast_convert_type(
+        (xi & 0x007FFFFF) | (126 << 23), jnp.float32)
+    big = m > _f32(0.70710678118654752440)
+    m = jnp.where(big, m, m * _f32(2.0))
+    e = jnp.where(big, e, e - 1).astype(jnp.float32)
+    z = m - _f32(1.0)
+    p = _f32(7.0376836292e-2)
+    p = p * z - _f32(1.1514610310e-1)
+    p = p * z + _f32(1.1676998740e-1)
+    p = p * z - _f32(1.2420140846e-1)
+    p = p * z + _f32(1.4249322787e-1)
+    p = p * z - _f32(1.6668057665e-1)
+    p = p * z + _f32(2.0000714765e-1)
+    p = p * z - _f32(2.4999993993e-1)
+    p = p * z + _f32(3.3333331174e-1)
+    zz = z * z
+    r = z + (z * zz * p - zz * _f32(0.5))
+    r = r + e * _f32(_LN2_LO)
+    r = r + e * _f32(_LN2_HI)
+    # libm edges: the bit-field path above would return garbage for
+    # zero/negative/non-finite inputs
+    r = jnp.where(x > 0, r, jnp.where(x == 0, -jnp.inf, jnp.nan))
+    return jnp.where(jnp.isfinite(x), r, jnp.where(x > 0, x, jnp.nan))
+
+
+def log10_f32(x):
+    return log_f32(x) * _f32(_LOG10E)
+
+
+def pow_f32(x, c):
+    """x**c for static float ``c`` as exp(c*log x) on the positive
+    interior; zero/negative bases keep jnp.power's semantics (integer-
+    exponent sign rules, 0**c edges), which only those edge lanes see."""
+    r = exp_f32(_f32(c) * log_f32(x))
+    return jnp.where(x > 0, r, jnp.power(x, _f32(c)))
+
+
+def pow10_f32(x):
+    """10**x as exp(x*ln10) with the product carried hi+lo — a single
+    rounded product would cost ~|x·ln10| ulps through the exponential."""
+    return exp_f32(x * _f32(_LN10_HI), x * _f32(_LN10_LO))

@@ -243,8 +243,15 @@ def geo_altitude_from_fl(fl):
 # --- Exner helpers (FieldCalculations.cc:308-316) ---------------------------
 
 def pidcp_from_p(p):
-    """``(p/p0)**kappa`` — Exner function / cp (FieldCalculations.cc:308-311)."""
-    return jnp.power(jnp.asarray(p, jnp.float32) * p0inv, kappa)
+    """``(p/p0)**kappa`` — Exner function / cp (FieldCalculations.cc:308-311).
+
+    Deterministic pow (_libm.pow_f32): XLA:TPU's native power is tens
+    of ulps off host libm and pushed the pow-heavy conversions out of
+    the golden band on chip (TPUTEST_r04); the exp(kappa*log p) 
+    composition is <=~2 ulp on the pressure-ratio domain and identical
+    arithmetic on every backend."""
+    from ._libm import pow_f32
+    return pow_f32(jnp.asarray(p, jnp.float32) * p0inv, kappa)
 
 
 def pi_from_p(p):

@@ -24,6 +24,8 @@ from ..constants import (
     P_LEVEL_TABLE, F_LEVEL_TABLE,
 )
 from ..field import Field, UNDEF, ValuesDefined, full_undef
+from .._libm import exp_f32, log_f32, log10_f32, pow_f32, pow10_f32, \
+    tanh_f32
 from . import thermo
 from ._harness import and_masks, out_field, require
 
@@ -132,7 +134,7 @@ def abshum(t: Field, rhum: Field) -> Field:
     v1_5 = v * jnp.sqrt(v)
     v3_5 = v2 * v1_5
     v7_5 = v4 * v3_5
-    Pws = Pc * jnp.exp(Tc * tii * (C1 * v + C2 * v1_5 + C3 * v3
+    Pws = Pc * exp_f32(Tc * tii * (C1 * v + C2 * v1_5 + C3 * v3
                                    + C4 * v3_5 + C5 * v4 + C6 * v7_5))
     Pw = Pws * rhum.values
     return out_field(C * Pw * 100 * tii, and_masks(t, rhum))
@@ -155,7 +157,7 @@ def wind_cooling(t: Field, u: Field, v: Field, compute: int) -> Field:
     tconv = t0 if compute == 1 else _f32(0)
     tc = t.values - tconv
     ff = jnp.sqrt(u.values**2 + v.values**2) * _f32(3.6)  # m/s -> km/h
-    ffpow = jnp.power(ff, _f32(0.16))
+    ffpow = pow_f32(ff, _f32(0.16))
     dt = _f32(13.12) + _f32(0.6215) * tc - _f32(11.37) * ffpow \
         + _f32(0.3965) * tc * ffpow
     return out_field(jnp.minimum(dt, _f32(0)), and_masks(t, u, v))
@@ -242,25 +244,25 @@ def absvalue_field(f: Field) -> Field:
 
 
 def log10_field(f: Field) -> Field:
-    return Field(jnp.log10(f.sanitized(1.0)), f.mask)
+    return Field(log10_f32(f.sanitized(1.0)), f.mask)
 
 
 def pow10_field(f: Field) -> Field:
-    return Field(jnp.power(_f32(10), f.sanitized(0.0)), f.mask)
+    return Field(pow10_f32(f.sanitized(0.0)), f.mask)
 
 
 def log_field(f: Field) -> Field:
-    return Field(jnp.log(f.sanitized(1.0)), f.mask)
+    return Field(log_f32(f.sanitized(1.0)), f.mask)
 
 
 def exp_field(f: Field) -> Field:
-    return Field(jnp.exp(f.sanitized(0.0)), f.mask)
+    return Field(exp_f32(f.sanitized(0.0)), f.mask)
 
 
 def power_field(f: Field, value: float, undef: float = UNDEF) -> Field:
     if value == undef:
         return full_undef(f.shape, f.dtype)
-    return Field(jnp.power(f.sanitized(1.0), _f32(value)), f.mask)
+    return Field(pow_f32(f.sanitized(1.0), _f32(value)), f.mask)
 
 
 def replace_undefined(f: Field, value: float, undef: float = UNDEF) -> Field:
@@ -349,7 +351,7 @@ def snow_in_cm(snow_water: Field, tk2m: Field, td2m: Field) -> Field:
     # (1-e^x)/(1+e^x) == -tanh(x/2); the tanh form cannot overflow in f32,
     # whereas the reference's exp() runs in double (C promotion) and stays
     # finite where a f32 exp would saturate to inf
-    logit_t = -jnp.tanh((t - _f32(274.3)) * _f32(1.75))
+    logit_t = -tanh_f32((t - _f32(274.3)) * _f32(1.75))
     dt = (t - _f32(252.0)) / _f32(20.0)
     mm2cm_t = _f32(0.13) / (_f32(0.02) + _f32(0.1) * dt * dt)
     fac = logit_t * mm2cm_t

@@ -42,53 +42,13 @@ __all__ = [
 _f32 = jnp.float32
 
 
-# ---------------------------------------------------------------------------
-# Platform-deterministic f32 transcendentals (round 4).  The icing
+# Platform-deterministic f32 transcendentals (round 4): the icing
 # solvers' sensitive stages (wave fixed point, droplet RK, freeze-
 # fraction Newton) amplify last-ulp exp/tanh differences into visible
-# output deltas — the Mosaic kernels' hardware approximations diverged
-# from XLA's by a few ulps and pushed ~1.8% of physical-regime MINCOG
-# lanes past the 2e-3 conformance band (PRECISION.md "TPU libm",
-# round-4 diagnosis).  These Cephes-structured implementations use only
-# mul/add/select/bitcast, so XLA:CPU, XLA:TPU, and Mosaic all lower
-# them to the same arithmetic: the jnp path and the VMEM kernels now
-# agree at the one-ulp level on every backend.  (exp is bitwise equal
-# to XLA:CPU's expf on 400k samples; both are <=1 ulp of true, tanh
-# <=1.3 ulp — the luck band vs the host-libm reference stays at its
-# CPU-calibrated width.)  Constants are the public Cephes expf/tanhf
-# reduction constants.
-# ---------------------------------------------------------------------------
-
-def _exp_f32(x):
-    z = jnp.floor(_f32(1.44269504088896341) * x + _f32(0.5))
-    r = x - z * _f32(0.693359375)
-    r = r - z * _f32(-2.12194440e-4)
-    p = _f32(1.9875691500e-4)
-    p = p * r + _f32(1.3981999507e-3)
-    p = p * r + _f32(8.3334519073e-3)
-    p = p * r + _f32(4.1665795894e-2)
-    p = p * r + _f32(1.6666665459e-1)
-    p = p * r + _f32(5.0000001201e-1)
-    e = r * r * p + r + _f32(1.0)
-    n = jnp.clip(z.astype(jnp.int32), -126, 127)
-    scale = jax.lax.bitcast_convert_type(
-        ((n + 127) << 23).astype(jnp.int32), jnp.float32)
-    return e * scale
-
-
-def _tanh_f32(x):
-    ax = jnp.abs(x)
-    z2 = x * x
-    p = _f32(-5.70498872745e-3)
-    p = p * z2 + _f32(2.06390887954e-2)
-    p = p * z2 - _f32(5.37397155531e-2)
-    p = p * z2 + _f32(1.33314422036e-1)
-    p = p * z2 - _f32(3.33332819422e-1)
-    small = z2 * x * p + x
-    big = _f32(1.0) - _f32(2.0) / (_exp_f32(_f32(2.0) * ax) + _f32(1.0))
-    big = jnp.where(x < 0, -big, big)
-    out = jnp.where(ax < _f32(0.625), small, big)
-    return jnp.where(ax > _f32(9.0), jnp.sign(x), out)
+# output deltas, so the solver cores use the shared Cephes-structured
+# implementations (.._libm — identical arithmetic on XLA:CPU, XLA:TPU,
+# and Mosaic; see PRECISION.md "TPU revalidation").
+from .._libm import exp_f32 as _exp_f32, tanh_f32 as _tanh_f32  # noqa: E402
 
 
 def _icing_f1(t):

@@ -64,10 +64,19 @@ def test_aleveltemp_canary_719x929():
     tk = (20 + i * F + T0).astype(np.float32).reshape(719, 929)
     p = (1005 + i * F).astype(np.float32).reshape(719, 929)
     th = ops.aleveltemp(from_values(tk), from_values(p), 3, "kelvin")
-    expect = jnp.asarray(tk) / jnp.power(jnp.asarray(p) * p0inv, kappa)
+    # bit-exact vs the closed form through the library's own pow (the
+    # reference's expected side likewise calls ITS std::pow,
+    # FieldCalculationsTest.cc:160; since round 4 that is the
+    # deterministic _libm composition, not jnp.power)
+    from mi_fieldcalc_tpu._libm import pow_f32
+    expect = jnp.asarray(tk) / pow_f32(jnp.asarray(p) * p0inv, kappa)
     np.testing.assert_array_equal(np.asarray(th.values), np.asarray(expect))
     assert th.defined_state() == ALL
-    # and against libm powf within float32 tolerance
+    # and within EXPECT_FLOAT_EQ-class tolerance (~4 ulp) of an
+    # INDEPENDENT pow: both jnp.power and libm powf
+    expect_x = np.asarray(
+        jnp.asarray(tk) / jnp.power(jnp.asarray(p) * p0inv, kappa))
+    np.testing.assert_allclose(np.asarray(th.values), expect_x, rtol=5e-7)
     expect_np = tk / np.power(p * np.float32(p0inv), np.float32(kappa))
     np.testing.assert_allclose(np.asarray(th.values), expect_np, rtol=1e-5)
 
