@@ -1,0 +1,85 @@
+"""Platform-deterministic transcendentals (mi_fieldcalc_tpu/_libm.py).
+
+These back every conversion core and the icing solver stages; the
+conformance story (180/180 goldens on TPU, PRECISION.md "TPU
+revalidation") rests on their accuracy staying libm-class.  Bounds are
+asserted against float64 references on dense random sweeps, and the
+libm edges (log of 0/negative/inf, pow's non-positive bases, tanh
+saturation) are pinned.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mi_fieldcalc_tpu._libm import (exp_f32, log_f32, log10_f32, pow_f32,
+                                    pow10_f32, tanh_f32)
+
+
+def _ulp(ours, true64):
+    ours64 = np.asarray(ours).astype(np.float64)
+    spacing = np.spacing(np.abs(true64).astype(np.float32)).astype(
+        np.float64)
+    return np.abs(ours64 - true64) / np.maximum(spacing, 1e-45)
+
+
+def test_exp_accuracy():
+    rng = np.random.default_rng(0)
+    x = np.concatenate([rng.uniform(-80, 80, 100000),
+                        rng.uniform(-1, 1, 100000)]).astype(np.float32)
+    u = _ulp(exp_f32(x), np.exp(x.astype(np.float64)))
+    assert u.max() < 1.5, u.max()
+
+
+def test_log_accuracy_and_edges():
+    rng = np.random.default_rng(1)
+    x = np.concatenate([rng.uniform(1e-30, 1e30, 100000),
+                        rng.uniform(0.3, 3.0, 100000)]).astype(np.float32)
+    u = _ulp(log_f32(x), np.log(x.astype(np.float64)))
+    assert u.max() < 1.5, u.max()
+    edges = np.asarray(log_f32(jnp.asarray(
+        [0.0, -1.0, np.inf, np.nan], jnp.float32)))
+    assert edges[0] == -np.inf and np.isnan(edges[1])
+    assert edges[2] == np.inf and np.isnan(edges[3])
+
+
+def test_log10_accuracy():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(1e-20, 1e20, 100000).astype(np.float32)
+    u = _ulp(log10_f32(x), np.log10(x.astype(np.float64)))
+    assert u.max() < 2.5, u.max()
+
+
+def test_pow_accuracy_and_edges():
+    rng = np.random.default_rng(3)
+    # the production exponents: kappa (pidcp), 0.16 (windCooling),
+    # and a generic powerField value.  The composition's envelope is
+    # ~0.15 ulp per unit of |c*ln x| (_libm.pow_f32 docstring): bound
+    # each sweep accordingly.
+    for c, hi, bound in ((0.2857142857142857, 1e4, 8.0),
+                         (0.16, 1e4, 8.0),
+                         (2.5, 1e4, 40.0)):
+        x = rng.uniform(1e-4, hi, 100000).astype(np.float32)
+        u = _ulp(pow_f32(x, c), np.power(x.astype(np.float64), c))
+        assert u.max() < bound, (c, u.max())
+    # non-positive bases keep jnp.power's semantics
+    got = np.asarray(pow_f32(jnp.asarray([0.0, -2.0], jnp.float32), 2.0))
+    want = np.asarray(jnp.power(jnp.asarray([0.0, -2.0], jnp.float32),
+                                jnp.float32(2.0)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pow10_accuracy():
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-36, 36, 100000).astype(np.float32)
+    u = _ulp(pow10_f32(x), np.power(10.0, x.astype(np.float64)))
+    assert u.max() < 3.0, u.max()
+
+
+def test_tanh_accuracy_and_saturation():
+    rng = np.random.default_rng(5)
+    x = np.concatenate([rng.uniform(-12, 12, 100000),
+                        rng.uniform(-0.8, 0.8, 100000)]).astype(np.float32)
+    u = _ulp(tanh_f32(x), np.tanh(x.astype(np.float64)))
+    assert u.max() < 2.0, u.max()
+    sat = np.asarray(tanh_f32(jnp.asarray([20.0, -20.0], jnp.float32)))
+    np.testing.assert_array_equal(sat, [1.0, -1.0])
