@@ -400,6 +400,16 @@ def main():
               "total_seconds": round(total, 1),
               "shapes": [NLEV, NY, NX],
               "cases": cases, "failures": fails}
+    # preserve sections other tools merged into the same artifact
+    # (tools/tpu_golden.py's "golden_jnp_tpu") instead of clobbering
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prev = json.load(fh)
+            for k, v in prev.items():
+                result.setdefault(k, v)
+        except Exception:
+            pass
     json.dump(result, open(out_path, "w"), indent=1)
     print(f"\n{'PASS' if ok else 'FAIL'}: {len(cases)} cases, "
           f"{len(fails)} failures, {total:.0f}s -> {out_path}")
