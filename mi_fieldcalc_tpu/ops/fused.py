@@ -461,7 +461,12 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
         if not allm:
             put_ref(m_p, psvm)
 
-        pidcp = jnp.power(p_raw * p0inv, kappa)
+        # deterministic pow (_libm, round 4): the jnp path's
+        # pidcp_from_p switched to it — the kernel must track
+        # bit-for-bit or spread-style cancellation statistics over the
+        # two paths drift (tests/test_parallel_fused ensemble spread)
+        from .._libm import pow_f32
+        pidcp = pow_f32(p_raw * p0inv, kappa)
         o_th[0] = tkv / pidcp
         if not allm:
             put_ref(m_th, tkm & psvm)
