@@ -134,10 +134,11 @@ class Deferred(np.lib.mixins.NDArrayOperatorsMixin):
     Deferred into a later batched call re-uses it on device.
     """
 
-    def __init__(self, batch, aval):
+    def __init__(self, batch, aval, undef=None):
         self._batch = batch
         self.shape = tuple(aval.shape)
         self.dtype = aval.dtype
+        self._undef = undef
         self._dev = None              # (_StackHandle, row) once executed
         self._failed = None
 
@@ -179,7 +180,16 @@ class Deferred(np.lib.mixins.NDArrayOperatorsMixin):
                 raise BatchError(
                     "batched program failed; no data") from self._failed
         handle, row = self._dev
-        return handle.fetch()[row]
+        v = handle.fetch()[row]
+        if v.dtype != np.float32:
+            # half-width fetch (fetch_dtype): widen back and re-snap
+            # the rounded sentinel to the call's exact undef
+            snap = _rounded_undef(self._undef, v.dtype)
+            v = v.astype(np.float32)
+            if snap != self._undef:
+                v = np.where(v == np.float32(snap),
+                             np.float32(self._undef), v)
+        return v
 
 
 # ---------------------------------------------------------------------------
@@ -196,6 +206,14 @@ class _CacheEntry:
         self.stack = stack                # jax device array (n, ...)
         self.row = row
         self.nbytes = host_ref.nbytes
+
+
+def _rounded_undef(undef, dtype):
+    """float32 value the sentinel lands on after a round trip through
+    ``dtype`` (bfloat16 keeps f32's exponent range, so 1e35 survives —
+    just rounded in its last mantissa bits)."""
+    return float(np.asarray(undef, np.float32).astype(dtype)
+                 .astype(np.float32))
 
 
 _cache_lock = threading.Lock()
@@ -254,14 +272,15 @@ def _validate(op, undef, scalars, kwitems, lead, shapes):
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_batch(sig):
+def _compiled_batch(sig, fetch_dtype=None):
     """ONE jitted program for a recorded call sequence.  ``sig`` holds
     per call (op, undef, scalars, kwitems, lead, arg-sources); each arg
     source is ("a", pos, row) — row of the stacked array passed at
     position ``pos`` (a shipped host stack OR a device-resident stack:
     a cached input's or an earlier program's output stack) — or
     ("c", call, output), an earlier call's traced result in THIS
-    program."""
+    program.  ``fetch_dtype`` ("bfloat16") casts the OUTPUT stacks on
+    device so half the bytes cross the link — see :class:`batch`."""
     import jax
 
     def run(*flat):
@@ -270,8 +289,21 @@ def _compiled_batch(sig):
         results = {}
         outs = []
         for ci, (op, undef, scalars, kwitems, lead, srcs) in enumerate(sig):
-            arrs = [flat[s[1]][s[2]] if s[0] == "a" else results[s[1:]]
-                    for s in srcs]
+            arrs = []
+            for s in srcs:
+                if s[0] == "a":
+                    arrs.append(flat[s[1]][s[2]])
+                elif s[0] == "b":
+                    # half-width device-resident input (a previous
+                    # fetch_dtype program's output): widen and re-snap
+                    # its rounded sentinel before the decode
+                    x = flat[s[1]][s[2]].astype(jnp.float32)
+                    if s[3] != s[4]:
+                        x = jnp.where(x == jnp.float32(s[3]),
+                                      jnp.float32(s[4]), x)
+                    arrs.append(x)
+                else:
+                    arrs.append(results[s[1:]])
             fields = tuple(from_sentinel(a, undef) for a in arrs)
             out = op(*lead, *fields, *scalars, **dict(kwitems))
             if isinstance(out, Field):
@@ -289,8 +321,11 @@ def _compiled_batch(sig):
         groups = {}
         for k, o in enumerate(outs):
             groups.setdefault(tuple(o.shape), []).append(k)
-        return tuple(jnp.stack([outs[k] for k in groups[s]])
-                     for s in sorted(groups))
+        stacks = tuple(jnp.stack([outs[k] for k in groups[s]])
+                       for s in sorted(groups))
+        if fetch_dtype is not None:
+            stacks = tuple(s.astype(fetch_dtype) for s in stacks)
+        return stacks
 
     return jax.jit(run)
 
@@ -307,9 +342,10 @@ class _Call:
 
 
 class _Batch:
-    def __init__(self, cache_inputs=False):
+    def __init__(self, cache_inputs=False, fetch_dtype=None):
         self.calls = []           # current (unflushed) segment
         self.cache_inputs = cache_inputs
+        self.fetch_dtype = fetch_dtype
 
     # -- recording ----------------------------------------------------
     def record(self, op, undef, arrays, scalars, kwitems, lead,
@@ -343,7 +379,7 @@ class _Batch:
             return None
         single = not isinstance(avals, tuple)
         avs = (avals,) if single else tuple(avals)
-        refs = tuple(Deferred(self, av) for av in avs)
+        refs = tuple(Deferred(self, av, float(undef)) for av in avs)
         self.calls.append(_Call(op, float(undef), scalars, kwitems,
                                 lead, args, refs))
         return refs[0] if single else refs
@@ -429,7 +465,14 @@ class _Batch:
                         srcs.append(k)
                     else:           # flushed earlier: device-resident
                         handle, row = a._dev
-                        srcs.append(("a", pos_of(handle.dev), row))
+                        p = pos_of(handle.dev)
+                        if str(handle.dev.dtype) == "float32":
+                            srcs.append(("a", p, row))
+                        else:       # half-width fetched stack: widen +
+                            # re-snap its rounded sentinel in-program
+                            snap = _rounded_undef(a._undef,
+                                                  handle.dev.dtype)
+                            srcs.append(("b", p, row, snap, a._undef))
                 else:
                     pk = (a.__array_interface__["data"][0], a.shape,
                           a.strides, a.dtype.str)
@@ -441,7 +484,8 @@ class _Batch:
             sig.append((c.op, c.undef, c.scalars, c.kwitems, c.lead,
                         tuple(srcs)))
 
-        stacks = _compiled_batch(tuple(sig))(*flat_args)
+        stacks = _compiled_batch(tuple(sig),
+                                 self.fetch_dtype)(*flat_args)
 
         # enter freshly shipped inputs into the device cache (rows ride
         # the shipped stack — no per-row device work)
@@ -467,15 +511,30 @@ class batch:
     ``cache_inputs=True`` additionally keeps concrete inputs resident
     on device across flushes and contexts (identity-keyed; see module
     docstring) so repeated forecast cycles ship only changed arrays.
+
+    ``fetch_dtype="bfloat16"`` casts the OUTPUT stacks on device, so
+    half the bytes cross the host link — the measured floor of a
+    fetch-everything forecast cycle on a latency-bound link (PERF.md
+    "Forecast cycles").  ``np.asarray`` still returns float32: values
+    are widened on the host (~3 decimal digits of precision — a
+    display/serving tier, not the conformance tier) and the sentinel
+    is re-snapped exactly, so undef propagation is unaffected.
+    Chaining a bfloat16-fetched Deferred into a later call widens and
+    re-snaps in-program the same way.
     """
 
-    def __init__(self, cache_inputs=False):
+    def __init__(self, cache_inputs=False, fetch_dtype=None):
+        if fetch_dtype not in (None, "bfloat16"):
+            raise ValueError("batch: fetch_dtype must be None or "
+                             "'bfloat16'")
         self._cache_inputs = cache_inputs
+        self._fetch_dtype = fetch_dtype
 
     def __enter__(self):
         if active_batch() is not None:
             raise BatchError("batch() contexts do not nest")
-        self._b = _Batch(cache_inputs=self._cache_inputs)
+        self._b = _Batch(cache_inputs=self._cache_inputs,
+                         fetch_dtype=self._fetch_dtype)
         _state.batch = self._b
         return self._b
 

@@ -122,7 +122,7 @@ def test_batch_failure_marks_deferreds(monkeypatch):
     import mi_fieldcalc_tpu.batch as B
     t, rh, _ = _grids(seed=6)
 
-    def boom(sig):
+    def boom(sig, fetch_dtype=None):
         def run(*a):
             raise RuntimeError("injected device failure")
         return run
@@ -217,3 +217,28 @@ def test_batch_member_ops_stack_in_program():
     assert np.array_equal(np.asarray(m), e_mean)
     e_ch = fc.maxvalueFields(fc.cvtemp(fc.cvtemp(t, 2), 1), t2)
     assert np.array_equal(np.asarray(chained), e_ch)
+
+
+def test_batch_bf16_fetch():
+    """fetch_dtype='bfloat16': half the bytes cross the link, results
+    come back float32 within bf16 precision, the sentinel is re-snapped
+    EXACTLY, and chaining a bf16-fetched Deferred into a later
+    (full-precision) batch re-snaps in-program."""
+    t, rh, _ = _grids(seed=11)
+    e = fc.abshum(t, rh, UNDEF)
+    with fc.batch(fetch_dtype="bfloat16"):
+        a = fc.abshum(t, rh, UNDEF)
+        b = fc.cvtemp(t, 2)
+    av = np.asarray(a)
+    assert av.dtype == np.float32
+    und = e == np.float32(UNDEF)
+    assert np.array_equal(av == np.float32(UNDEF), und)
+    assert np.allclose(av[~und], e[~und], rtol=1e-2)
+    with fc.batch():
+        c = fc.cvtemp(b, 1)                  # bf16 Deferred as input
+    cv = np.asarray(c)
+    t_und = t == np.float32(UNDEF)
+    assert np.array_equal(cv == np.float32(UNDEF), t_und)
+    assert np.allclose(cv[~t_und], t[~t_und], rtol=1e-2)
+    with pytest.raises(ValueError):
+        fc.batch(fetch_dtype="float16")

@@ -107,6 +107,13 @@ def main():
             out = storm(fc, args)
         return fetch(out)
 
+    def run_bf16(args):
+        # half-width fetch: the cycle is D2H-bound, so halving the
+        # output bytes attacks the measured floor directly
+        with fc.batch(cache_inputs=True, fetch_dtype="bfloat16"):
+            out = storm(fc, args)
+        return fetch(out)
+
     def mode_cached_pipe(cycles):
         """Dispatch cycle i+1 before fetching cycle i's outputs."""
         outs, fetched = [], []
@@ -129,24 +136,39 @@ def main():
         t0 = time.perf_counter()
         got_b = [run_batch(args) for args in cyc]
         tb = (time.perf_counter() - t0) / a.cycles
-        B.clear_input_cache()
-        run_cached(cyc[0])                    # cold fill, not timed
+
+        def warm(run, r0):
+            # fill the cache with warm-only cycles so BOTH program
+            # layouts (cold ship-all, steady 2-fresh) are compiled
+            # before the clock starts, and every timed cycle hits the
+            # steady signature
+            B.clear_input_cache()
+            run(cycle_args(90000 + r0))
+            run(cycle_args(90001 + r0))
+
+        warm(run_cached, 0)
         t0 = time.perf_counter()
         got_c = [run_cached(args) for args in cyc]
         tc = (time.perf_counter() - t0) / a.cycles
-        B.clear_input_cache()
-        run_cached(cyc[0])
+        warm(run_cached, 2)
         t0 = time.perf_counter()
         got_p = mode_cached_pipe(cyc)
         tp = (time.perf_counter() - t0) / a.cycles
+        warm(run_bf16, 4)
+        t0 = time.perf_counter()
+        got_h = [run_bf16(args) for args in cyc]
+        th = (time.perf_counter() - t0) / a.cycles
         d1 = disp()
         dm = max(d0, d1)
-        rows.append((dm, te, tb, tc, tp))
+        rows.append((dm, te, tb, tc, tp, th))
         print(f"round {r}: disp {dm*1e3:5.2f} ms | eager {te*1e3:6.1f}  "
               f"batch {tb*1e3:5.1f}  cached {tc*1e3:5.1f}  "
-              f"cached+pipe {tp*1e3:5.1f} ms/cycle", flush=True)
-        for tag, got in (("batch", got_b), ("cached", got_c),
-                         ("pipe", got_p)):
+              f"cached+pipe {tp*1e3:5.1f}  cached+bf16 {th*1e3:5.1f} "
+              f"ms/cycle", flush=True)
+        for tag, got, rtol, floor in (("batch", got_b, 2e-5, 1e-6),
+                                      ("cached", got_c, 2e-5, 1e-6),
+                                      ("pipe", got_p, 2e-5, 1e-6),
+                                      ("bf16", got_h, 1e-2, 1e-2)):
             for ci, (es, bs) in enumerate(zip(ref, got)):
                 for i, (e, b) in enumerate(zip(es, bs)):
                     e, b = np.asarray(e), np.asarray(b)
@@ -154,18 +176,18 @@ def main():
                     assert np.array_equal(und, b == np.float32(fc.UNDEF)), \
                         (tag, ci, i)
                     d = np.abs(e[~und] - b[~und])
-                    rel = (d / np.maximum(np.abs(e[~und]), 1e-6)).max() \
+                    rel = (d / np.maximum(np.abs(e[~und]), floor)).max() \
                         if d.size else 0.0
-                    assert rel < 2e-5, (tag, ci, i, float(rel))
+                    assert rel < rtol, (tag, ci, i, float(rel))
 
     dmin = min(r[0] for r in rows)
     ok = [r for r in rows if r[0] <= max(1.5 * dmin, dmin + 5e-4)] or rows
-    best = [min(r[k] for r in ok) for k in range(1, 5)]
+    best = [min(r[k] for r in ok) for k in range(1, 6)]
     print(f"best uncongested ({len(ok)}/{len(rows)} rounds, "
           f"disp {dmin*1e3:.2f} ms): eager {best[0]*1e3:.1f}  "
           f"batch {best[1]*1e3:.1f}  cached {best[2]*1e3:.1f}  "
-          f"cached+pipe {best[3]*1e3:.1f} ms/cycle  ({n} calls, "
-          f"2 of 14 inputs fresh per cycle)")
+          f"cached+pipe {best[3]*1e3:.1f}  cached+bf16 {best[4]*1e3:.1f} "
+          f"ms/cycle  ({n} calls, 2 of 14 inputs fresh per cycle)")
 
 
 if __name__ == "__main__":
