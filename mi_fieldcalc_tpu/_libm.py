@@ -47,6 +47,10 @@ def exp_f32(x, xlo=None):
     exponent bitcast.  ``xlo`` is an optional low part of the argument
     (``pow10_f32`` passes the x*ln10 product in two pieces so the
     product rounding does not cost ~|x| ulps in the result)."""
+    # clamp to the saturated region first: beyond it the answer is
+    # exactly 0/inf, and the ln2 reduction's cancellation is garbage
+    # for |x| >> 1e4 (z*ln2_hi no longer tracks x)
+    x = jnp.clip(x, _f32(-104.0), _f32(89.5))
     z = jnp.floor(_f32(_LOG2E) * x + _f32(0.5))
     r = x - z * _f32(_LN2_HI)
     r = r - z * _f32(_LN2_LO)
@@ -59,10 +63,17 @@ def exp_f32(x, xlo=None):
     p = p * r + _f32(1.6666665459e-1)
     p = p * r + _f32(5.0000001201e-1)
     e = r * r * p + r + _f32(1.0)
-    n = jnp.clip(z.astype(jnp.int32), -126, 127)
-    scale = lax.bitcast_convert_type(
-        ((n + 127) << 23).astype(jnp.int32), jnp.float32)
-    return e * scale
+    # 2^k in TWO bitcast factors (k = n1 + n2, each in normal range):
+    # the product underflows gradually through the subnormal band and
+    # overflows to inf exactly where libm expf does — no special cases
+    n = jnp.clip(z, -252.0, 254.0).astype(jnp.int32)
+    n1 = n // 2
+    n2 = n - n1
+    s1 = lax.bitcast_convert_type(
+        ((n1 + 127) << 23).astype(jnp.int32), jnp.float32)
+    s2 = lax.bitcast_convert_type(
+        ((n2 + 127) << 23).astype(jnp.int32), jnp.float32)
+    return (e * s1) * s2
 
 
 def tanh_f32(x):
@@ -109,7 +120,11 @@ def log_f32(x):
     r = r + e * _f32(_LN2_LO)
     r = r + e * _f32(_LN2_HI)
     # libm edges: the bit-field path above would return garbage for
-    # zero/negative/non-finite inputs
+    # zero/negative/non-finite inputs.  Subnormal positives (no
+    # implicit mantissa bit) fall back to the backend log — they never
+    # occur on the physical op domains, and the fallback keeps the
+    # extreme tail exact instead of silently wrong.
+    r = jnp.where(x < _f32(1.1754944e-38), jnp.log(x), r)
     r = jnp.where(x > 0, r, jnp.where(x == 0, -jnp.inf, jnp.nan))
     return jnp.where(jnp.isfinite(x), r, jnp.where(x > 0, x, jnp.nan))
 
@@ -138,11 +153,16 @@ def pow10_f32(x):
     """10**x, Cephes exp10f reduction: split off an exact power of two
     (x = px*log10(2) + w, |w| <= log10(2)/2) so no large-magnitude
     product is ever rounded — ~2 ulp across the full f32 range."""
+    x = jnp.clip(x, _f32(-46.0), _f32(39.0))     # saturated beyond
     px = jnp.floor(_f32(3.32192809488736235) * x + _f32(0.5))
     w = x - px * _f32(3.01025390625e-1)      # log10(2) hi (exact bits)
     w = w - px * _f32(4.605038981195213739e-6)   # log10(2) lo
     e = exp_f32(w * _f32(2.302585092994046))     # |w*ln10| <= 0.35
-    n = jnp.clip(px.astype(jnp.int32), -126, 127)
-    scale = lax.bitcast_convert_type(
-        ((n + 127) << 23).astype(jnp.int32), jnp.float32)
-    return e * scale
+    n = jnp.clip(px, -252.0, 254.0).astype(jnp.int32)
+    n1 = n // 2
+    n2 = n - n1
+    s1 = lax.bitcast_convert_type(
+        ((n1 + 127) << 23).astype(jnp.int32), jnp.float32)
+    s2 = lax.bitcast_convert_type(
+        ((n2 + 127) << 23).astype(jnp.int32), jnp.float32)
+    return (e * s1) * s2

@@ -83,3 +83,24 @@ def test_tanh_accuracy_and_saturation():
     assert u.max() < 2.0, u.max()
     sat = np.asarray(tanh_f32(jnp.asarray([20.0, -20.0], jnp.float32)))
     np.testing.assert_array_equal(sat, [1.0, -1.0])
+
+
+def test_exp_pow10_extreme_domains_match_backend():
+    """Overflow saturates to inf and deep underflow to 0 exactly where
+    the backend's own exp/pow do (XLA flushes subnormals, so the
+    two-factor 2^k scaling must track that, not host libm's gradual
+    underflow) — round-4 review fix: the single-clipped-exponent
+    version returned 2^14-scale garbage in the (-103, -87) band."""
+    xs = jnp.asarray([-1e30, -200.0, -103.0, -95.0, -88.0, -87.0,
+                      87.0, 88.0, 89.0, 200.0, 1e30], jnp.float32)
+    np.testing.assert_allclose(np.asarray(exp_f32(xs)),
+                               np.asarray(jnp.exp(xs)), rtol=2e-5)
+    xp = jnp.asarray([-1e30, -60.0, -44.0, -40.0, 38.0, 39.0, 50.0,
+                      1e30], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(pow10_f32(xp)),
+        np.asarray(jnp.power(jnp.float32(10.0), xp)), rtol=1e-4)
+    # log: subnormal positives fall back to the backend log
+    sub = jnp.asarray([1e-39, 1e-44], jnp.float32)
+    np.testing.assert_allclose(np.asarray(log_f32(sub)),
+                               np.asarray(jnp.log(sub)), rtol=1e-6)
