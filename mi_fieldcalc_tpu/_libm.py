@@ -35,18 +35,13 @@ _f32 = jnp.float32
 _LOG2E = 1.44269504088896341
 _LN2_HI = 0.693359375
 _LN2_LO = -2.12194440e-4
-#: ln10 split (high part exact in f32)
-_LN10_HI = 2.30078125
-_LN10_LO = 1.8038429940459154e-3
 #: 1/ln10
 _LOG10E = 0.43429448190325176
 
 
-def exp_f32(x, xlo=None):
-    """Cephes expf: reduce by ln2 (hi/lo), degree-5 minimax, 2^k by
-    exponent bitcast.  ``xlo`` is an optional low part of the argument
-    (``pow10_f32`` passes the x*ln10 product in two pieces so the
-    product rounding does not cost ~|x| ulps in the result)."""
+def exp_f32(x):
+    """Cephes expf: reduce by ln2 (hi/lo), degree-5 minimax, 2^k by a
+    two-factor exponent bitcast (gradual underflow, natural inf)."""
     # clamp to the saturated region first: beyond it the answer is
     # exactly 0/inf, and the ln2 reduction's cancellation is garbage
     # for |x| >> 1e4 (z*ln2_hi no longer tracks x)
@@ -54,8 +49,6 @@ def exp_f32(x, xlo=None):
     z = jnp.floor(_f32(_LOG2E) * x + _f32(0.5))
     r = x - z * _f32(_LN2_HI)
     r = r - z * _f32(_LN2_LO)
-    if xlo is not None:
-        r = r + xlo
     p = _f32(1.9875691500e-4)
     p = p * r + _f32(1.3981999507e-3)
     p = p * r + _f32(8.3334519073e-3)

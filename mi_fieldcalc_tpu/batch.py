@@ -162,13 +162,22 @@ class Deferred(np.lib.mixins.NDArrayOperatorsMixin):
             raise TypeError("len() of unsized Deferred")
         return self.shape[0]
 
+    #: numpy conveniences that may materialize the Deferred.  A
+    #: WHITELIST, not a catch-all: an open __getattr__ would let any
+    #: duck-typing probe (``hasattr(x, "mask")``, ``getattr(x, "foo",
+    #: None)``) silently flush the half-recorded storm and drag the
+    #: whole output stack over the link (round-4 review finding).
+    _NUMPY_ATTRS = frozenset((
+        "mean", "sum", "min", "max", "std", "var", "prod", "any", "all",
+        "argmin", "argmax", "round", "clip", "astype", "reshape",
+        "ravel", "flatten", "copy", "tolist", "item", "T", "size",
+        "nbytes", "real", "imag", "flat", "data", "itemsize",
+    ))
+
     def __getattr__(self, name):
-        # Fallback for numpy conveniences (.mean(), .T, .size, ...).
-        # Dunders are excluded so protocol probes (pickle/copy) don't
-        # silently materialize.
-        if name.startswith("_"):
-            raise AttributeError(name)
-        return getattr(np.asarray(self), name)
+        if name in self._NUMPY_ATTRS:
+            return getattr(np.asarray(self), name)
+        raise AttributeError(name)
 
     def value(self):
         if self._failed is not None:
@@ -199,13 +208,12 @@ class Deferred(np.lib.mixins.NDArrayOperatorsMixin):
 # ---------------------------------------------------------------------------
 
 class _CacheEntry:
-    __slots__ = ("host_ref", "stack", "row", "nbytes")
+    __slots__ = ("host_ref", "stack", "row")
 
     def __init__(self, host_ref, stack, row):
         self.host_ref = host_ref          # pins identity
         self.stack = stack                # jax device array (n, ...)
         self.row = row
-        self.nbytes = host_ref.nbytes
 
 
 def _rounded_undef(undef, dtype):
@@ -239,15 +247,26 @@ def _cache_get(arr):
     return None
 
 
+def _resident_bytes():
+    """Device bytes the cache actually pins: each entry references a
+    whole shipped STACK, so the budget must charge every live stack
+    once — per-row accounting undercounts by the evicted-row fraction
+    of partially-hot stacks (round-4 review finding)."""
+    seen, total = set(), 0
+    for e in _dev_cache.values():
+        if id(e.stack) not in seen:
+            seen.add(id(e.stack))
+            total += e.stack.nbytes
+    return total
+
+
 def _cache_put(arr, stack, row):
     with _cache_lock:
         _dev_cache[id(arr)] = _CacheEntry(arr, stack, row)
         _dev_cache.move_to_end(id(arr))
-        budget, total = _cache_budget(), sum(
-            e.nbytes for e in _dev_cache.values())
-        while total > budget and len(_dev_cache) > 1:
-            _, old = _dev_cache.popitem(last=False)
-            total -= old.nbytes
+        budget = _cache_budget()
+        while _resident_bytes() > budget and len(_dev_cache) > 1:
+            _dev_cache.popitem(last=False)
 
 
 @functools.lru_cache(maxsize=256)

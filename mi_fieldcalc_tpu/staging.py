@@ -229,7 +229,8 @@ def run_derived_fields_np(tk, q, u, v, ps, alevel, blevel, xmapr, ymapr,
     return _encode_step(values, masks, ny, nx, undef)
 
 
-def stream_derived_fields_np(steps, undef: float = UNDEF):
+def stream_derived_fields_np(steps, undef: float = UNDEF,
+                             levpack: Optional[bool] = None):
     """Streaming executor: drive the pipeline over an iterable of input
     tuples (the 10 arguments of :func:`run_derived_fields_np`), yielding
     one output dict per step in order.
@@ -252,6 +253,9 @@ def stream_derived_fields_np(steps, undef: float = UNDEF):
 
     import jax
 
+    if levpack is None:
+        import os
+        levpack = os.environ.get("MF_STAGING_LEVPACK", "0") != "0"
     on_tpu = jax.devices()[0].platform == "tpu"
     stagers = (HostStager(4, undef, pad=on_tpu),
                HostStager(4, undef, pad=on_tpu))
@@ -263,14 +267,15 @@ def stream_derived_fields_np(steps, undef: float = UNDEF):
     with cf.ThreadPoolExecutor(1) as ex_in, \
             cf.ThreadPoolExecutor(1) as ex_out:
         fut_stage = ex_in.submit(_stage_step, first, stagers[0], undef,
-                                 on_tpu)
+                                 on_tpu, levpack)
         prev_encode = None
         i = 0
         while fut_stage is not None:
             staged, (ny, nx), all_defined, packed = fut_stage.result()
             nxt = next(it, None)
             fut_stage = None if nxt is None else ex_in.submit(
-                _stage_step, nxt, stagers[(i + 1) % 2], undef, on_tpu)
+                _stage_step, nxt, stagers[(i + 1) % 2], undef, on_tpu,
+                levpack)
             values, masks = _compute_fetch(staged, (ny, nx), on_tpu,
                                            all_defined, packed)
             if prev_encode is not None:

@@ -35,7 +35,8 @@ from mi_fieldcalc_tpu import UNDEF, from_sentinel
 from mi_fieldcalc_tpu.field import Field
 
 
-from tools.timing import make_dispatch_probe, qtime_probed  # noqa: E402
+from tools.timing import (make_dispatch_probe, qtime_probed,  # noqa: E402
+                          select_uncongested)
 
 
 def emit(config, desc, pts, dt, extra=None):
@@ -113,9 +114,7 @@ def config1b(disp):
         dt = time.perf_counter() - t0
         d1 = disp()
         recs.append((max(d0, d1), de, dt))
-    dmin = min(r[0] for r in recs)
-    ok = [r for r in recs if r[0] <= max(1.5 * dmin, dmin + 5e-4)]
-    sel = ok if ok else recs
+    sel, dmin, congested = select_uncongested(recs)
     eager = min(r[1] for r in sel)
     best = min(r[2] for r in sel)
     emit("1b", f"config-1 class at the production call pattern: "
@@ -125,7 +124,7 @@ def config1b(disp):
                 "speedup": round(eager / best, 1),
                 "disp_ms": round(dmin * 1e3, 3),
                 "rounds_used": len(sel), "rounds": len(recs),
-                "congested": not ok})
+                "congested": congested})
 
 
 def config2(disp):

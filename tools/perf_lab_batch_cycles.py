@@ -180,8 +180,8 @@ def main():
                         if d.size else 0.0
                     assert rel < rtol, (tag, ci, i, float(rel))
 
-    dmin = min(r[0] for r in rows)
-    ok = [r for r in rows if r[0] <= max(1.5 * dmin, dmin + 5e-4)] or rows
+    from tools.timing import select_uncongested
+    ok, dmin, _ = select_uncongested(rows)
     best = [min(r[k] for r in ok) for k in range(1, 6)]
     print(f"best uncongested ({len(ok)}/{len(rows)} rounds, "
           f"disp {dmin*1e3:.2f} ms): eager {best[0]*1e3:.1f}  "

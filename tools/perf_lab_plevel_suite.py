@@ -191,8 +191,8 @@ def main():
         assert nbad == 0, (mi, nbad, float(d.max()))
         worst = max(worst, float(d.max()))
 
-    dmin = min(r[0] for r in recs)
-    ok = [r for r in recs if r[0] <= max(1.5 * dmin, dmin + 5e-4)] or recs
+    from tools.timing import select_uncongested
+    ok, _, _ = select_uncongested(recs)
     ta = min(r[1] for r in ok)
     tb = min(r[2] for r in ok)
     print(f"best uncongested ({len(ok)}/{len(recs)}): batch-XLA "

@@ -142,9 +142,10 @@ def main():
             dt0 = qtime(lambda: fn0(*inp), probe, args_ns.iters)
             row["ms_nocomm_control"] = round(dt0 * 1e3, 2)
             row["comm_overhead_frac"] = round(max(dt - dt0, 0.0) / dt, 4)
-            hlo = jax.jit(lambda *a: run_sharded(
-                derived_fields, mesh, RADIUS, *a)).lower(
-                *inp).compile().as_text()
+            # reuse the already-compiled step's executable for the HLO
+            # (a fresh jit object would recompile the largest program
+            # in the run a second time per mesh size)
+            hlo = fn.lower(*inp).compile().as_text()
             row["hlo_collective_permutes"] = len(re.findall(
                 r"collective-permute(?:-start)?\(", hlo))
             row["hlo_all_gathers"] = len(re.findall(

@@ -51,6 +51,18 @@ def make_dispatch_probe():
     return disp
 
 
+def select_uncongested(recs, key=0):
+    """Shared congestion gate for (dispatch, ...) measurement rounds:
+    keep rounds whose dispatch estimate sits within ``max(1.5x,
+    +0.5 ms)`` of the best round's; fall back to ALL rounds when every
+    one is congested.  Returns ``(selected, dmin, congested)`` — the
+    single source of the thresholds for qtime_probed and the perf labs
+    (retuning them in one place keeps cross-ledger gating consistent)."""
+    dmin = min(r[key] for r in recs)
+    ok = [r for r in recs if r[key] <= max(1.5 * dmin, dmin + 5e-4)]
+    return (ok if ok else list(recs)), dmin, not ok
+
+
 def qtime_probed(fn, probe, iters=20, rounds=5, disp=None,
                  retry_disp=1.8e-3, retries=1):
     """Congestion-robust queue-drain timing (bench.py's rejection
@@ -91,11 +103,8 @@ def qtime_probed(fn, probe, iters=20, rounds=5, disp=None,
         if dmin <= retry_disp:
             break
     dmin, recs, _ = best
-    thresh = max(1.5 * dmin, dmin + 5e-4)
-    ok = [dt for d, dt in recs if d <= thresh]
-    congested = not ok
-    sel = ok if ok else [dt for _, dt in recs]
-    return min(sel), {
+    sel, _, congested = select_uncongested(recs)
+    return min(dt for _, dt in sel), {
         "disp_ms": round(dmin * 1e3, 3),
         "rounds_used": len(sel),
         "rounds": rounds,
