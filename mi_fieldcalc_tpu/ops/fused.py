@@ -461,12 +461,18 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
         if not allm:
             put_ref(m_p, psvm)
 
-        # deterministic pow (_libm, round 4): the jnp path's
-        # pidcp_from_p switched to it — the kernel must track
-        # bit-for-bit or spread-style cancellation statistics over the
-        # two paths drift (tests/test_parallel_fused ensemble spread)
-        from .._libm import pow_f32
-        pidcp = pow_f32(p_raw * p0inv, kappa)
+        # DELIBERATE ulp-level divergence from the jnp path (round 4):
+        # the op surface's pidcp_from_p uses the deterministic
+        # _libm.pow_f32 (oracle conformance is judged there — 180/180
+        # on-chip goldens), but in THIS kernel the exp+log chain costs
+        # a measured 9% step time (4.63 -> 5.08 ms, same-process A/B —
+        # the kernel is DMA-bound with zero compute slack), so the
+        # kernel keeps the hardware pow.  The difference is <= ~60 ulp
+        # on pidcp (~4e-6 rel on theta), bounded by the fused-vs-jnp
+        # contract (tests/test_fused, rtol 2e-5); cancellation-
+        # amplifying statistics must compare same-arithmetic references
+        # (tests/test_parallel_fused ensemble test does).
+        pidcp = jnp.power(p_raw * p0inv, kappa)
         o_th[0] = tkv / pidcp
         if not allm:
             put_ref(m_th, tkm & psvm)

@@ -218,17 +218,27 @@ def test_sharded_ensemble_matches_unsharded(mesh_shape):
     ym2 = jnp.broadcast_to(ym, (ny, nx))
     fc2 = jnp.broadcast_to(fc, (ny, nx))
 
-    ref = jax.jit(lambda *a: ensemble_derived_summary(*a))(
-        tk, q, u, v, ps, al, bl, xm2, ym2, fc2)
+    # SHARDING correctness: reference is the SAME kernel arithmetic on
+    # a 1-device mesh — spread is a cancellation-amplifying statistic,
+    # so comparing it across DIFFERENT implementations (kernel vs jnp)
+    # at 2e-5 would really be testing the kernel's deliberate ulp-level
+    # pow divergence (ops/fused.py), not the sharding
+    mesh1 = grid_mesh((1, 1, 1), devices=jax.devices()[:1])
+    ref = ensemble_summary_sharded(mesh1, tk, q, u, v, ps, al, bl,
+                                   xm2, ym2, fc2, interpret=True)
     got = ensemble_summary_sharded(mesh, tk, q, u, v, ps, al, bl,
                                    xm2, ym2, fc2, interpret=True)
+    # and a SYSTEMATIC-error cross-check against the jnp path: tight on
+    # means/probabilities, amplification-aware on spread
+    jref = jax.jit(lambda *a: ensemble_derived_summary(*a))(
+        tk, q, u, v, ps, al, bl, xm2, ym2, fc2)
 
-    def cmp(r, g, name):
+    def cmp(r, g, name, rtol=2e-5, atol=1e-5):
         rm, gm = np.asarray(r.mask), np.asarray(g.mask)
         assert np.array_equal(rm, gm), f"{name}: mask"
         rv, gv = np.asarray(r.values), np.asarray(g.values)
         with np.errstate(all="ignore"):
-            assert np.allclose(rv[rm], gv[rm], rtol=2e-5, atol=1e-5), \
+            assert np.allclose(rv[rm], gv[rm], rtol=rtol, atol=atol), \
                 f"{name}: values"
 
     for fam in ("mean", "spread"):
@@ -237,6 +247,13 @@ def test_sharded_ensemble_matches_unsharded(mesh_shape):
                 getattr(getattr(got, fam), fname), f"{fam}.{fname}")
     cmp(ref.prob_wind, got.prob_wind, "prob_wind")
     cmp(ref.prob_t_freeze, got.prob_t_freeze, "prob_t_freeze")
+    for fname in jref.mean._fields:
+        cmp(getattr(jref.mean, fname), getattr(got.mean, fname),
+            f"jnp-x-check mean.{fname}")
+        cmp(getattr(jref.spread, fname), getattr(got.spread, fname),
+            f"jnp-x-check spread.{fname}", rtol=1e-2, atol=0.3)
+    cmp(jref.prob_wind, got.prob_wind, "jnp-x-check prob_wind")
+    cmp(jref.prob_t_freeze, got.prob_t_freeze, "jnp-x-check prob_tf")
 
 
 @pytest.mark.parametrize("overlap", [False, True])
