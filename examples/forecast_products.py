@@ -120,8 +120,9 @@ def main():
         with fc.batch(cache_inputs=True):
             c = fc.cvtemp(t_new, 2)              # t_new ships; rh850
             h = fc.plevelhum(t_new, rh850, 850.0, "", 3)   # rides cache
+        hm = np.asarray(h)                       # mask from THIS result
         print(f"cycle {cycle}: q850 mean "
-              f"{np.asarray(h)[hv < 1e34].mean():.2e} kg/kg")
+              f"{hm[hm < 1e34].mean():.2e} kg/kg")
 
 
 if __name__ == "__main__":

@@ -19,12 +19,13 @@ import functools
 import numpy as np
 
 from .field import Field, UNDEF, ValuesDefined, from_sentinel  # noqa: F401
-from .batch import batch, clear_input_cache, Deferred, BatchError  # noqa: F401,E501
+from .batch import (batch, clear_input_cache, cache_stats,  # noqa: F401
+                    Deferred, BatchError)
 from . import ops
 
 __all__ = [
     # call-storm batching (batch.py): one device program per storm
-    "batch", "clear_input_cache", "Deferred", "BatchError",
+    "batch", "clear_input_cache", "cache_stats", "Deferred", "BatchError",
     # the 15 functions the reference's pybind11 module exposes
     "ValuesDefined", "kIndex", "ductingIndex", "showalterIndex",
     "boydenIndex", "sweatIndex", "seaSoundSpeed", "cvtemp", "cvhum",

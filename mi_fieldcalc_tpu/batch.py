@@ -43,10 +43,13 @@ Forecast cycles (repeated storms) get two more levers:
   arrays ships only the arrays that actually changed.  The cache is
   process-global with an LRU byte budget (``MF_BATCH_CACHE_MB``,
   default 256) and survives across ``batch()`` contexts; clear it with
-  :func:`clear_input_cache`.  Identity caching requires the caller to
-  (a) pass the SAME ndarray object for unchanged fields (float64
-  inputs are re-converted per call and never hit), and (b) not mutate
-  a passed array in place — pass a fresh array for changed data.
+  :func:`clear_input_cache`, inspect it with :func:`cache_stats`
+  (hit/miss/eviction counters + pinned bytes).  Identity caching
+  requires the caller to (a) pass the SAME ndarray object for
+  unchanged fields — float64/list inputs are converted per call and
+  are neither cached nor looked up (a fresh temporary can never hit;
+  caching it would only pin bytes and churn the LRU) — and (b) not
+  mutate a passed array in place; pass a fresh array for changed data.
 
 Input capture semantics: recorded calls hold input arrays BY REFERENCE
 and read them at flush time (context exit / first data touch).  The
@@ -85,7 +88,8 @@ import numpy as np
 
 from .field import Field, from_sentinel
 
-__all__ = ["batch", "Deferred", "BatchError", "clear_input_cache"]
+__all__ = ["batch", "Deferred", "BatchError", "clear_input_cache",
+           "cache_stats"]
 
 _state = threading.local()
 
@@ -121,6 +125,13 @@ class _StackHandle:
                 self.failed = e
                 raise BatchError(
                     "batched program failed; no data") from e
+            # Every Deferred in the group views THIS buffer (and it can
+            # persist across batch() contexts as the device-chaining
+            # host cache): an in-place edit of one materialized result
+            # would silently corrupt its siblings.  Freeze it so such
+            # edits raise; consumers that need a writable array get one
+            # via .copy() / astype (ADVICE r4).
+            self.host.flags.writeable = False
         return self.host
 
 
@@ -226,6 +237,7 @@ def _rounded_undef(undef, dtype):
 
 _cache_lock = threading.Lock()
 _dev_cache = collections.OrderedDict()    # id(arr) -> _CacheEntry
+_cache_counters = {"hits": 0, "misses": 0, "puts": 0, "evictions": 0}
 
 
 def _cache_budget():
@@ -238,12 +250,33 @@ def clear_input_cache():
         _dev_cache.clear()
 
 
+def cache_stats(reset=False):
+    """Telemetry for the device-resident input cache: cumulative
+    ``hits``/``misses`` (lookups by ``batch(cache_inputs=True)``),
+    ``puts``/``evictions``, plus the current ``entries``,
+    ``resident_bytes`` (device bytes pinned — whole stacks, the same
+    accounting the LRU budget uses) and ``budget_bytes``.  Production
+    tuning of ``MF_BATCH_CACHE_MB`` reads this; ``reset=True`` zeroes
+    the cumulative counters (the cache itself is untouched)."""
+    with _cache_lock:
+        out = dict(_cache_counters)
+        out["entries"] = len(_dev_cache)
+        out["resident_bytes"] = _resident_bytes()
+        out["budget_bytes"] = _cache_budget()
+        if reset:
+            for k in _cache_counters:
+                _cache_counters[k] = 0
+    return out
+
+
 def _cache_get(arr):
     with _cache_lock:
         e = _dev_cache.get(id(arr))
         if e is not None and e.host_ref is arr:
             _dev_cache.move_to_end(id(arr))
+            _cache_counters["hits"] += 1
             return e
+        _cache_counters["misses"] += 1
     return None
 
 
@@ -264,9 +297,11 @@ def _cache_put(arr, stack, row):
     with _cache_lock:
         _dev_cache[id(arr)] = _CacheEntry(arr, stack, row)
         _dev_cache.move_to_end(id(arr))
+        _cache_counters["puts"] += 1
         budget = _cache_budget()
         while _resident_bytes() > budget and len(_dev_cache) > 1:
             _dev_cache.popitem(last=False)
+            _cache_counters["evictions"] += 1
 
 
 @functools.lru_cache(maxsize=256)
@@ -351,13 +386,15 @@ def _compiled_batch(sig, fetch_dtype=None):
 
 class _Call:
     __slots__ = ("op", "undef", "scalars", "kwitems", "lead", "args",
-                 "refs")
+                 "refs", "owned")
 
-    def __init__(self, op, undef, scalars, kwitems, lead, args, refs):
+    def __init__(self, op, undef, scalars, kwitems, lead, args, refs,
+                 owned):
         self.op, self.undef = op, undef
         self.scalars, self.kwitems, self.lead = scalars, kwitems, lead
         self.args = args          # list of np.ndarray | Deferred
         self.refs = refs          # tuple of Deferred, declared order
+        self.owned = owned        # per arg: array IS the caller's object
 
 
 class _Batch:
@@ -373,7 +410,7 @@ class _Batch:
         input, ndim=3) inside an active batch.  Returns a Deferred
         (tuple of them for multi-output ops), or None for invalid
         input — same contract as the eager binding."""
-        shapes, args = [], []
+        shapes, args, owned = [], [], []
         for a in arrays:
             if isinstance(a, Deferred):
                 if a._failed is not None:
@@ -385,10 +422,17 @@ class _Batch:
                         "Deferred belongs to another live batch")
                 shapes.append(a.shape)
                 args.append(a)
+                owned.append(False)
             else:
                 npa = np.asarray(a, dtype=np.float32)
                 shapes.append(npa.shape)
                 args.append(npa)
+                # Identity caching only makes sense for the caller's own
+                # ndarray (asarray was a no-copy passthrough): a per-call
+                # conversion temporary has a fresh id every call, can
+                # never hit, and would only pin bytes + churn the LRU
+                # (ADVICE r4).
+                owned.append(npa is a)
         if len(shapes[0]) != ndim or (
                 same_shape and any(s != shapes[0] for s in shapes[1:])):
             return None
@@ -400,7 +444,7 @@ class _Batch:
         avs = (avals,) if single else tuple(avals)
         refs = tuple(Deferred(self, av, float(undef)) for av in avs)
         self.calls.append(_Call(op, float(undef), scalars, kwitems,
-                                lead, args, refs))
+                                lead, args, refs, owned))
         return refs[0] if single else refs
 
     # -- execution ----------------------------------------------------
@@ -445,21 +489,28 @@ class _Batch:
         # not object id — so distinct views of one buffer ship once;
         # then group by shape so each group is ONE stacked transfer
         # (per-array H2D latency dominates storms on this backend).
-        slot_of, uniq, cached = {}, [], {}
+        slot_of, uniq, uniq_owned, cached = {}, [], [], {}
         for c in calls:
-            for a in c.args:
+            for a, own in zip(c.args, c.owned):
                 if isinstance(a, Deferred):
                     continue
                 pk = (a.__array_interface__["data"][0], a.shape,
                       a.strides, a.dtype.str)
-                if pk in slot_of or pk in cached:
+                if pk in cached:
                     continue
-                e = _cache_get(a) if self.cache_inputs else None
+                if pk in slot_of:
+                    if own:          # same buffer also passed as-owned
+                        uniq_owned[slot_of[pk]] = True
+                    continue
+                # only owned arrays can ever hit by identity — don't
+                # even look up (or count) conversion temporaries
+                e = _cache_get(a) if (self.cache_inputs and own) else None
                 if e is not None:
                     cached[pk] = e
                 else:
                     slot_of[pk] = len(uniq)
                     uniq.append(a)
+                    uniq_owned.append(own)
         gidx = {}
         for k, a in enumerate(uniq):
             gidx.setdefault(a.shape, []).append(k)
@@ -506,12 +557,14 @@ class _Batch:
         stacks = _compiled_batch(tuple(sig),
                                  self.fetch_dtype)(*flat_args)
 
-        # enter freshly shipped inputs into the device cache (rows ride
-        # the shipped stack — no per-row device work)
+        # enter freshly shipped CALLER-OWNED inputs into the device
+        # cache (rows ride the shipped stack — no per-row device work);
+        # conversion temporaries are shipped but never cached
         if self.cache_inputs:
             for s, stack in ship:
                 for row, k in enumerate(gidx[s]):
-                    _cache_put(uniq[k], stack, row)
+                    if uniq_owned[k]:
+                        _cache_put(uniq[k], stack, row)
 
         # rebuild the same shape-grouped layout the program used
         refs = [r for c in calls for r in c.refs]

@@ -242,3 +242,59 @@ def test_batch_bf16_fetch():
     assert np.allclose(cv[~t_und], t[~t_und], rtol=1e-2)
     with pytest.raises(ValueError):
         fc.batch(fetch_dtype="float16")
+
+
+def test_batch_fetched_stack_is_readonly():
+    """Materialized Deferreds view a per-shape-group host stack shared
+    by every sibling; the view must be read-only so an in-place edit
+    raises instead of corrupting sibling outputs (ADVICE r4)."""
+    t, rh, _ = _grids(seed=12)
+    with fc.batch():
+        a = fc.abshum(t, rh, UNDEF)
+        b = fc.cvtemp(t, 2)
+    av = np.asarray(a)
+    with pytest.raises(ValueError):
+        av[0, 0] = 42.0
+    # a writable copy is one .copy() away and detached from siblings
+    aw = av.copy()
+    aw[0, 0] = 42.0
+    assert np.asarray(b)[0, 0] != 42.0
+
+
+def test_batch_cache_stats_and_temporaries(monkeypatch):
+    """cache_stats(): hit/miss/put/eviction telemetry; per-call
+    conversion temporaries (float64 inputs) are neither cached nor
+    counted as lookups (ADVICE r4)."""
+    import mi_fieldcalc_tpu.batch as B
+    B.clear_input_cache()
+    B.cache_stats(reset=True)
+    t, rh, _ = _grids(seed=13)
+    t64 = t.astype(np.float64)               # converted per call
+
+    def storm():
+        with fc.batch(cache_inputs=True):
+            a = fc.abshum(t, rh, UNDEF)      # t, rh owned -> cacheable
+            b = fc.cvtemp(t64, 2)            # temporary -> never cached
+        return np.asarray(a), np.asarray(b)
+
+    r1 = storm()
+    s = B.cache_stats()
+    assert s["entries"] == 2 and s["puts"] == 2      # only t and rh
+    assert s["misses"] == 2 and s["hits"] == 0
+    assert s["resident_bytes"] > 0
+    assert s["budget_bytes"] == B._cache_budget()
+    r2 = storm()                             # warm cycle: both hit
+    s = B.cache_stats()
+    assert s["hits"] == 2 and s["misses"] == 2 and s["entries"] == 2
+    assert np.array_equal(r1[0], r2[0]) and np.array_equal(r1[1], r2[1])
+
+    # evictions: shrink the budget below one entry's stack bytes
+    monkeypatch.setenv("MF_BATCH_CACHE_MB", "0")
+    t2 = np.ascontiguousarray(t + 1.0)
+    with fc.batch(cache_inputs=True):
+        c = fc.cvtemp(t2, 2)
+    np.asarray(c)
+    s = B.cache_stats(reset=True)
+    assert s["evictions"] >= 1
+    assert B.cache_stats()["hits"] == 0      # reset zeroed counters
+    B.clear_input_cache()
