@@ -30,6 +30,9 @@ from .layout import (  # noqa: F401
     padded_shape, padded_shape_sharded, pad_field, pad_array, trim_field,
     trim_array,
 )
+from .ingest import (  # noqa: F401
+    aligned_target, resample_align, resample_maps,
+)
 from . import constants  # noqa: F401
 from . import ops  # noqa: F401
 from . import parallel  # noqa: F401

@@ -1,0 +1,130 @@
+"""Aligned ingest: re-grid producer sentinel grids onto the canonical
+tile-aligned layout so the *logical* grid equals the wire grid.
+
+Why this exists (PERF.md "Structural light speed"): the device pipeline
+carries grids padded to (ny%8 == 0, nx%128 == 0) because Pallas DMA pays
+~2x on ragged trailing dims.  For a ragged production grid like the MET
+Norway operational 719x929 (the reference's own perf canary,
+/root/reference/test/FieldCalculationsTest.cc:145-170) the 929 -> 1024
+lane padding is wire traffic that serves no logical point — a ~0.88
+structural ceiling on the roofline fraction no kernel change can lift.
+Re-gridding ONCE at ingest onto a tile-aligned logical grid over the
+same physical domain removes the dead traffic for the entire downstream
+product suite: every plane fetched, every stencil, every later pipeline
+step then does 100% useful DMA (measured ~0.96 vs ~0.87, BENCH_r04).
+
+This is an opt-in PRODUCT decision, not a transparent optimization: the
+output grid changes (719x929 -> 720x1024 over the same extent).  The
+reference has no analog — its flat C arrays are untiled — so there is
+no conformance contract to preserve; semantics are defined here:
+
+* **mask-aware bilinear**: each target point takes the bilinear-weighted
+  mean of its (up to) 4 source corners, weights zeroed on undefined
+  corners and renormalized.  A target point is undefined iff the total
+  defined weight is ~0 (all contributing corners undefined), so undef
+  regions map onto the new grid without inventing data and without
+  growing by more than the 1-cell interpolation support.
+* bilinear is EXACT on per-axis linear fields, so smooth met fields
+  re-grid with second-order error and constants re-grid bitwise-exactly
+  where defined.
+* map-ratio fields (``xmapr = xm/(2*hx)``, ops/stencil.py:126-135)
+  embed the grid spacing; over a fixed physical extent the spacing
+  scales by (n-1)/(n_new-1) per axis, so :func:`resample_maps` scales
+  the resampled ratios by (n_new-1)/(n-1) — physical gradients are then
+  identical on either grid (tests/test_ingest.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .field import UNDEF
+from .layout import padded_shape
+
+__all__ = ["resample_align", "resample_maps", "aligned_target"]
+
+#: below this total defined bilinear weight a target point is undefined
+#: (also guards the renormalization divide)
+_WEIGHT_EPS = np.float32(1e-6)
+
+
+def aligned_target(ny: int, nx: int) -> Tuple[int, int]:
+    """The canonical tile-aligned logical shape ingest re-grids to."""
+    return padded_shape(ny, nx)
+
+
+def _axis_coords(n_src: int, n_dst: int):
+    """Source-index sample positions for n_dst points spanning the same
+    physical extent as n_src points (endpoints map to endpoints)."""
+    if n_src == 1:
+        return (np.zeros(n_dst, np.int64), np.zeros(n_dst, np.int64),
+                np.zeros(n_dst, np.float32))
+    pos = np.linspace(0.0, n_src - 1.0, n_dst)
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_src - 2)
+    w = (pos - i0).astype(np.float32)
+    return i0, i0 + 1, w
+
+
+def resample_align(a, undef: float = UNDEF,
+                   shape_to: Optional[Tuple[int, int]] = None,
+                   mask_aware: bool = True) -> np.ndarray:
+    """Re-grid sentinel array(s) ``[..., ny, nx]`` onto the tile-aligned
+    grid over the same physical extent (host-side, numpy in/out).
+
+    ``shape_to`` defaults to :func:`aligned_target`; if it equals the
+    source shape the input is returned as-is (already aligned).
+    ``mask_aware=False`` runs plain bilinear (for fields known fully
+    defined, e.g. map factors); with it True (default), undefined
+    corners (NaN or == ``undef``) get zero weight and the result is
+    renormalized, going undefined only where every contributing corner
+    is undefined.
+    """
+    a = np.asarray(a, np.float32)
+    ny, nx = a.shape[-2:]
+    ny_t, nx_t = shape_to if shape_to is not None else aligned_target(ny, nx)
+    if (ny_t, nx_t) == (ny, nx):
+        return a
+    y0, y1, wy = _axis_coords(ny, ny_t)
+    x0, x1, wx = _axis_coords(nx, nx_t)
+    wy = wy[:, None]
+    wx = wx[None, :]
+    yi0, yi1 = y0[:, None], y1[:, None]
+    xi0, xi1 = x0[None, :], x1[None, :]
+    corners = (a[..., yi0, xi0], a[..., yi0, xi1],
+               a[..., yi1, xi0], a[..., yi1, xi1])
+    weights = ((1 - wy) * (1 - wx), (1 - wy) * wx,
+               wy * (1 - wx), wy * wx)
+    if not mask_aware:
+        out = weights[0] * corners[0]
+        for w, c in zip(weights[1:], corners[1:]):
+            out += w * c
+        return out.astype(np.float32)
+    undef32 = np.float32(undef)
+    num = np.zeros(a.shape[:-2] + (ny_t, nx_t), np.float32)
+    den = np.zeros_like(num)
+    for w, c in zip(weights, corners):
+        d = ~np.isnan(c) & (c != undef32)
+        wd = np.where(d, w, np.float32(0.0))
+        num += wd * np.where(d, c, np.float32(0.0))
+        den += wd
+    defined = den > _WEIGHT_EPS
+    return np.where(defined, num / np.where(defined, den, np.float32(1.0)),
+                    undef32).astype(np.float32)
+
+
+def resample_maps(xmapr, ymapr, ny: int, nx: int,
+                  shape_to: Optional[Tuple[int, int]] = None):
+    """Re-grid the map-ratio pair onto the aligned grid AND rescale for
+    the new spacing: over a fixed extent, ``hx_new = hx*(nx-1)/(nx_t-1)``
+    and ``xmapr`` carries ``1/(2*hx)``, so the resampled ratios scale by
+    ``(n_t-1)/(n-1)`` per axis.  Returns ``(xmapr_t, ymapr_t)``."""
+    ny_t, nx_t = shape_to if shape_to is not None else aligned_target(ny, nx)
+    xm = resample_align(xmapr, shape_to=(ny_t, nx_t), mask_aware=False)
+    ym = resample_align(ymapr, shape_to=(ny_t, nx_t), mask_aware=False)
+    if nx_t != nx and nx > 1:
+        xm = xm * np.float32((nx_t - 1) / (nx - 1))
+    if ny_t != ny and ny > 1:
+        ym = ym * np.float32((ny_t - 1) / (ny - 1))
+    return xm.astype(np.float32), ym.astype(np.float32)

@@ -111,17 +111,32 @@ class HostStager:
 
 
 def _stage_step(args, stager: HostStager, undef: float, on_tpu: bool,
-                levpack: bool = False):
+                levpack: bool = False, align: bool = False):
     """Decode + pad one step's inputs onto the device (host-thread-safe:
     everything here is numpy + the native codec + async device_put).
     ``levpack=True`` (TPU, nlev <= 32) ships the 4 stack masks as one
-    LEV-bit-packed uint32 block — nlev/32 of the mask payload."""
+    LEV-bit-packed uint32 block — nlev/32 of the mask payload.
+    ``align=True`` re-grids ragged inputs onto the tile-aligned logical
+    grid at ingest (ingest.py) — the product grid changes; map ratios
+    are rescaled for the new spacing so physical gradients match."""
     import jax
     import jax.numpy as jnp
 
     tk, q, u, v, ps, alevel, blevel, xmapr, ymapr, fcoriolis = args
     tk = np.ascontiguousarray(tk, np.float32)
     nlev, ny, nx = tk.shape
+    if align:
+        from .ingest import aligned_target, resample_align, resample_maps
+        tgt = aligned_target(ny, nx)
+        if tgt != (ny, nx):
+            tk = resample_align(tk, undef)
+            q = resample_align(q, undef)
+            u = resample_align(u, undef)
+            v = resample_align(v, undef)
+            ps = resample_align(ps, undef)
+            xmapr, ymapr = resample_maps(xmapr, ymapr, ny, nx, tgt)
+            fcoriolis = resample_align(fcoriolis, mask_aware=False)
+            ny, nx = tgt
     ny_p, nx_p = padded_shape(ny, nx) if on_tpu else (ny, nx)
 
     packed = None
@@ -194,6 +209,7 @@ def _encode_step(values, masks, ny, nx, undef) -> Dict[str, np.ndarray]:
 def run_derived_fields_np(tk, q, u, v, ps, alevel, blevel, xmapr, ymapr,
                           fcoriolis, undef: float = UNDEF,
                           levpack: Optional[bool] = None,
+                          align: Optional[bool] = None,
                           ) -> Dict[str, np.ndarray]:
     """The 12-output derived-field pipeline, numpy sentinel boundary to
     numpy sentinel boundary, on the production padded device layout.
@@ -213,24 +229,38 @@ def run_derived_fields_np(tk, q, u, v, ps, alevel, blevel, xmapr, ymapr,
     /8 at nlev=32; kernel step time is a wash, PERF.md item 4).
     Values are unchanged.  Default: the ``MF_STAGING_LEVPACK`` env var
     (unset = off).
+
+    ``align`` (opt-in; default the ``MF_STAGING_ALIGN`` env var, unset
+    = off): re-grid ragged inputs onto the canonical TILE-ALIGNED
+    logical grid at ingest (mask-aware bilinear over the same physical
+    extent, map ratios rescaled — see ingest.py).  The returned product
+    grids are then the aligned shape (e.g. 719x929 -> 720x1024) and
+    every device byte moved is a logical byte: the production path runs
+    at the tile-aligned roofline fraction (~0.96 vs the ragged grid's
+    ~0.88 structural ceiling, BENCH_r04), for the one-time cost of an
+    ingest re-grid and a changed (documented) product grid.
     """
     import jax
 
     if levpack is None:
         import os
         levpack = os.environ.get("MF_STAGING_LEVPACK", "0") != "0"
+    if align is None:
+        import os
+        align = os.environ.get("MF_STAGING_ALIGN", "0") != "0"
     on_tpu = jax.devices()[0].platform == "tpu"
     stager = _stager_cache(k=4, undef=undef, pad=on_tpu)
     staged, (ny, nx), all_defined, packed = _stage_step(
         (tk, q, u, v, ps, alevel, blevel, xmapr, ymapr, fcoriolis),
-        stager, undef, on_tpu, levpack=levpack)
+        stager, undef, on_tpu, levpack=levpack, align=align)
     values, masks = _compute_fetch(staged, (ny, nx), on_tpu, all_defined,
                                    packed)
     return _encode_step(values, masks, ny, nx, undef)
 
 
 def stream_derived_fields_np(steps, undef: float = UNDEF,
-                             levpack: Optional[bool] = None):
+                             levpack: Optional[bool] = None,
+                             align: Optional[bool] = None):
     """Streaming executor: drive the pipeline over an iterable of input
     tuples (the 10 arguments of :func:`run_derived_fields_np`), yielding
     one output dict per step in order.
@@ -256,6 +286,9 @@ def stream_derived_fields_np(steps, undef: float = UNDEF,
     if levpack is None:
         import os
         levpack = os.environ.get("MF_STAGING_LEVPACK", "0") != "0"
+    if align is None:
+        import os
+        align = os.environ.get("MF_STAGING_ALIGN", "0") != "0"
     on_tpu = jax.devices()[0].platform == "tpu"
     stagers = (HostStager(4, undef, pad=on_tpu),
                HostStager(4, undef, pad=on_tpu))
@@ -267,7 +300,7 @@ def stream_derived_fields_np(steps, undef: float = UNDEF,
     with cf.ThreadPoolExecutor(1) as ex_in, \
             cf.ThreadPoolExecutor(1) as ex_out:
         fut_stage = ex_in.submit(_stage_step, first, stagers[0], undef,
-                                 on_tpu, levpack)
+                                 on_tpu, levpack, align)
         prev_encode = None
         i = 0
         while fut_stage is not None:
@@ -275,7 +308,7 @@ def stream_derived_fields_np(steps, undef: float = UNDEF,
             nxt = next(it, None)
             fut_stage = None if nxt is None else ex_in.submit(
                 _stage_step, nxt, stagers[(i + 1) % 2], undef, on_tpu,
-                levpack)
+                levpack, align)
             values, masks = _compute_fetch(staged, (ny, nx), on_tpu,
                                            all_defined, packed)
             if prev_encode is not None:
