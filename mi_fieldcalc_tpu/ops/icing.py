@@ -455,7 +455,7 @@ def _modstall_static(sal, wave, x_wind, y_wind, airtemp, rh, p, pw, depth,
 def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
                    ha, tau, K, M, vsca: float, decay, decay_at=None,
                    unrolls=(1, 1, 1), stack_heights: bool = False,
-                   warm_fp: int = 0):
+                   warm_fp: int = 0, c_override=None):
     """The c-dependent ModStall solve: wave fixed point, droplet RK, and
     the per-height freezing-fraction fixed point (VI:218-326).  SHARED
     between the jnp path and the fused Pallas kernel — Mosaic-safe (see
@@ -484,6 +484,12 @@ def _modstall_core(c0, a, shallow, gate, wave, v, sst, airtemp, rh, tf,
     fp_u, rk_u, _ = _solver_unrolls(unrolls)
     if "fp" in ablate:
         c = jnp.where(shallow, c0 * _f32(0.5), c0)
+    elif c_override is not None:
+        # precision-lab hook (selective-x64 experiment): inject an
+        # externally computed wave speed (e.g. the exact f64 replica of
+        # VI:221-237) so the remaining f32 stages can be measured in
+        # isolation.  Never set on a production path.
+        c = jnp.where(shallow, c_override, c0)
     else:
         # wave FP stays at the exact 32-warmup even in the warm kernel:
         # early-arming it was measured catastrophic for MINCOG (7e-2 of
@@ -707,10 +713,12 @@ def vessel_icing_modstall(sal: Field, wave: Field, x_wind: Field,
                           y_wind: Field, airtemp: Field, rh: Field,
                           sst: Field, p: Field, pw: Field, aice: Field,
                           depth: Field, vs: float, alpha: float,
-                          zmin: float, zmax: float) -> Field:
+                          zmin: float, zmax: float,
+                          _wave_speed=None) -> Field:
     """Modified Stallabrass freezing sea-spray (Henry 1995, Samuelsen 2015;
     VI:182-337).  ``vs`` ship speed, ``alpha`` relative heading, heights
-    sampled at 0.5 m steps in [zmin, zmax]."""
+    sampled at 0.5 m steps in [zmin, zmax].  ``_wave_speed`` is the
+    precision lab's selective-x64 injection hook (see _modstall_core)."""
     num = zmax - zmin
     require(zmax >= zmin and math.fmod(num, 1.0) == 0.0,
             "vesselIcingModStall: bad zmin/zmax")
@@ -728,7 +736,8 @@ def vessel_icing_modstall(sal: Field, wave: Field, x_wind: Field,
     out = _modstall_core(c0, a, shallow, gate, wave.values, v, sst.values,
                          airtemp.values, rh.values, tf, ha, tau, K, M,
                          float(vs * math.cos(alpha)),
-                         tuple(_mincog_decay(zmin, number)))
+                         tuple(_mincog_decay(zmin, number)),
+                         c_override=_wave_speed)
     return out_field(out, gate)
 
 

@@ -29,6 +29,7 @@ import ctypes
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -178,41 +179,64 @@ def sound_speed_f64(tc, s):
 # ---------------------------------------------------------------------------
 
 
-def stats(ours, truth, tol, rtol=1e-4):
-    """Mixed criterion: a point conforms when |d| <= atol OR rel <= rtol.
+def stats(ours, truth, tol, rtol=1e-4, return_map=False):
+    """Allclose-style criterion: a point conforms when |d| <= atol OR
+    rel <= rtol — equivalently when the CONFORMANCE RATIO
+    ``r = |d| / max(atol, rtol*|truth|)`` is <= 1.
 
     The atol is the production-magnitude conformance tolerance
     (CONFORMANCE.md); the rtol covers the adversarial tail where the
     physically-out-of-range inputs drive outputs to 1e3-1e4 and a pure
-    atol would demand more relative precision than f32 carries."""
+    atol would demand more relative precision than f32 carries.
+
+    Raw |d| percentiles are kept for scale, but ADJUDICATION reads the
+    ratio percentiles (``p99_conf``/``p999_conf``/``max_conf``): a row
+    with p99 raw error above atol but p99_conf <= 1 is conforming
+    large-magnitude output, not a failure (VERDICT r4 weak #4).
+    ``return_map=True`` additionally returns the per-lane nonconforming
+    boolean map so callers can attribute each red lane to a quantified
+    irreducible band (knife-edge / luck-band adjudication below)."""
     d = np.abs(ours.astype(np.float64) - truth.astype(np.float64))
     both = (ours != UNDEF) & (truth != UNDEF) & np.isfinite(d)
     mask_mismatch = int(((ours == UNDEF) != (truth == UNDEF)).sum())
+    denom = np.maximum(tol, rtol * np.abs(truth.astype(np.float64)))
+    conf = d / denom                      # conformance ratio; <=1 passes
+    nonconf = both & (conf > 1.0)
     rel = d / np.maximum(np.abs(truth.astype(np.float64)), 1e-12)
-    nonconf = both & (d > tol) & (rel > rtol)
     d = d[both]
+    confb = conf[both]
     relb = rel[both]
-    return {
+    st = {
         "n": int(both.sum()),
         "mask_mismatch": mask_mismatch,
         "max": float(d.max()) if d.size else 0.0,
         "p999": float(np.percentile(d, 99.9)) if d.size else 0.0,
         "p99": float(np.percentile(d, 99)) if d.size else 0.0,
         "max_rel": float(relb.max()) if relb.size else 0.0,
+        "max_conf": float(confb.max()) if confb.size else 0.0,
+        "p999_conf": float(np.percentile(confb, 99.9)) if confb.size else 0.0,
+        "p99_conf": float(np.percentile(confb, 99)) if confb.size else 0.0,
         "tolerance": tol,
         "rtol": rtol,
         "nonconforming": int(nonconf.sum()),
         "within": bool(nonconf.sum() == 0),
     }
+    return (st, nonconf) if return_map else st
 
 
-def wave_cap_knife_edge(pw, depth, cap=10000, band=0.02):
-    """Count grid points whose f64 wave-speed fixed point converges
-    within ``band`` of the iteration cap — the cap-vs-converge decision
-    there is knife-edge (the reference flips it under any perturbation)
-    and our integral predictor is accurate to ~1.5% (icing.py
-    ``_wave_cap_predict``), so only these lanes may legitimately
-    disagree.  Vectorized f64 replica of VI:221-237."""
+def wave_f64_replica(pw, depth, cap=10000, band=0.02):
+    """Exact f64 replica of the reference's shallow-water wave loop
+    (VI:221-237, Mincog cap 1000 at VI:494-508): iterate
+    ``c <- c0*tanh(a/c)`` from c=1 until |dc| <= 1e-5, cap => c=0.
+
+    Returns per-lane maps: ``shallow`` (in the iterated branch), ``c``
+    (the reference's f64 exit iterate, cap semantics applied — the
+    deep-water c0 elsewhere), ``j`` (iteration count), and ``in_band``
+    (true count within ``band`` of the cap — the knife-edge band where
+    our ~1.5%-accurate integral count predictor, icing.py
+    ``_wave_cap_predict``, may legitimately disagree with the
+    reference; the reference itself flips these lanes under any
+    perturbation)."""
     c0 = 9.81 / (2 * np.pi) * pw.astype(np.float64)
     shallow = (depth.astype(np.float64) <= c0 * pw) & (c0 != 0)
     a = 2 * np.pi * depth.astype(np.float64) / np.where(pw != 0, pw, 1)
@@ -228,8 +252,46 @@ def wave_cap_knife_edge(pw, depth, cap=10000, band=0.02):
         c = np.where(live, cn, c)
         j = np.where(live, j + 1, j)
         live &= ~conv
+    capped = shallow & (j > cap)
+    c_ref = np.where(shallow, np.where(capped, 0.0, c), c0)
     in_band = shallow & (np.abs(j - cap) <= band * cap)
-    return int(in_band.sum()), int(shallow.sum())
+    return {"shallow": shallow, "c": c_ref, "j": j, "in_band": in_band,
+            "c0": c0, "a": a}
+
+
+def mincog_luck_band(rep, factor=3.0, threshold=3e-5):
+    """Per-lane map of the MINCOG f32-luck band: the reference's own
+    V=float wave iterates random-walk at a stationary step
+    ``(1+s)*eps*r/(1-s)`` and stall to the cap wherever it exceeds
+    ~tol; our solver models that with a calibrated 3e-5 threshold
+    (icing.py `_wave_speed_fixed_point` ref_f32).  Lanes whose floor
+    step falls within ``factor`` of the threshold are implementation
+    luck — the calibration showed an exactly-rounded tanh emulation
+    already disagrees with libc tanhf on 0.74% of lanes there, i.e.
+    the reference's own outcome flips with single-ulp libm deltas
+    across platforms.  ``rep`` is a :func:`wave_f64_replica` result
+    (cap=1000)."""
+    r = np.maximum(np.where(rep["c"] > 0, rep["c"], 1e-5), 1e-5)
+    t = np.tanh(rep["a"] / r)
+    s = rep["c0"] * rep["a"] * (1.0 - t * t) / (r * r)
+    floor_step = (1.0 + s) * 1.19e-7 * r / np.maximum(1.0 - s, 1e-12)
+    return rep["shallow"] & (floor_step >= threshold / factor) \
+        & (floor_step <= threshold * factor)
+
+
+def adjudicate(st, nonconf_map, bands):
+    """Attribute each nonconforming lane to a quantified irreducible
+    band (VERDICT r4 item 3).  ``bands`` is {name: bool map}; adds
+    per-band counts plus ``nonconforming_unexplained`` and
+    ``within_adjudicated`` (true iff every red lane sits in a band)."""
+    explained = np.zeros_like(nonconf_map)
+    for name, m in bands.items():
+        st[f"nonconforming_{name}"] = int((nonconf_map & m).sum())
+        explained |= m
+    unexplained = int((nonconf_map & ~explained).sum())
+    st["nonconforming_unexplained"] = unexplained
+    st["within_adjudicated"] = bool(st["within"] or unexplained == 0)
+    return st
 
 
 def physical_inputs(ny, nx, seed):
@@ -249,7 +311,8 @@ def physical_inputs(ny, nx, seed):
     return g
 
 
-def run_suite(fc, lib, g, ny, nx, results, sound_speed=True):
+def run_suite(fc, lib, g, ny, nx, results, sound_speed=True,
+              x64_wave=True):
     if sound_speed:
         for c in (1, 2):
             t_in = g["tc"] if c == 1 else g["tc"] + np.float32(273.15)
@@ -280,20 +343,56 @@ def run_suite(fc, lib, g, ny, nx, results, sound_speed=True):
     i11 = [g["sal"], g["wave"], g["xw"], g["yw"], g["at"], g["rh"],
            g["sst"], g["p"], g["pw"], g["aice"], g["depth"]]
     vsz = (5.0, 90.0, 2.0, 4.0)
-    ref = o_call(lib, "vesselIcingModStall", ny, nx, i11, scalars=vsz)
-    ours = np.asarray(fc.vesselIcingModStall(*i11, *vsz))
-    st = stats(ours, ref, 2e-3, 1e-4)
-    ke, nshallow = wave_cap_knife_edge(g["pw"], g["depth"])
-    st["wave_cap_knife_edge_lanes"] = ke
-    st["shallow_lanes"] = nshallow
-    results["vesselIcingModStall"] = {"vs_oracle": st}
 
+    # -- ModStall: f64 reference -> knife-edge adjudication + the
+    #    selective-x64 wave-stage experiment (VERDICT r4 item 3)
+    t0 = time.perf_counter()
+    rep10k = wave_f64_replica(g["pw"], g["depth"], cap=10000)
+    t_replica = time.perf_counter() - t0
+    ref = o_call(lib, "vesselIcingModStall", ny, nx, i11, scalars=vsz)
+    np.asarray(fc.vesselIcingModStall(*i11, *vsz))      # warm the jit
+    t0 = time.perf_counter()
+    ours = np.asarray(fc.vesselIcingModStall(*i11, *vsz))
+    t_f32 = time.perf_counter() - t0
+    st, ncmap = stats(ours, ref, 2e-3, 1e-4, return_map=True)
+    st["wave_cap_knife_edge_lanes"] = int(rep10k["in_band"].sum())
+    st["shallow_lanes"] = int(rep10k["shallow"].sum())
+    adjudicate(st, ncmap, {"in_knife_edge": rep10k["in_band"]})
+    row = {"vs_oracle": st}
+
+    if x64_wave:
+        # selective x64: ONLY the wave stage runs as the exact f64
+        # replica of the reference loop (host numpy; TPU f64 is
+        # emulated ~100x, so on-chip this stage would have to run
+        # host-side per step); every later stage stays the shipped f32.
+        # Answers "how much of the residual is the wave stage" with a
+        # number, and prices the fix.
+        import jax.numpy as jnp
+        from mi_fieldcalc_tpu import from_sentinel
+        from mi_fieldcalc_tpu.ops import icing as icing_ops
+        fields = [from_sentinel(x) for x in i11]
+        cw = jnp.asarray(rep10k["c"].astype(np.float32))
+        outf = icing_ops.vessel_icing_modstall(*fields, *vsz,
+                                               _wave_speed=cw)
+        ours64 = np.asarray(outf.to_sentinel(UNDEF))
+        st64 = stats(ours64, ref, 2e-3, 1e-4)
+        st64["wave_replica_host_ms"] = round(t_replica * 1e3, 2)
+        st64["f32_full_op_ms"] = round(t_f32 * 1e3, 2)
+        row["x64_wave_vs_oracle"] = st64
+    results["vesselIcingModStall"] = row
+
+    # -- MINCOG: V=float reference -> luck-band + knife-edge adjudication
+    rep1k = wave_f64_replica(g["pw"], g["depth"], cap=1000)
+    luck = mincog_luck_band(rep1k)
     for alt in (1, 2):
         ref = o_call(lib, "vesselIcingMincog", ny, nx, i11,
                      scalars=vsz, int_scalars=(alt,))
         ours = np.asarray(fc.vesselIcingMincog(*i11, *vsz, alt))
-        results[f"vesselIcingMincog_alt{alt}"] = {
-            "vs_oracle": stats(ours, ref, 2e-3, 1e-4)}
+        st, ncmap = stats(ours, ref, 2e-3, 1e-4, return_map=True)
+        st["luck_band_lanes"] = int(luck.sum())
+        adjudicate(st, ncmap, {"in_luck_band": luck,
+                               "in_knife_edge": rep1k["in_band"]})
+        results[f"vesselIcingMincog_alt{alt}"] = {"vs_oracle": st}
 
 
 def main():
@@ -336,13 +435,16 @@ def main():
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
-    print("| op | truth | n | max err | p99.9 | p99 | tol | within |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("| op | truth | n | max err | p99.9 | p99 | p99.9 conf "
+          "| tol | within | adjudicated |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for op, tr in results.items():
         for truth, st in tr.items():
+            adj = st.get("within_adjudicated", st["within"])
             print(f"| {op} | {truth} | {st['n']} | {st['max']:.3g} "
                   f"| {st['p999']:.3g} | {st['p99']:.3g} "
-                  f"| {st['tolerance']:g} | {st['within']} "
+                  f"| {st.get('p999_conf', 0):.3g} "
+                  f"| {st['tolerance']:g} | {st['within']} | {adj} "
                   f"(mask mism {st['mask_mismatch']}) |")
 
 
