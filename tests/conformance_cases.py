@@ -20,6 +20,9 @@ import numpy as np
 
 UNDEF = 1.0e35
 NY, NX = 12, 10  # small grid; (ny, nx) C-order == reference x-fastest
+#: production-size grid (the reference's own perf canary: the MET Norway
+#: operational AROME grid, test/FieldCalculationsTest.cc:145-170)
+LARGE_NY, LARGE_NX = 719, 929
 
 # value ranges per field kind (chosen inside each formula's valid domain)
 KIND_RANGES = {
@@ -46,26 +49,27 @@ KIND_RANGES = {
     "snow": (0.0, 2.0),          # snowfall mm
     "mslp": (990.0, 1035.0),     # sea-level pressure hPa
     "unit": (0.0, 1.0),          # uniform [0, 1)
+    "pw_s": (2.0, 25.0),         # wave period s (physical; the mslp-range
+                                 # periods of the small icing cases would
+                                 # drive ~1.3% of a production grid into
+                                 # the 10k-iteration knife-edge band)
     "sw": (0.0, 10.0),           # snow water mm
     "montg": (2.8e5, 3.1e5),     # montgomery potential
     "small": (0.1, 9.9),         # generic small positive
     "signed": (-5.0, 5.0),       # generic signed (for OPER ops; zeros added)
 }
 
-# undef sentinel plant locations (row, col) per pattern slot; slot k applies
-# to input field k (cycled) so combined-mask paths are exercised
-UNDEF_SPOTS = [
-    [(1, 2), (5, 0), (NY - 1, NX - 1)],
-    [(3, 7), (0, 0)],
-    [(8, 4)],
-]
+# undef sentinel plant locations per pattern slot are built inside
+# case_inputs (the corner spot depends on the case's shape); slot k
+# applies to input field k (cycled) so combined-mask paths are exercised
 
 
 class Case:
     def __init__(self, name: str, op: str, kinds: List[str],
                  scalars: Optional[Dict] = None, undef: bool = True,
                  fdef_in: int = 2, rtol: float = 2e-5, atol: float = 1e-5,
-                 n_members: int = 0, mask_exact: bool = True):
+                 n_members: int = 0, mask_exact: bool = True,
+                 shape: Optional[Tuple[int, int]] = None):
         self.name = name          # unique golden key
         self.op = op              # operator name (oracle + native adapters)
         self.kinds = kinds        # input field kinds, in operator order
@@ -76,6 +80,7 @@ class Case:
         self.atol = atol
         self.n_members = n_members  # >0: kinds[0] replicated as members
         self.mask_exact = mask_exact  # require my-mask == (ref != undef)
+        self.shape = tuple(shape) if shape else (NY, NX)
 
 
 def case_inputs(case: Case) -> List[np.ndarray]:
@@ -84,12 +89,16 @@ def case_inputs(case: Case) -> List[np.ndarray]:
     rng = np.random.default_rng(seed)
     arrays = []
     n_fields = len(case.kinds)
+    ny, nx = case.shape
+    spots = [[(1, 2), (5, 0), (ny - 1, nx - 1)],
+             [(3, 7), (0, 0)],
+             [(8, 4)]]
     for k, kind in enumerate(case.kinds):
         lo, hi = KIND_RANGES[kind]
         if case.n_members and k == 0:
-            shape = (case.n_members, NY, NX)
+            shape = (case.n_members, ny, nx)
         else:
-            shape = (NY, NX)
+            shape = (ny, nx)
         a = rng.uniform(lo, hi, shape).astype(np.float32)
         if kind == "signed":
             a.flat[::17] = 0.0  # exercise divide-by-zero -> undef
@@ -97,8 +106,15 @@ def case_inputs(case: Case) -> List[np.ndarray]:
         # reference reads them without defined-checks (sentinel values
         # alias into outputs, e.g. absvort's +fcoriolis absorbs to 1e35)
         if case.undef and kind not in ("mapr", "fcor"):
-            for (y, x) in UNDEF_SPOTS[k % len(UNDEF_SPOTS)]:
+            for (y, x) in spots[k % len(spots)]:
                 a[..., y, x] = UNDEF
+            if (ny, nx) != (NY, NX):
+                # production-size grids: additionally scatter ~0.1%
+                # random undefs so combined-mask paths are exercised at
+                # scale (same rng stream -> generator/test agree)
+                yy = rng.integers(0, ny, 600)
+                xx = rng.integers(0, nx, 600)
+                a[..., yy, xx] = UNDEF
         arrays.append(a)
     return arrays
 
@@ -330,5 +346,32 @@ def build_cases() -> List[Case]:
     return cases
 
 
+def build_large_cases() -> List[Case]:
+    """Production-size (719x929) goldens for 4 representative ops — one
+    stencil with fillEdges, one 12-mode-family humidity, one ensemble,
+    one icing solver (VERDICT r4 item 5; the reference's own canary grid,
+    test/FieldCalculationsTest.cc:145-170).  Kept out of the main CASES
+    list: they live in goldens_large.npz (~11 MB) and run via
+    tests/test_conformance_large.py + tools/tpu_golden.py --large."""
+    L = (LARGE_NY, LARGE_NX)
+    cases: List[Case] = []
+    add = cases.append
+    add(Case("large_plevelgvort", "plevelgvort",
+             ["z", "mapr", "mapr", "fcor"], shape=L))
+    add(Case("large_plevelhum_c9", "plevelhum", _hum_kinds(9),
+             {"p": 850.0, "unit": "", "compute": 9}, shape=L))
+    add(Case("large_probability_c3", "probability", ["unit"],
+             {"compute": 3, "limits": [0.25, 0.75]}, n_members=8,
+             shape=L))
+    icing11_phys = ["sal", "wave", "wind", "wind", "atemp_c", "rh%",
+                    "sst_c", "mslp", "pw_s", "aice", "depth"]
+    add(Case("large_vesselIcingModStall", "vesselIcingModStall",
+             icing11_phys,
+             {"vs": 5.0, "alpha": 90.0, "zmin": 2.0, "zmax": 4.0},
+             rtol=2e-3, atol=2e-3, mask_exact=False, shape=L))
+    return cases
+
+
 CASES = build_cases()
 CASE_BY_NAME = {c.name: c for c in CASES}
+LARGE_CASES = build_large_cases()

@@ -1,0 +1,34 @@
+"""Production-size (719x929) reference-conformance goldens.
+
+The reference's own perf/correctness canary runs on the operational MET
+Norway AROME grid (test/FieldCalculationsTest.cc:145-170); the main
+golden suite (test_conformance.py) runs 12x10 grids.  These 4 cases
+(stencil+fillEdges, 12-mode humidity, ensemble, icing solver — VERDICT
+r4 item 5) close the small-grid/production-grid gap with real oracle
+outputs at scale, scattered undefs included.  Same contract and
+adapters as test_conformance.py; goldens in goldens_large.npz
+(regenerate: `python tools/oracle/gen_goldens.py --large`).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from conformance_cases import LARGE_CASES, case_inputs
+from test_conformance import _check, _native
+
+GOLDENS_PATH = os.path.join(os.path.dirname(__file__), "goldens",
+                            "goldens_large.npz")
+GOLDENS = np.load(GOLDENS_PATH) if os.path.exists(GOLDENS_PATH) else None
+
+
+@pytest.mark.skipif(GOLDENS is None,
+                    reason="goldens_large.npz not generated")
+@pytest.mark.parametrize("case", LARGE_CASES,
+                         ids=[c.name for c in LARGE_CASES])
+def test_conformance_large(case):
+    ins = case_inputs(case)
+    assert ins[-1].shape[-2:] == (719, 929)
+    out = _native(case, ins)
+    _check(case, out, GOLDENS[case.name + "__out"])

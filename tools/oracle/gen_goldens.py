@@ -22,7 +22,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..",
                                 "tests"))
-from conformance_cases import CASES, NY, NX, UNDEF, case_inputs  # noqa: E402
+from conformance_cases import (CASES, LARGE_CASES, UNDEF,  # noqa: E402
+                               case_inputs)
 
 ORACLE = os.environ.get("ORACLE_SO", "/tmp/ref_build/liboracle.so")
 
@@ -42,6 +43,7 @@ def run_case(lib, case):
     ins = case_inputs(case)
     s = dict(case.scalars)
     fd = ctypes.c_int(case.fdef_in)
+    NY, NX = case.shape
     out = np.full((NY, NX), np.nan, np.float32)
     out2 = None
     op = case.op
@@ -92,7 +94,7 @@ def run_case(lib, case):
         ok = fn(*nxny, ptr(ins[0]), ptr(ins[1]), ptr(ins[2]),
                 ci(s["compute"]), *tail)
     elif op == "ilevelgwind":
-        out2 = np.full((NY, NX), np.nan, np.float32)
+        out2 = np.full(case.shape, np.nan, np.float32)
         ok = fn(*nxny, ptr(ins[0]), ptr(ins[1]), ptr(ins[2]), ptr(ins[3]),
                 ptr(out), ptr(out2), ctypes.byref(fd), cf(UNDEF))
     elif op == "seaSoundSpeed":
@@ -189,11 +191,14 @@ def run_case(lib, case):
 
 def main():
     lib = ctypes.CDLL(ORACLE)
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    args = [a for a in sys.argv[1:] if a != "--large"]
+    large = "--large" in sys.argv[1:]
+    cases = LARGE_CASES if large else CASES
+    out_path = args[0] if args else os.path.join(
         os.path.dirname(__file__), "..", "..", "tests", "goldens",
-        "goldens.npz")
+        "goldens_large.npz" if large else "goldens.npz")
     data = {}
-    for case in CASES:
+    for case in cases:
         out, out2, fd, ok = run_case(lib, case)
         if not ok:
             raise RuntimeError(f"oracle returned false for {case.name}")
@@ -201,10 +206,10 @@ def main():
         if out2 is not None:
             data[case.name + "__out2"] = out2
         data[case.name + "__fd"] = np.int32(fd)
-        print(f"{case.name}: fd={fd}")
+        print(f"{case.name}: fd={fd}", flush=True)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     np.savez_compressed(out_path, **data)
-    print(f"wrote {len(CASES)} cases -> {out_path}")
+    print(f"wrote {len(cases)} cases -> {out_path}")
 
 
 if __name__ == "__main__":

@@ -81,13 +81,20 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="sanity run on the CPU backend (must match the "
                          "pytest conformance suite: 0 nonconformant)")
+    ap.add_argument("--large", action="store_true",
+                    help="replay the production-size 719x929 goldens "
+                         "(goldens_large.npz) instead of the 12x10 suite; "
+                         "merges under 'golden_large_jnp_tpu'")
     args = ap.parse_args()
 
-    from conformance_cases import CASES, UNDEF, case_inputs
+    from conformance_cases import CASES, LARGE_CASES, UNDEF, case_inputs
     from test_conformance import _native
 
-    goldens = np.load(os.path.join(REPO, "tests", "goldens",
-                                   "goldens.npz"))
+    if args.large:
+        CASES = LARGE_CASES
+    goldens = np.load(os.path.join(
+        REPO, "tests", "goldens",
+        "goldens_large.npz" if args.large else "goldens.npz"))
     platform = jax.devices()[0].platform
     t0 = time.time()
     bad, ok = {}, 0
@@ -127,7 +134,8 @@ def main():
         if os.path.exists(path):
             with open(path) as fh:
                 doc = json.load(fh)
-        doc["golden_jnp_tpu"] = result
+        doc["golden_large_jnp_tpu" if args.large
+            else "golden_jnp_tpu"] = result
         with open(path, "w") as fh:
             json.dump(doc, fh, indent=1)
         print("wrote", path)
