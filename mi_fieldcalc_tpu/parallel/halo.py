@@ -51,6 +51,16 @@ __all__ = ["halo_exchange", "packed_strip_exchange", "packed_sendrecv",
            "EdgeContext"]
 
 
+#: scaling-lab knob (tools/scaling_bench.py --artifact): route every
+#: halo ppermute to SELF (identity permutation) instead of the mesh
+#: neighbour.  Same slice/collective/concat structure and byte counts,
+#: zero cross-device movement — the control that separates the
+#: halo-CONCAT restructure cost from halo TRANSPORT on a backend where
+#: both are host memcpy.  Trace-time: flip it before building a jit.
+#: Seam values are wrong with it on; never set outside the lab.
+LAB_SELF_PERMUTE = False
+
+
 def _exchange_1d(a, h: int, axis: int, name: str, size: int):
     """Pad ``a`` with an ``h``-wide halo along ``axis`` from mesh
     neighbours on mesh axis ``name`` (``size`` devices).  Physical-edge
@@ -68,8 +78,11 @@ def _exchange_1d(a, h: int, axis: int, name: str, size: int):
                             size).astype(jnp.bool_)
     lo_strip = lax.slice_in_dim(a, 0, h, axis=axis)          # my first h rows
     hi_strip = lax.slice_in_dim(a, dim - h, dim, axis=axis)  # my last h rows
-    fwd = [(i, i + 1) for i in range(size - 1)]   # i's hi strip -> (i+1)'s lo halo
-    bwd = [(i + 1, i) for i in range(size - 1)]   # i's lo strip -> (i-1)'s hi halo
+    if LAB_SELF_PERMUTE:
+        fwd = bwd = [(i, i) for i in range(size)]
+    else:
+        fwd = [(i, i + 1) for i in range(size - 1)]  # i's hi -> (i+1)'s lo halo
+        bwd = [(i + 1, i) for i in range(size - 1)]  # i's lo -> (i-1)'s hi halo
     halo_lo = lax.ppermute(hi_strip, name, fwd)
     halo_hi = lax.ppermute(lo_strip, name, bwd)
     return jnp.concatenate([halo_lo, a, halo_hi], axis=axis)

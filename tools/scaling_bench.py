@@ -150,6 +150,64 @@ def main():
                 r"collective-permute(?:-start)?\(", hlo))
             row["hlo_all_gathers"] = len(re.findall(
                 r"all-gather(?:-start)?\(", hlo))
+            if n > 1:
+                # ---- overhead DECOMPOSITION (VERDICT r4 item 2) ------
+                # self-permute control: identical slice/collective/
+                # concat structure and byte counts, but every ppermute
+                # targets SELF — zero cross-device movement.  On this
+                # backend transport and restructure are both host
+                # memcpy; the pair of controls splits the radius-2
+                # overhead into
+                #   restructure_ms = t_selfperm - t_nocomm   (the
+                #     halo-concat rebuild of every >=2-D operand; the
+                #     TPU fused path does NOT do this — its packed
+                #     exchange moves strips and the kernel reads them
+                #     in place)
+                #   transport_ms  = t_step - t_selfperm      (neighbour
+                #     delivery; predicted on ICI below)
+                from mi_fieldcalc_tpu.parallel import halo as _halo
+                _halo.LAB_SELF_PERMUTE = True
+                try:
+                    fn_id = jax.jit(lambda *a: run_sharded(
+                        derived_fields, mesh, RADIUS, *a))
+                    dt_id = qtime(lambda: fn_id(*inp), probe,
+                                  args_ns.iters)
+                finally:
+                    _halo.LAB_SELF_PERMUTE = False
+                # analytic per-device byte attribution
+                h = RADIUS
+                halo_b = restr_b = 0
+                for leaf in jax.tree_util.tree_leaves(inp):
+                    if leaf.ndim < 2:
+                        continue
+                    loc = list(leaf.shape)
+                    loc[-2] //= gy
+                    loc[-1] //= gx
+                    bpe = 1 if leaf.dtype == np.bool_ else leaf.dtype.itemsize
+                    blk = int(np.prod(loc)) * bpe
+                    if gy > 1:
+                        halo_b += 2 * h * (blk // loc[-2])
+                    if gx > 1:
+                        halo_b += 2 * h * (blk // loc[-1])
+                    # concat materializes the widened block once per
+                    # exchanged axis
+                    restr_b += 2 * blk
+                row["decomposition"] = {
+                    "ms_selfperm_control": round(dt_id * 1e3, 2),
+                    "restructure_ms": round((dt_id - dt0) * 1e3, 2),
+                    "transport_ms": round((dt - dt_id) * 1e3, 2),
+                    "halo_transport_bytes_per_dev": int(halo_b),
+                    "restructure_bytes_per_dev": int(restr_b),
+                    "predicted_ici_transport_ms": round(
+                        halo_b / 4.5e10 * 1e3, 4),
+                    "note": ("restructure is a jnp-fallback-path "
+                             "artifact (full-block concat per operand "
+                             "per axis); the TPU fused path exchanges "
+                             "packed strips only, so its predicted "
+                             "transport rides ICI at "
+                             "halo_transport_bytes/45GBps — see "
+                             "AOT weak_scaling_model rows"),
+                }
         else:
             row["weak_scaling_efficiency"] = round(pps / (base_pps * n), 4)
             if not on_tpu:
