@@ -245,13 +245,19 @@ def geo_altitude_from_fl(fl):
 def pidcp_from_p(p):
     """``(p/p0)**kappa`` — Exner function / cp (FieldCalculations.cc:308-311).
 
-    Deterministic pow (_libm.pow_f32): XLA:TPU's native power is tens
-    of ulps off host libm and pushed the pow-heavy conversions out of
-    the golden band on chip (TPUTEST_r04); the exp(kappa*log p) 
-    composition is <=~2 ulp on the pressure-ratio domain and identical
-    arithmetic on every backend."""
-    from ._libm import pow_f32
-    return pow_f32(jnp.asarray(p, jnp.float32) * p0inv, kappa)
+    Deterministic pow: XLA:TPU's native power is tens of ulps off host
+    libm and pushed the pow-heavy conversions out of the golden band on
+    chip (TPUTEST_r04).  Round 5 switched the composition from
+    ``exp_f32(kappa*log_f32(p))`` to the narrow-domain
+    ``_libm.pow_posc_f32`` (<= ~1.2 ulp measured on the Exner domain vs
+    ~4.4 for the exp∘log chain, tests/test_libm.py) — cheap enough that
+    the flagship fused kernel runs the SAME arithmetic, closing the
+    round-4 hardware-pow tier split (jnp path and kernel are bitwise
+    equal on pow-using ops again).  Positive-domain contract: p <= 0
+    lanes produce finite garbage and must be mask-gated (every caller
+    already does — sentinel/undef lanes never read the value plane)."""
+    from ._libm import pow_posc_f32
+    return pow_posc_f32(jnp.asarray(p, jnp.float32) * p0inv, kappa)
 
 
 def pi_from_p(p):

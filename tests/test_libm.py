@@ -104,3 +104,45 @@ def test_exp_pow10_extreme_domains_match_backend():
     sub = jnp.asarray([1e-39, 1e-44], jnp.float32)
     np.testing.assert_allclose(np.asarray(log_f32(sub)),
                                np.asarray(jnp.log(sub)), rtol=1e-6)
+
+
+def test_pow_posc_accuracy_exner_domain():
+    """Narrow-domain pow (the flagship kernel + pidcp_from_p tier):
+    <= 3 ulp on the Exner pressure-ratio domain (spec: VERDICT r4 item
+    4; measured ~1.2), <= 3 ulp on a wide positive sweep including the
+    sentinel, and the positive-domain clamp contract for bad bases."""
+    from mi_fieldcalc_tpu._libm import pow_posc_f32
+    from mi_fieldcalc_tpu.constants import kappa
+
+    rng = np.random.default_rng(7)
+    for lo, hi in ((1e-5, 1.2), (1e-30, 1e35)):
+        x = np.exp(rng.uniform(np.log(lo), np.log(hi), 200_000)
+                   ).astype(np.float32)
+        got = np.asarray(pow_posc_f32(x, float(kappa)))
+        true = np.power(x.astype(np.float64), float(kappa))
+        assert _ulp(got, true).max() <= 3.0
+    # a second static exponent (the wind-speed 0.16-style family)
+    x = np.exp(rng.uniform(np.log(0.05), np.log(90.0), 50_000)
+               ).astype(np.float32)
+    got = np.asarray(pow_posc_f32(x, 0.8))
+    assert _ulp(got, np.power(x.astype(np.float64), 0.8)).max() <= 3.0
+    # positive-domain contract: non-positive/NaN bases give FINITE
+    # garbage (callers mask-gate), never inf/nan that could poison lanes
+    bad = np.asarray(pow_posc_f32(
+        np.array([0.0, -5.0, np.nan], np.float32), float(kappa)))
+    assert np.isfinite(bad).all()
+
+
+def test_pidcp_kernel_matches_surface_bitwise():
+    """The fused kernel's Exner factor and the op surface's
+    pidcp_from_p are the same arithmetic — bitwise, on this backend
+    (the Mosaic lowering was probed bitwise-identical per primitive on
+    chip; tools/tpu_suite.py re-checks there)."""
+    from mi_fieldcalc_tpu import constants as C
+    from mi_fieldcalc_tpu._libm import pow_posc_f32
+
+    rng = np.random.default_rng(8)
+    p = rng.uniform(0.05, 1100.0, 20_000).astype(np.float32)
+    surface = np.asarray(C.pidcp_from_p(p))
+    kernel_expr = np.asarray(pow_posc_f32(p * C.p0inv, C.kappa))
+    np.testing.assert_array_equal(surface, kernel_expr)
