@@ -20,12 +20,13 @@ import numpy as np
 
 from .field import Field, UNDEF, ValuesDefined, from_sentinel  # noqa: F401
 from .batch import (batch, clear_input_cache, cache_stats,  # noqa: F401
-                    Deferred, BatchError)
+                    fetch, Deferred, BatchError)
 from . import ops
 
 __all__ = [
     # call-storm batching (batch.py): one device program per storm
-    "batch", "clear_input_cache", "cache_stats", "Deferred", "BatchError",
+    "batch", "clear_input_cache", "cache_stats", "fetch", "Deferred",
+    "BatchError",
     # the 15 functions the reference's pybind11 module exposes
     "ValuesDefined", "kIndex", "ductingIndex", "showalterIndex",
     "boydenIndex", "sweatIndex", "seaSoundSpeed", "cvtemp", "cvhum",

@@ -89,7 +89,7 @@ import numpy as np
 from .field import Field, from_sentinel
 
 __all__ = ["batch", "Deferred", "BatchError", "clear_input_cache",
-           "cache_stats"]
+           "cache_stats", "fetch"]
 
 _state = threading.local()
 
@@ -104,14 +104,26 @@ def active_batch():
 
 class _StackHandle:
     """One device-resident output stack, fetched to host at most once
-    (one stacked transfer shared by every Deferred in the group)."""
+    (one stacked transfer shared by every Deferred in the group) — or
+    row-by-row via :func:`fetch` for subset consumers."""
 
-    __slots__ = ("dev", "host", "failed")
+    __slots__ = ("dev", "host", "host_rows", "failed")
 
     def __init__(self, dev):
         self.dev = dev
         self.host = None
+        self.host_rows = {}        # row -> host plane (subset fetches)
         self.failed = None
+
+    def _freeze(self, a):
+        # Every Deferred in the group views shared host buffers (and
+        # they can persist across batch() contexts as the device-
+        # chaining host cache): an in-place edit of one materialized
+        # result would silently corrupt its siblings.  Freeze so such
+        # edits raise; consumers that need a writable array get one via
+        # .copy() / astype (ADVICE r4).
+        a.flags.writeable = False
+        return a
 
     def fetch(self):
         if self.failed is not None:
@@ -120,19 +132,30 @@ class _StackHandle:
         if self.host is None:
             import jax
             try:
-                self.host = np.asarray(jax.device_get(self.dev))
+                self.host = self._freeze(
+                    np.asarray(jax.device_get(self.dev)))
             except Exception as e:          # surface async device errors
                 self.failed = e
                 raise BatchError(
                     "batched program failed; no data") from e
-            # Every Deferred in the group views THIS buffer (and it can
-            # persist across batch() contexts as the device-chaining
-            # host cache): an in-place edit of one materialized result
-            # would silently corrupt its siblings.  Freeze it so such
-            # edits raise; consumers that need a writable array get one
-            # via .copy() / astype (ADVICE r4).
-            self.host.flags.writeable = False
         return self.host
+
+    def row(self, r):
+        """Host plane for stack row ``r`` (whole-stack copy if already
+        fetched, else the subset cache, else one whole-stack fetch)."""
+        if self.host is not None:
+            return self.host[r]
+        got = self.host_rows.get(r)
+        return got if got is not None else self.fetch()[r]
+
+    def put_rows(self, rows, planes):
+        for r, p in zip(rows, planes):
+            self.host_rows[r] = self._freeze(np.ascontiguousarray(p))
+
+    def missing(self, rows):
+        if self.host is not None:
+            return []
+        return [r for r in rows if r not in self.host_rows]
 
 
 class Deferred(np.lib.mixins.NDArrayOperatorsMixin):
@@ -200,7 +223,7 @@ class Deferred(np.lib.mixins.NDArrayOperatorsMixin):
                 raise BatchError(
                     "batched program failed; no data") from self._failed
         handle, row = self._dev
-        v = handle.fetch()[row]
+        v = handle.row(row)
         if v.dtype != np.float32:
             # half-width fetch (fetch_dtype): widen back and re-snap
             # the rounded sentinel to the call's exact undef
@@ -210,6 +233,74 @@ class Deferred(np.lib.mixins.NDArrayOperatorsMixin):
                 v = np.where(v == np.float32(snap),
                              np.float32(self._undef), v)
         return v
+
+
+def fetch(*outputs):
+    """Materialize the given batch outputs with the FEWEST link
+    transfers — the subset-consumer fetch (round 5, VERDICT r4 item 7).
+
+    ``np.asarray(deferred)`` fetches the whole per-shape-group output
+    stack (best for fetch-everything consumers: one transfer amortizes
+    the link's 15-30 ms per-transfer latency over every sibling).  A
+    consumer that reads only a few of a storm's outputs over-fetches
+    there: this call instead gathers exactly the requested rows ON
+    DEVICE (one gather per stack, concatenated across stacks per
+    dtype) and crosses the link ONCE per dtype — for k planes out of a
+    K-plane cycle that is one latency plus k/K of the bytes, instead
+    of the full-stack payload.
+
+    Arguments may be Deferreds (pending ones flush first) or plain
+    arrays (passed through); returns a list of numpy arrays in call
+    order.  Fetched rows are cached on their stack handles, so later
+    ``np.asarray`` of the same Deferred is free, and a later
+    whole-stack fetch still works.  Composes with
+    ``fetch_dtype="bfloat16"`` (rows cross half-width; sentinels
+    re-snap exactly as in :meth:`Deferred.value`).
+
+    >>> with fc.batch(cache_inputs=True) as _:
+    ...     outs = storm()                  # 22 recorded calls
+    >>> td, ws = fc.fetch(outs[3], outs[7]) # 2 planes cross, not 22
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ds = [o for o in outputs if isinstance(o, Deferred)]
+    for d in ds:
+        if d._dev is None and d._failed is None:
+            d._batch.flush()
+    by_handle = {}
+    for d in ds:
+        if d._failed is not None:
+            continue                     # value() below re-raises
+        handle, row = d._dev
+        by_handle.setdefault(id(handle), (handle, set()))[1].add(row)
+    plan = []
+    for handle, rows in by_handle.values():
+        if handle.failed is not None:
+            continue
+        need = handle.missing(sorted(rows))
+        if need:
+            plan.append((handle, need))
+    if plan:
+        groups = {}
+        for handle, rows in plan:
+            groups.setdefault(str(handle.dev.dtype), []).append(
+                (handle, rows))
+        for items in groups.values():
+            flats = [h.dev[jnp.asarray(rows)].reshape(-1)
+                     for h, rows in items]
+            buf = flats[0] if len(flats) == 1 else jnp.concatenate(flats)
+            host = np.asarray(jax.device_get(buf))
+            off = 0
+            for h, rows in items:
+                plane = int(np.prod(h.dev.shape[1:]))
+                k = len(rows)
+                block = host[off:off + k * plane].reshape(
+                    (k,) + tuple(h.dev.shape[1:]))
+                h.put_rows(rows, block)
+                off += k * plane
+    return [o.value() if isinstance(o, Deferred) else np.asarray(o)
+            for o in outputs]
 
 
 # ---------------------------------------------------------------------------

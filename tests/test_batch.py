@@ -298,3 +298,58 @@ def test_batch_cache_stats_and_temporaries(monkeypatch):
     assert s["evictions"] >= 1
     assert B.cache_stats()["hits"] == 0      # reset zeroed counters
     B.clear_input_cache()
+
+
+def test_fetch_subset_grouped(monkeypatch):
+    """fc.fetch(): subset consumers cross the link once per dtype with
+    only the requested rows; results equal np.asarray, later full
+    fetches still work, and already-fetched rows are served from the
+    row cache (no second transfer)."""
+    import jax
+    import mi_fieldcalc_tpu.batch as B
+
+    t, rh, q = _grids(seed=20)
+    with fc.batch():
+        a = fc.abshum(t, rh, UNDEF)
+        b = fc.cvtemp(t, 2)
+        c = fc.alevelhum(t, q, t * 0 + 900.0, "", 1)
+        d = fc.cvtemp(rh, 2)
+
+    gets = []
+    real_get = jax.device_get
+    monkeypatch.setattr(jax, "device_get",
+                        lambda x: (gets.append(np.asarray(x).nbytes),
+                                   real_get(x))[1])
+    got_a, got_c = fc.fetch(a, c)
+    # one transfer, carrying exactly two planes
+    assert len(gets) == 1
+    assert gets[0] == 2 * t.size * 4
+    assert np.array_equal(got_a, fc.abshum(t, rh, UNDEF))
+    assert np.array_equal(got_c, fc.alevelhum(t, q, t * 0 + 900.0, "", 1))
+    # cached row: no new transfer; read-only like stack fetches
+    gets.clear()
+    av = np.asarray(a)
+    assert gets == [] and not av.flags.writeable
+    # untouched sibling still fetches (whole stack now)
+    bv = np.asarray(b)
+    assert len(gets) == 1
+    assert np.array_equal(bv, fc.cvtemp(t, 2))
+    assert np.array_equal(np.asarray(d), fc.cvtemp(rh, 2))
+    # passthrough of non-Deferred args
+    (x,) = fc.fetch(t)
+    assert np.array_equal(x, t)
+
+
+def test_fetch_subset_bf16():
+    """fc.fetch composes with fetch_dtype='bfloat16': half-width rows,
+    exact sentinel re-snap."""
+    t, rh, _ = _grids(seed=21)
+    e = fc.abshum(t, rh, UNDEF)
+    with fc.batch(fetch_dtype="bfloat16"):
+        a = fc.abshum(t, rh, UNDEF)
+        fc.cvtemp(t, 2)
+    (av,) = fc.fetch(a)
+    assert av.dtype == np.float32
+    und = e == np.float32(UNDEF)
+    assert np.array_equal(av == np.float32(UNDEF), und)
+    assert np.allclose(av[~und], e[~und], rtol=1e-2)

@@ -114,6 +114,20 @@ def main():
             out = storm(fc, args)
         return fetch(out)
 
+    #: the subset a Diana-style display consumer actually reads per
+    #: cycle (3 products of the 22-call storm)
+    SUBSET = (0, 7, 15)
+
+    def run_subset(args):
+        # per-consumer grouped fetch (round 5): only the requested rows
+        # cross the link — one gather+transfer per dtype — instead of
+        # every same-shape sibling's plane
+        with fc.batch(cache_inputs=True, fetch_dtype="bfloat16"):
+            out = storm(fc, args)
+        flat = [out[i][0] if isinstance(out[i], tuple) else out[i]
+                for i in SUBSET]
+        return fc.fetch(*flat)
+
     def mode_cached_pipe(cycles):
         """Dispatch cycle i+1 before fetching cycle i's outputs."""
         outs, fetched = [], []
@@ -158,13 +172,29 @@ def main():
         t0 = time.perf_counter()
         got_h = [run_bf16(args) for args in cyc]
         th = (time.perf_counter() - t0) / a.cycles
+        warm(run_subset, 6)
+        t0 = time.perf_counter()
+        got_s = [run_subset(args) for args in cyc]
+        ts = (time.perf_counter() - t0) / a.cycles
         d1 = disp()
         dm = max(d0, d1)
-        rows.append((dm, te, tb, tc, tp, th))
+        rows.append((dm, te, tb, tc, tp, th, ts))
         print(f"round {r}: disp {dm*1e3:5.2f} ms | eager {te*1e3:6.1f}  "
               f"batch {tb*1e3:5.1f}  cached {tc*1e3:5.1f}  "
-              f"cached+pipe {tp*1e3:5.1f}  cached+bf16 {th*1e3:5.1f} "
-              f"ms/cycle", flush=True)
+              f"cached+pipe {tp*1e3:5.1f}  cached+bf16 {th*1e3:5.1f}  "
+              f"subset3+bf16 {ts*1e3:5.1f} ms/cycle", flush=True)
+        for ci, (es, bs) in enumerate(zip(ref, got_s)):
+            for i, b in zip(SUBSET, bs):
+                e = np.asarray(es[i][0] if isinstance(es[i], tuple)
+                               else es[i])
+                b = np.asarray(b)
+                und = e == np.float32(fc.UNDEF)
+                assert np.array_equal(und, b == np.float32(fc.UNDEF)), \
+                    ("subset", ci, i)
+                d = np.abs(e[~und] - b[~und])
+                rel = (d / np.maximum(np.abs(e[~und]), 1e-2)).max() \
+                    if d.size else 0.0
+                assert rel < 1e-2, ("subset", ci, i, float(rel))
         for tag, got, rtol, floor in (("batch", got_b, 2e-5, 1e-6),
                                       ("cached", got_c, 2e-5, 1e-6),
                                       ("pipe", got_p, 2e-5, 1e-6),
@@ -182,12 +212,14 @@ def main():
 
     from tools.timing import select_uncongested
     ok, dmin, _ = select_uncongested(rows)
-    best = [min(r[k] for r in ok) for k in range(1, 6)]
+    best = [min(r[k] for r in ok) for k in range(1, 7)]
     print(f"best uncongested ({len(ok)}/{len(rows)} rounds, "
           f"disp {dmin*1e3:.2f} ms): eager {best[0]*1e3:.1f}  "
           f"batch {best[1]*1e3:.1f}  cached {best[2]*1e3:.1f}  "
-          f"cached+pipe {best[3]*1e3:.1f}  cached+bf16 {best[4]*1e3:.1f} "
-          f"ms/cycle  ({n} calls, 2 of 14 inputs fresh per cycle)")
+          f"cached+pipe {best[3]*1e3:.1f}  cached+bf16 {best[4]*1e3:.1f}  "
+          f"subset3+bf16 {best[5]*1e3:.1f} "
+          f"ms/cycle  ({n} calls, 2 of 14 inputs fresh per cycle; "
+          f"subset = fc.fetch of {len(SUBSET)} of {n} outputs)")
 
 
 if __name__ == "__main__":
