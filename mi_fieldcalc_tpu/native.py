@@ -34,6 +34,7 @@ __all__ = [
     "decode_pad",
     "decode_pad_batch",
     "decode_pad_levpack_batch",
+    "decode_resample_batch",
     "encode",
     "encode_trim",
     "encode_trim_batch",
@@ -41,7 +42,7 @@ __all__ = [
     "defined_state_host",
 ]
 
-_ABI = 5
+_ABI = 6
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_REPO, "native", "build", "libmifieldcalc_host.so")
@@ -90,6 +91,11 @@ def _bind(lib: ctypes.CDLL) -> Optional[ctypes.CDLL]:
     lib.mf_encode_trim_batch_map.restype = None
     lib.mf_encode_trim_batch_map.argtypes = [f32p, u8p, i64p, i64, i64,
                                              i64, i64, i64, i64, f32, f32pp]
+    lib.mf_decode_resample_batch.restype = None
+    lib.mf_decode_resample_batch.argtypes = [
+        f32pp, i64, i64, i64, i64, i64, i64,
+        i64p, i64p, f32p, i64p, i64p, f32p,
+        f32, f32, f32p, u8p, i64p]
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.mf_decode_pad_levpack_batch.restype = None
     lib.mf_decode_pad_levpack_batch.argtypes = [
@@ -266,6 +272,75 @@ def decode_pad_batch(arrays, ny_p: Optional[int] = None,
                             ctypes.c_float(undef), ctypes.c_float(fill),
                             out.ctypes.data_as(f32p),
                             mask.ctypes.data_as(u8p), counts)
+    return out, mask.view(np.bool_), list(counts)
+
+
+def decode_resample_batch(arrays, ny_t: int, nx_t: int,
+                          undef: float = UNDEF, fill: float = 0.0,
+                          out: Optional[np.ndarray] = None,
+                          mask: Optional[np.ndarray] = None,
+                          ) -> Tuple[np.ndarray, np.ndarray, list]:
+    """Aligned ingest in one pass: decode + mask-aware bilinear re-grid
+    of K same-shape sentinel stacks ``[..., ny, nx]`` onto the
+    tile-aligned ``[K, ..., ny_t, nx_t]`` (values, mask) block — the
+    native fusion of :func:`ingest.resample_align` with the decode
+    (staging ``align=True``).  Same semantics as the numpy reference
+    (identical axis coordinates via ``ingest._axis_coords``; undefined
+    iff total defined weight <= 1e-6); values may differ in the last
+    ulp (FP contraction).  Fallback: numpy resample + decode per field.
+    """
+    from .ingest import _axis_coords
+    vs = [_f32c(a) for a in arrays]
+    shape = vs[0].shape
+    for a in vs:
+        if a.shape != shape:
+            raise ValueError("decode_resample_batch: arrays must share "
+                             "a shape")
+    ny, nx = shape[-2:]
+    k = len(vs)
+    lead = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+    oshape = (k,) + shape[:-2] + (ny_t, nx_t)
+    if out is None:
+        out = np.empty(oshape, np.float32)
+    if mask is None:
+        mask = np.empty(oshape, np.uint8)
+    if out.shape != oshape or out.dtype != np.float32:
+        raise ValueError("decode_resample_batch: bad `out` buffer")
+    if mask.shape != oshape or mask.dtype not in (np.uint8, np.bool_):
+        raise ValueError("decode_resample_batch: bad `mask` buffer")
+    lib = _load()
+    if lib is None:
+        from .ingest import resample_align
+        counts = []
+        for i, a in enumerate(vs):
+            o, m, n = decode(resample_align(a, undef,
+                                            shape_to=(ny_t, nx_t)),
+                             undef, fill)
+            out[i] = o
+            mask[i] = m
+            counts.append(n)
+        return out, mask.view(np.bool_), counts
+    y0, y1, wy = _axis_coords(ny, ny_t)
+    x0, x1, wx = _axis_coords(nx, nx_t)
+    y0 = np.ascontiguousarray(y0, np.int64)
+    y1 = np.ascontiguousarray(y1, np.int64)
+    x0 = np.ascontiguousarray(x0, np.int64)
+    x1 = np.ascontiguousarray(x1, np.int64)
+    wy = np.ascontiguousarray(wy, np.float32)
+    wx = np.ascontiguousarray(wx, np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    srcs = (f32p * k)(*[a.ctypes.data_as(f32p) for a in vs])
+    counts = (ctypes.c_int64 * k)()
+    lib.mf_decode_resample_batch(
+        srcs, k, lead, ny, nx, ny_t, nx_t,
+        y0.ctypes.data_as(i64p), y1.ctypes.data_as(i64p),
+        wy.ctypes.data_as(f32p),
+        x0.ctypes.data_as(i64p), x1.ctypes.data_as(i64p),
+        wx.ctypes.data_as(f32p),
+        ctypes.c_float(undef), ctypes.c_float(fill),
+        out.ctypes.data_as(f32p), mask.ctypes.data_as(u8p), counts)
     return out, mask.view(np.bool_), list(counts)
 
 

@@ -82,6 +82,29 @@ class HostStager:
         dm = jax.device_put(mask, device)
         return [Field(dv[i], dm[i]) for i in range(self.k)]
 
+    def stage_resample(self, *arrays, shape_to, device=None):
+        """Aligned ingest: decode + mask-aware bilinear re-grid of the
+        K sentinel arrays onto ``shape_to`` in ONE native pass
+        (native.decode_resample_batch; numpy fallback), device_put as
+        one block.  Returns K Fields on the aligned logical grid."""
+        import jax
+
+        if len(arrays) != self.k:
+            raise ValueError(f"HostStager(k={self.k}) got {len(arrays)}")
+        a0 = np.asarray(arrays[0])
+        ny_t, nx_t = shape_to
+        oshape = (self.k,) + a0.shape[:-2] + (ny_t, nx_t)
+        if self._shape != oshape:
+            self._values = np.empty(oshape, np.float32)
+            self._mask = np.empty(oshape, np.uint8)
+            self._shape = oshape
+        vals, mask, self.counts = native.decode_resample_batch(
+            arrays, ny_t, nx_t, self.undef, self.fill,
+            out=self._values, mask=self._mask)
+        dv = jax.device_put(vals, device)
+        dm = jax.device_put(mask, device)
+        return [Field(dv[i], dm[i]) for i in range(self.k)]
+
     def stage_levpack(self, *arrays, device=None):
         """Like :meth:`stage` for ``[nlev <= 32, ny, nx]`` stacks, but
         masks ship LEV-bit-packed: ONE ``[K, ny_p, nx_p]`` uint32 block
@@ -125,28 +148,38 @@ def _stage_step(args, stager: HostStager, undef: float, on_tpu: bool,
     tk, q, u, v, ps, alevel, blevel, xmapr, ymapr, fcoriolis = args
     tk = np.ascontiguousarray(tk, np.float32)
     nlev, ny, nx = tk.shape
+    resampled = False
     if align:
         from .ingest import aligned_target, resample_align, resample_maps
         tgt = aligned_target(ny, nx)
         if tgt != (ny, nx):
-            tk = resample_align(tk, undef)
-            q = resample_align(q, undef)
-            u = resample_align(u, undef)
-            v = resample_align(v, undef)
-            ps = resample_align(ps, undef)
             xmapr, ymapr = resample_maps(xmapr, ymapr, ny, nx, tgt)
-            fcoriolis = resample_align(fcoriolis, mask_aware=False)
-            ny, nx = tgt
-    ny_p, nx_p = padded_shape(ny, nx) if on_tpu else (ny, nx)
+            fcoriolis = resample_align(np.asarray(fcoriolis, np.float32),
+                                       mask_aware=False)
+            resampled = True
 
     packed = None
-    if levpack and on_tpu and nlev <= 32:
-        (tkf, qf, uf, vf), packed = stager.stage_levpack(tk, q, u, v)
+    if resampled:
+        # fused native decode+re-grid straight into the staging block;
+        # levpack input packing does not compose with the re-grid pass
+        # (independent link optimizations — masks ship unpacked here)
+        tkf, qf, uf, vf = stager.stage_resample(tk, q, u, v,
+                                                shape_to=tgt)
+        psp, psm, pc = native.decode_resample_batch(
+            [np.asarray(ps, np.float32)], *tgt, undef)
+        ps_ndef = pc[0]
+        psf = Field(jnp.asarray(psp[0]), jnp.asarray(psm[0]))
+        ny, nx = tgt
+        ny_p, nx_p = padded_shape(ny, nx) if on_tpu else (ny, nx)
     else:
-        tkf, qf, uf, vf = stager.stage(tk, q, u, v)
-    psp, psm, ps_ndef = native.decode_pad(np.asarray(ps, np.float32),
-                                          ny_p, nx_p, undef)
-    psf = Field(jnp.asarray(psp), jnp.asarray(psm))
+        ny_p, nx_p = padded_shape(ny, nx) if on_tpu else (ny, nx)
+        if levpack and on_tpu and nlev <= 32:
+            (tkf, qf, uf, vf), packed = stager.stage_levpack(tk, q, u, v)
+        else:
+            tkf, qf, uf, vf = stager.stage(tk, q, u, v)
+        psp, psm, ps_ndef = native.decode_pad(np.asarray(ps, np.float32),
+                                              ny_p, nx_p, undef)
+        psf = Field(jnp.asarray(psp), jnp.asarray(psm))
     # the decode counts prove (or disprove) full definedness over the
     # LOGICAL points — the gate for the kernel's ALL_DEFINED fast path
     # (the reference's inAllDefined shortcut, FieldCalculations.cc:100)

@@ -190,7 +190,7 @@ inline bool is_defined(float v, float undef) {
 
 extern "C" {
 
-int mf_native_abi_version() { return 5; }
+int mf_native_abi_version() { return 6; }
 
 // Decode: out[i] = defined ? v[i] : fill; mask[i] = defined.  `out` may
 // alias `v` (in-place sanitize).  Returns the number of defined points.
@@ -465,6 +465,70 @@ void mf_encode_trim_batch_levpack(const float* v, const uint32_t* pmask,
       }
     }
   });
+}
+
+// Aligned-ingest fused pass (ABI v6): decode + MASK-AWARE BILINEAR
+// re-grid of K same-shape [lead, ny, nx] sentinel stacks onto the
+// tile-aligned [lead, ny_t, nx_t] target in ONE parallel region — the
+// native form of ingest.resample_align composed with mf_decode_pad
+// (staging align=True / MF_STAGING_ALIGN).  Semantics mirror
+// ingest.resample_align exactly: per target point, the 4 bilinear
+// corner weights are zeroed on undefined corners (NaN or == undef) and
+// renormalized; the point is undefined iff the total defined weight is
+// <= 1e-6 (then `fill`, mask 0).  The caller precomputes the axis maps
+// (y0/y1/wy per target row, x0/x1/wx per target lane) with
+// ingest._axis_coords, so native and numpy paths sample identical
+// physical coordinates; values may differ from the numpy reference in
+// the last ulp (FP contraction), masks only on measure-zero den ==
+// 1e-6 knife edges (tests assert masks equal + values allclose 2e-6).
+// counts[f] = defined target points of field f.
+void mf_decode_resample_batch(const float** srcs, int64_t k, int64_t lead,
+                              int64_t ny, int64_t nx,
+                              int64_t ny_t, int64_t nx_t,
+                              const int64_t* y0, const int64_t* y1,
+                              const float* wy,
+                              const int64_t* x0, const int64_t* x1,
+                              const float* wx,
+                              float undef, float fill,
+                              float* out, uint8_t* mask, int64_t* counts) {
+  std::vector<std::atomic<int64_t>> n_def(k);
+  for (auto& c : n_def) c.store(0, std::memory_order_relaxed);
+  parallel_for_w(k * lead * ny_t, k * lead * ny_t * 2, [&](int64_t b,
+                                                           int64_t e) {
+    int64_t local = 0, cur = b < e ? b / (lead * ny_t) : 0;
+    for (int64_t row = b; row < e; ++row) {
+      int64_t f = row / (lead * ny_t);
+      if (f != cur) {
+        n_def[cur].fetch_add(local, std::memory_order_relaxed);
+        local = 0;
+        cur = f;
+      }
+      int64_t rem = row % (lead * ny_t);
+      int64_t l = rem / ny_t, r = rem % ny_t;
+      const float* r0p = srcs[f] + (l * ny + y0[r]) * nx;
+      const float* r1p = srcs[f] + (l * ny + y1[r]) * nx;
+      float* ov = out + row * nx_t;
+      uint8_t* om = mask + row * nx_t;
+      float wyv = wy[r], wy0 = 1.0f - wyv;
+      for (int64_t i = 0; i < nx_t; ++i) {
+        float wxv = wx[i], wx0 = 1.0f - wxv;
+        float c00 = r0p[x0[i]], c01 = r0p[x1[i]];
+        float c10 = r1p[x0[i]], c11 = r1p[x1[i]];
+        // corner weights, zeroed on undefined corners (numpy order)
+        float num = 0.0f, den = 0.0f;
+        if (is_defined(c00, undef)) { float w = wy0 * wx0; num += w * c00; den += w; }
+        if (is_defined(c01, undef)) { float w = wy0 * wxv; num += w * c01; den += w; }
+        if (is_defined(c10, undef)) { float w = wyv * wx0; num += w * c10; den += w; }
+        if (is_defined(c11, undef)) { float w = wyv * wxv; num += w * c11; den += w; }
+        bool d = den > 1e-6f;
+        om[i] = d ? 1 : 0;
+        ov[i] = d ? num / den : fill;
+        local += d;
+      }
+    }
+    if (b < e) n_def[cur].fetch_add(local, std::memory_order_relaxed);
+  });
+  for (int64_t f = 0; f < k; ++f) counts[f] = n_def[f].load();
 }
 
 // Defined count over a mask array (checkDefined(n_undefined, n) dual).

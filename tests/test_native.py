@@ -325,3 +325,44 @@ def test_encode_trim_batch_levpack_roundtrip():
         native.encode_trim_batch(vals, pm, ny, nx)
     with pytest.raises(ValueError):      # map names a missing plane
         native.encode_trim_batch(vals, pm[:1], ny, nx, mask_map=[0, 1, 0])
+
+
+def test_decode_resample_batch_matches_numpy_reference():
+    """ABI v6 aligned-ingest pass: native fused decode+re-grid equals
+    the numpy reference (ingest.resample_align + decode) — masks and
+    counts exactly, values to FP-contraction tolerance — and the
+    no-library fallback equals it too."""
+    from mi_fieldcalc_tpu.ingest import resample_align
+
+    rng = np.random.default_rng(33)
+    UNDEF = native.UNDEF
+    a = rng.uniform(200.0, 300.0, (3, 37, 53)).astype(np.float32)
+    b = rng.uniform(0.0, 10.0, (3, 37, 53)).astype(np.float32)
+    for arr in (a, b):
+        arr[..., 5, 5] = UNDEF
+        arr[0, 10, 20] = np.nan
+        arr[..., :, 50] = UNDEF          # a whole undef column
+    ny_t, nx_t = 40, 128
+    out, mask, counts = native.decode_resample_batch([a, b], ny_t, nx_t)
+    assert out.shape == (2, 3, ny_t, nx_t)
+    for i, arr in enumerate((a, b)):
+        ref = resample_align(arr, UNDEF, shape_to=(ny_t, nx_t))
+        rmask = (ref != np.float32(UNDEF)) & ~np.isnan(ref)
+        np.testing.assert_array_equal(mask[i], rmask)
+        assert counts[i] == int(rmask.sum())
+        d = np.abs(out[i][rmask] - ref[rmask])
+        rel = d / np.maximum(np.abs(ref[rmask]), 1e-6)
+        assert rel.max() <= 2e-6
+
+    import mi_fieldcalc_tpu.native as nat
+    saved = nat._lib, nat._tried
+    try:
+        nat._lib, nat._tried = None, True
+        fout, fmask, fcounts = nat.decode_resample_batch([a, b],
+                                                         ny_t, nx_t)
+    finally:
+        nat._lib, nat._tried = saved
+    np.testing.assert_array_equal(mask, fmask)
+    assert list(counts) == list(fcounts)
+    d = np.abs(out[mask] - fout[fmask])
+    assert (d / np.maximum(np.abs(fout[fmask]), 1e-6)).max() <= 2e-6
