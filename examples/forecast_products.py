@@ -102,9 +102,9 @@ def main():
     t850 = np.asarray(tk[-1])
     rh850 = np.clip(np.abs(np.asarray(q[-1])) * 1e4, 5.0, 95.0)
     with fc.batch():
-        tc = fc.cvtemp(t850, 2)                 # K -> C, deferred
+        tc = fc.cvtemp(t850, 1)                 # K -> C, deferred
         hum = fc.plevelhum(t850, rh850, 850.0, "", 3)
-        back = fc.cvtemp(tc, 1)                 # chains on tc, on device
+        back = fc.cvtemp(tc, 2)                 # C -> K chains on device
     hv = np.asarray(hum)
     defined = hv[hv < 1e34]
     print(f"storm of 3 ran as one program: cvtemp roundtrip max|d| = "
@@ -123,6 +123,33 @@ def main():
         hm = np.asarray(h)                       # mask from THIS result
         print(f"cycle {cycle}: q850 mean "
               f"{hm[hm < 1e34].mean():.2e} kg/kg")
+
+    # -- 7. subset consumers: fetch only the planes you read --------------
+    # a display consumer that uses 2 of a storm's products crosses the
+    # link once with just those planes (fc.fetch), instead of pulling
+    # every same-shape sibling via np.asarray — 31 vs 42 ms/cycle on
+    # the 22-call storm (PERF.md "Forecast cycles: subset consumers")
+    with fc.batch(cache_inputs=True):
+        c1 = fc.cvtemp(t850, 1)                 # K -> C
+        h1 = fc.plevelhum(t850, rh850, 850.0, "", 3)
+        _ = fc.cvtemp(rh850, 2)                 # computed, never fetched
+    cv, hv1 = fc.fetch(c1, h1)                  # ONE transfer, 2 planes
+    print(f"subset fetch: tc mean {cv[cv < 1e34].mean():6.1f} C, "
+          f"q850 mean {hv1[hv1 < 1e34].mean():.2e} kg/kg")
+
+    # -- 8. aligned ingest: the production-grid option --------------------
+    # re-grid ragged producer grids once at staging onto the
+    # tile-aligned logical grid (mask-aware bilinear; map ratios
+    # rescaled) — the whole downstream pipeline then does 100% useful
+    # DMA (production_vs_baseline 0.93 vs the ragged 0.84, BENCH_r05).
+    # The product grid changes (e.g. 719x929 -> 720x1024):
+    from mi_fieldcalc_tpu.staging import run_derived_fields_np
+    rag = np.s_[..., :95, :121]                 # a ragged producer grid
+    out_al = run_derived_fields_np(tk[rag], q[rag], u[rag], v[rag],
+                                   ps[rag], alevel, blevel, mapr[rag],
+                                   mapr[rag], fcor[rag], align=True)
+    print(f"aligned ingest: product grid {out_al['th'].shape[-2:]} "
+          f"(from {tk[rag].shape[-2:]})")
 
 
 if __name__ == "__main__":

@@ -372,7 +372,9 @@ def _stager_cache(k: int, undef: float, pad: bool) -> HostStager:
 def run_hlevel_suite_np(tk, q, rh, ps, alevel, blevel,
                         temps=(), hums_q=(), hums_rh=(),
                         thes=(), ducts_q=(), ducts_rh=(),
-                        undef: float = UNDEF) -> Dict[str, np.ndarray]:
+                        undef: float = UNDEF,
+                        align: Optional[bool] = None,
+                        ) -> Dict[str, np.ndarray]:
     """The hybrid-level conversion suite, sentinel numpy to sentinel
     numpy — the drop-in replacement for looping one ``fc.hlevel*`` call
     per product.
@@ -386,15 +388,30 @@ def run_hlevel_suite_np(tk, q, rh, ps, alevel, blevel,
     ALL_DEFINED fast path; off-TPU it falls back to the per-level jnp
     ops.  Returns ``{"temp3": ..., "hum_q1": ..., ...}`` keyed by
     family + compute, in request order.
+
+    ``align`` (default the ``MF_STAGING_ALIGN`` env var): re-grid
+    ragged inputs onto the tile-aligned logical grid at ingest, as in
+    :func:`run_derived_fields_np` — the suite is pointwise, so only
+    the product-grid change applies (no map-ratio rescale needed).
     """
     import jax
     import jax.numpy as jnp
 
     from .ops.fused_suite import _build_reqs, _consumes
 
+    if align is None:
+        import os
+        align = os.environ.get("MF_STAGING_ALIGN", "0") != "0"
     on_tpu = jax.devices()[0].platform == "tpu"
     tk = np.ascontiguousarray(tk, np.float32)
     nlev, ny, nx = tk.shape
+    resampled = False
+    if align:
+        from .ingest import aligned_target
+        tgt = aligned_target(ny, nx)
+        if tgt != (ny, nx):
+            resampled = True
+            ny, nx = tgt
     ny_p, nx_p = padded_shape(ny, nx) if on_tpu else (ny, nx)
 
     # same validation as the kernels (so CPU and TPU raise identically)
@@ -408,20 +425,26 @@ def run_hlevel_suite_np(tk, q, rh, ps, alevel, blevel,
         raise ValueError("run_hlevel_suite_np: a requested mode "
                          "consumes rh but rh is None")
 
+    def dec(a):
+        a = np.ascontiguousarray(a, np.float32)
+        if resampled:
+            v, m, c = native.decode_resample_batch([a], ny_p, nx_p,
+                                                   undef)
+            return v[0], m[0], c[0]
+        return native.decode_pad(a, ny_p, nx_p, undef)
+
     def dec3(a, needed):
         if not needed:
             # pruned by the kernel; a tiny placeholder never moves
             return Field(jnp.zeros((1, 1, 1), jnp.float32),
                          jnp.ones((1, 1, 1), bool)), 0
-        v, m, n_def = native.decode_pad(
-            np.ascontiguousarray(a, np.float32), ny_p, nx_p, undef)
+        v, m, n_def = dec(a)
         return Field(jnp.asarray(v), jnp.asarray(m)), n_def
 
     tkf, n_t = dec3(tk, True)
     qf, n_q = dec3(q, need_q)
     rhf, n_r = dec3(rh, need_rh)
-    psv, psm, n_ps = native.decode_pad(
-        np.ascontiguousarray(ps, np.float32), ny_p, nx_p, undef)
+    psv, psm, n_ps = dec(ps)
     psf = Field(jnp.asarray(psv), jnp.asarray(psm))
 
     logical = nlev * ny * nx

@@ -305,3 +305,33 @@ def test_run_derived_fields_np_levpack_param():
     got = run_derived_fields_np(*args, levpack=True)
     for name in ref:
         np.testing.assert_array_equal(got[name], ref[name])
+
+
+def test_run_hlevel_suite_np_align():
+    """align=True: the suite runs on the tile-aligned logical grid
+    re-gridded at ingest — equals manually pre-resampling every input
+    (the suite is pointwise: no map rescale involved)."""
+    from mi_fieldcalc_tpu.ingest import aligned_target, resample_align
+    from mi_fieldcalc_tpu.staging import run_hlevel_suite_np
+
+    rng = np.random.default_rng(4)
+    nlev, ny, nx = 2, 13, 21
+    tk = rng.uniform(250, 300, (nlev, ny, nx)).astype(np.float32)
+    q = rng.uniform(1e-4, 1e-2, (nlev, ny, nx)).astype(np.float32)
+    tk[0, 3:6, 3:6] = UNDEF
+    ps = rng.uniform(950, 1030, (ny, nx)).astype(np.float32)
+    al = np.linspace(30.0, 0.0, nlev).astype(np.float32)
+    bl = np.linspace(0.02, 1.0, nlev).astype(np.float32)
+    tgt = aligned_target(ny, nx)
+
+    got = run_hlevel_suite_np(tk, q, None, ps, al, bl,
+                              temps=(3,), hums_q=(1,), align=True)
+    for arr in got.values():
+        assert arr.shape == (nlev,) + tgt
+
+    man = run_hlevel_suite_np(resample_align(tk), resample_align(q),
+                              None, resample_align(ps), al, bl,
+                              temps=(3,), hums_q=(1,), align=False)
+    assert sorted(got) == sorted(man)
+    for name in got:
+        np.testing.assert_array_equal(got[name], man[name])
