@@ -287,10 +287,21 @@ def fetch(*outputs):
             groups.setdefault(str(handle.dev.dtype), []).append(
                 (handle, rows))
         for items in groups.values():
-            flats = [h.dev[jnp.asarray(rows)].reshape(-1)
-                     for h, rows in items]
-            buf = flats[0] if len(flats) == 1 else jnp.concatenate(flats)
-            host = np.asarray(jax.device_get(buf))
+            try:
+                flats = [h.dev[jnp.asarray(rows)].reshape(-1)
+                         for h, rows in items]
+                buf = (flats[0] if len(flats) == 1
+                       else jnp.concatenate(flats))
+                host = np.asarray(jax.device_get(buf))
+            except Exception as e:
+                # same contract as _StackHandle.fetch: an async device
+                # failure surfaces as BatchError and is CACHED on every
+                # involved handle, so retries raise instead of
+                # re-running the doomed gather
+                for h, _ in items:
+                    h.failed = e
+                raise BatchError(
+                    "batched program failed; no data") from e
             off = 0
             for h, rows in items:
                 plane = int(np.prod(h.dev.shape[1:]))

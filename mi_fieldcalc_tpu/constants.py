@@ -253,11 +253,18 @@ def pidcp_from_p(p):
     ~4.4 for the exp∘log chain, tests/test_libm.py) — cheap enough that
     the flagship fused kernel runs the SAME arithmetic, closing the
     round-4 hardware-pow tier split (jnp path and kernel are bitwise
-    equal on pow-using ops again).  Positive-domain contract: p <= 0
-    lanes produce finite garbage and must be mask-gated (every caller
-    already does — sentinel/undef lanes never read the value plane)."""
+    equal on pow-using ops over the positive pressure domain).
+
+    Edge semantics: a DEFINED lane can still carry p <= 0 (e.g. a
+    hybrid level with alevel = blevel = 0), where the reference's powf
+    gives 0**kappa = 0 (theta -> inf) or NaN for negative p.  This op
+    surface keeps those libm edges via a backend-pow fallback select;
+    the fused kernel intentionally runs the pure positive-domain
+    pow_posc_f32 (its pipeline's defined lanes always have
+    a + b*ps > 0; masked-lane garbage differs harmlessly)."""
     from ._libm import pow_posc_f32
-    return pow_posc_f32(jnp.asarray(p, jnp.float32) * p0inv, kappa)
+    x = jnp.asarray(p, jnp.float32) * p0inv
+    return jnp.where(x > 0, pow_posc_f32(x, kappa), jnp.power(x, kappa))
 
 
 def pi_from_p(p):

@@ -51,14 +51,19 @@ __all__ = ["halo_exchange", "packed_strip_exchange", "packed_sendrecv",
            "EdgeContext"]
 
 
-#: scaling-lab knob (tools/scaling_bench.py --artifact): route every
-#: halo ppermute to SELF (identity permutation) instead of the mesh
-#: neighbour.  Same slice/collective/concat structure and byte counts,
-#: zero cross-device movement — the control that separates the
-#: halo-CONCAT restructure cost from halo TRANSPORT on a backend where
-#: both are host memcpy.  Trace-time: flip it before building a jit.
-#: Seam values are wrong with it on; never set outside the lab.
-LAB_SELF_PERMUTE = False
+def _lab_self_permute() -> bool:
+    """Scaling-lab knob (tools/scaling_bench.py --artifact): with
+    ``MF_LAB_SELF_PERMUTE=1`` every halo ppermute targets SELF
+    (identity permutation) — same slice/collective/concat structure and
+    byte counts, zero cross-device movement; the control that separates
+    the halo-CONCAT restructure cost from halo TRANSPORT on a backend
+    where both are host memcpy.  Read at TRACE time (same convention as
+    ops/fused.py's _V knobs — an env var, not a mutable global, so a
+    stray flag cannot linger in this process after the lab resets it;
+    the lab builds a fresh jit per variant).  Seam values are wrong
+    with it on; never set outside the lab."""
+    import os
+    return os.environ.get("MF_LAB_SELF_PERMUTE", "") == "1"
 
 
 def _exchange_1d(a, h: int, axis: int, name: str, size: int):
@@ -78,7 +83,7 @@ def _exchange_1d(a, h: int, axis: int, name: str, size: int):
                             size).astype(jnp.bool_)
     lo_strip = lax.slice_in_dim(a, 0, h, axis=axis)          # my first h rows
     hi_strip = lax.slice_in_dim(a, dim - h, dim, axis=axis)  # my last h rows
-    if LAB_SELF_PERMUTE:
+    if _lab_self_permute():
         fwd = bwd = [(i, i) for i in range(size)]
     else:
         fwd = [(i, i + 1) for i in range(size - 1)]  # i's hi -> (i+1)'s lo halo

@@ -272,6 +272,13 @@ def run_derived_fields_np(tk, q, u, v, ps, alevel, blevel, xmapr, ymapr,
     at the tile-aligned roofline fraction (~0.96 vs the ragged grid's
     ~0.88 structural ceiling, BENCH_r04), for the one-time cost of an
     ingest re-grid and a changed (documented) product grid.
+
+    Interaction: when ``align`` actually re-grids, input masks ship
+    UNPACKED even with ``levpack`` set — the LEV-bit-packing pass does
+    not compose with the fused re-grid codec pass, so the nlev/32 input
+    mask saving is traded for the aligned grid's ~12% whole-step wire
+    saving (output-side packing is unaffected only in the sense that
+    neither path packs outputs; see PERF.md "Aligned ingest").
     """
     import jax
 
@@ -311,6 +318,10 @@ def stream_derived_fields_np(steps, undef: float = UNDEF,
     test TPU serializes everything behind link transfer — the win is
     bound analysis (~1.4x at the operational grid) until a host with a
     local accelerator runs tools/perf_lab_staging.py.
+
+    ``align``/``levpack`` as in :func:`run_derived_fields_np`
+    (including their interaction: a re-gridding step ships unpacked
+    input masks).
     """
     import concurrent.futures as cf
 
@@ -425,26 +436,40 @@ def run_hlevel_suite_np(tk, q, rh, ps, alevel, blevel,
         raise ValueError("run_hlevel_suite_np: a requested mode "
                          "consumes rh but rh is None")
 
-    def dec(a):
-        a = np.ascontiguousarray(a, np.float32)
-        if resampled:
-            v, m, c = native.decode_resample_batch([a], ny_p, nx_p,
-                                                   undef)
-            return v[0], m[0], c[0]
-        return native.decode_pad(a, ny_p, nx_p, undef)
+    placeholder = (Field(jnp.zeros((1, 1, 1), jnp.float32),
+                         jnp.ones((1, 1, 1), bool)), 0)
+    if resampled:
+        # ONE fused native pass over every needed 3-D stack (the
+        # batched call exists precisely to amortize the parallel-region
+        # dispatch); ps separately (different shape)
+        stacks = [tk] + ([np.ascontiguousarray(q, np.float32)]
+                         if need_q else []) \
+            + ([np.ascontiguousarray(rh, np.float32)] if need_rh else [])
+        v3, m3, c3 = native.decode_resample_batch(stacks, ny_p, nx_p,
+                                                  undef)
+        fields = [(Field(jnp.asarray(v3[i]), jnp.asarray(m3[i])), c3[i])
+                  for i in range(len(stacks))]
+        it = iter(fields)
+        tkf, n_t = next(it)
+        qf, n_q = next(it) if need_q else placeholder
+        rhf, n_r = next(it) if need_rh else placeholder
+        vp, mp, cp_ = native.decode_resample_batch(
+            [np.ascontiguousarray(ps, np.float32)], ny_p, nx_p, undef)
+        psv, psm, n_ps = vp[0], mp[0], cp_[0]
+    else:
+        def dec3(a, needed):
+            if not needed:
+                # pruned by the kernel; a tiny placeholder never moves
+                return placeholder
+            v, m, n_def = native.decode_pad(
+                np.ascontiguousarray(a, np.float32), ny_p, nx_p, undef)
+            return Field(jnp.asarray(v), jnp.asarray(m)), n_def
 
-    def dec3(a, needed):
-        if not needed:
-            # pruned by the kernel; a tiny placeholder never moves
-            return Field(jnp.zeros((1, 1, 1), jnp.float32),
-                         jnp.ones((1, 1, 1), bool)), 0
-        v, m, n_def = dec(a)
-        return Field(jnp.asarray(v), jnp.asarray(m)), n_def
-
-    tkf, n_t = dec3(tk, True)
-    qf, n_q = dec3(q, need_q)
-    rhf, n_r = dec3(rh, need_rh)
-    psv, psm, n_ps = dec(ps)
+        tkf, n_t = dec3(tk, True)
+        qf, n_q = dec3(q, need_q)
+        rhf, n_r = dec3(rh, need_rh)
+        psv, psm, n_ps = native.decode_pad(
+            np.ascontiguousarray(ps, np.float32), ny_p, nx_p, undef)
     psf = Field(jnp.asarray(psv), jnp.asarray(psm))
 
     logical = nlev * ny * nx

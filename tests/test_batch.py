@@ -353,3 +353,31 @@ def test_fetch_subset_bf16():
     und = e == np.float32(UNDEF)
     assert np.array_equal(av == np.float32(UNDEF), und)
     assert np.allclose(av[~und], e[~und], rtol=1e-2)
+
+
+def test_fetch_failure_surfaces_as_batcherror(monkeypatch):
+    """fc.fetch keeps the module's error contract: an async device
+    failure raises BatchError and is CACHED on the stack handle, so a
+    retry re-raises instead of re-running the gather (review r5)."""
+    import jax
+
+    t, rh, _ = _grids(seed=30)
+    with fc.batch():
+        a = fc.abshum(t, rh, UNDEF)
+        fc.cvtemp(t, 2)
+
+    calls = []
+
+    def boom(x):
+        calls.append(1)
+        raise RuntimeError("simulated async device failure")
+
+    monkeypatch.setattr(jax, "device_get", boom)
+    with pytest.raises(BatchError):
+        fc.fetch(a)
+    assert calls == [1]
+    with pytest.raises(BatchError):          # cached: no second gather
+        fc.fetch(a)
+    assert calls == [1]
+    with pytest.raises(BatchError):          # np.asarray agrees
+        np.asarray(a)

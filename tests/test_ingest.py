@@ -130,7 +130,15 @@ def _inputs(nlev=3, ny=21, nx=37, seed=5):
 
 def test_run_derived_fields_np_align_matches_pre_resampled():
     """staging align=True == manually re-gridding every input (with map
-    rescale) and running the pipeline on the aligned logical grid."""
+    rescale) and running the pipeline on the aligned logical grid.
+
+    The manual pre-resample uses the SAME implementation the staging
+    path runs (the native fused pass when available), so the equality
+    is bitwise by construction on any toolchain; native-vs-numpy value
+    agreement is tested separately at FP-contraction tolerance
+    (tests/test_native.py)."""
+    from mi_fieldcalc_tpu import native
+
     args = _inputs()
     tk, q, u, v, ps, alevel, blevel, xmapr, ymapr, fcor = args
     ny, nx = tk.shape[-2:]
@@ -140,11 +148,16 @@ def test_run_derived_fields_np_align_matches_pre_resampled():
     for name, arr in got.items():
         assert arr.shape[-2:] == tgt, name
 
+    def nat_sent(a):
+        v_, m_, _ = native.decode_resample_batch(
+            [np.ascontiguousarray(a, np.float32)], *tgt, UNDEF)
+        return np.where(m_[0], v_[0], np.float32(UNDEF))
+
     # manual pre-resample, then the plain (align=False) staging path
     xm_t, ym_t = resample_maps(xmapr, ymapr, ny, nx)
     man = run_derived_fields_np(
-        resample_align(tk), resample_align(q), resample_align(u),
-        resample_align(v), resample_align(ps), alevel, blevel,
+        nat_sent(tk), nat_sent(q), nat_sent(u), nat_sent(v),
+        nat_sent(ps), alevel, blevel,
         xm_t, ym_t, resample_align(fcor, mask_aware=False),
         align=False)
     assert set(got) == set(man)

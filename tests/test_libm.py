@@ -146,3 +146,17 @@ def test_pidcp_kernel_matches_surface_bitwise():
     surface = np.asarray(C.pidcp_from_p(p))
     kernel_expr = np.asarray(pow_posc_f32(p * C.p0inv, C.kappa))
     np.testing.assert_array_equal(surface, kernel_expr)
+
+
+def test_pidcp_surface_keeps_libm_edges():
+    """pidcp_from_p: DEFINED lanes with p <= 0 keep the reference powf
+    edge values (0**kappa = 0 -> theta inf; negative -> NaN) via the
+    backend-pow fallback select — only the positive domain runs
+    pow_posc_f32 (review r5)."""
+    from mi_fieldcalc_tpu import constants as C
+
+    out = np.asarray(C.pidcp_from_p(
+        np.array([0.0, -5.0, 850.0, 1e-3], np.float32)))
+    assert out[0] == 0.0
+    assert np.isnan(out[1])
+    assert out[2] > 0 and out[3] > 0

@@ -329,8 +329,19 @@ def test_run_hlevel_suite_np_align():
     for arr in got.values():
         assert arr.shape == (nlev,) + tgt
 
-    man = run_hlevel_suite_np(resample_align(tk), resample_align(q),
-                              None, resample_align(ps), al, bl,
+    # manual pre-resample through the SAME implementation the staging
+    # path uses (native fused pass when available) -> bitwise equality
+    # holds on any toolchain; native-vs-numpy tolerance lives in
+    # tests/test_native.py
+    from mi_fieldcalc_tpu import native
+
+    def nat_sent(a):
+        v_, m_, _ = native.decode_resample_batch(
+            [np.ascontiguousarray(a, np.float32)], *tgt, UNDEF)
+        return np.where(m_[0], v_[0], np.float32(UNDEF))
+
+    man = run_hlevel_suite_np(nat_sent(tk), nat_sent(q),
+                              None, nat_sent(ps), al, bl,
                               temps=(3,), hums_q=(1,), align=False)
     assert sorted(got) == sorted(man)
     for name in got:

@@ -165,15 +165,15 @@ def main():
                 #     in place)
                 #   transport_ms  = t_step - t_selfperm      (neighbour
                 #     delivery; predicted on ICI below)
-                from mi_fieldcalc_tpu.parallel import halo as _halo
-                _halo.LAB_SELF_PERMUTE = True
+                import os as _os
+                _os.environ["MF_LAB_SELF_PERMUTE"] = "1"
                 try:
                     fn_id = jax.jit(lambda *a: run_sharded(
                         derived_fields, mesh, RADIUS, *a))
                     dt_id = qtime(lambda: fn_id(*inp), probe,
                                   args_ns.iters)
                 finally:
-                    _halo.LAB_SELF_PERMUTE = False
+                    _os.environ.pop("MF_LAB_SELF_PERMUTE", None)
                 # analytic per-device byte attribution
                 h = RADIUS
                 halo_b = restr_b = 0
