@@ -67,6 +67,23 @@ def _axis_coords(n_src: int, n_dst: int):
     return i0, i0 + 1, w
 
 
+def _resample_separable(a, y0, y1, wy, x0, x1, wx) -> np.ndarray:
+    """Plain bilinear as two 1-D passes (x then y).  Algebraically equal
+    to the 4-corner form — (1-wy)(1-wx)c00 + ... factors exactly — so on
+    fully-defined planes it matches the mask-aware path to FP rounding
+    (~1 ulp) while doing ~an order of magnitude less work: two 2-point
+    gathers and no per-corner mask temps."""
+    one = np.float32(1.0)
+    ax = a[..., :, x0]                   # fancy-index: a fresh buffer,
+    ax *= (one - wx)                     # safe to update in place
+    ax += a[..., :, x1] * wx
+    wyc = wy[:, None]
+    out = ax[..., y0, :]
+    out *= (one - wyc)
+    out += ax[..., y1, :] * wyc
+    return out if out.dtype == np.float32 else out.astype(np.float32)
+
+
 def resample_align(a, undef: float = UNDEF,
                    shape_to: Optional[Tuple[int, int]] = None,
                    mask_aware: bool = True) -> np.ndarray:
@@ -88,27 +105,24 @@ def resample_align(a, undef: float = UNDEF,
         return a
     y0, y1, wy = _axis_coords(ny, ny_t)
     x0, x1, wx = _axis_coords(nx, nx_t)
-    wy = wy[:, None]
-    wx = wx[None, :]
-    yi0, yi1 = y0[:, None], y1[:, None]
-    xi0, xi1 = x0[None, :], x1[None, :]
-    corners = (a[..., yi0, xi0], a[..., yi0, xi1],
-               a[..., yi1, xi0], a[..., yi1, xi1])
-    weights = ((1 - wy) * (1 - wx), (1 - wy) * wx,
-               wy * (1 - wx), wy * wx)
     if not mask_aware:
-        out = weights[0] * corners[0]
-        for w, c in zip(weights[1:], corners[1:]):
-            out += w * c
-        return out.astype(np.float32)
+        return _resample_separable(a, y0, y1, wy, x0, x1, wx)
     undef32 = np.float32(undef)
-    num = np.zeros(a.shape[:-2] + (ny_t, nx_t), np.float32)
-    den = np.zeros_like(num)
-    for w, c in zip(weights, corners):
-        d = ~np.isnan(c) & (c != undef32)
-        wd = np.where(d, w, np.float32(0.0))
-        num += wd * np.where(d, c, np.float32(0.0))
-        den += wd
+    # The renormalized 4-corner form factors separably: with d the 0/1
+    # defined weight, num = sum_i w_i d_i c_i = sep(d*c) and
+    # den = sum_i w_i d_i = sep(d) (the bilinear weight w_i = wy_i*wx_i
+    # is itself a product per axis).  So mask-aware resample is two
+    # separable passes + an elementwise renormalize — same algebra as
+    # the corner gather (FP order differs ~1 ulp), ~5x less work
+    # (NEXT round-6 candidate 3).  Fully-defined input needs only one
+    # pass (den == 1 exactly: the per-axis weights sum to 1).
+    src_def = ~np.isnan(a) & (a != undef32)
+    if src_def.all():
+        return _resample_separable(a, y0, y1, wy, x0, x1, wx)
+    az = np.where(src_def, a, np.float32(0.0))
+    num = _resample_separable(az, y0, y1, wy, x0, x1, wx)
+    den = _resample_separable(src_def.astype(np.float32),
+                              y0, y1, wy, x0, x1, wx)
     defined = den > _WEIGHT_EPS
     return np.where(defined, num / np.where(defined, den, np.float32(1.0)),
                     undef32).astype(np.float32)

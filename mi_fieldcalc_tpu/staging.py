@@ -542,7 +542,9 @@ def run_vessel_icing_np(sal, wave, x_wind, y_wind, airtemp, rh, sst, p,
                         alt: int = 1,
                         products=("overland", "mertins", "modstall",
                                   "mincog"),
-                        undef: float = UNDEF) -> Dict[str, np.ndarray]:
+                        undef: float = UNDEF,
+                        align: Optional[bool] = None,
+                        ) -> Dict[str, np.ndarray]:
     """All requested vessel-icing products from ONE decode of the shared
     inputs — the production form of the reference's per-product
     `vesselIcing*` calls (each re-reading the same 11 sentinel grids).
@@ -552,7 +554,14 @@ def run_vessel_icing_np(sal, wave, x_wind, y_wind, airtemp, rh, sst, p,
     subset); scalars as :func:`..api.vesselIcingMincog`.  On TPU the
     solver products run their fused VMEM kernels (auto-selected, as in
     the drop-in api).  Returns ``{product: sentinel array}``.
+
+    ``align`` (default the ``MF_STAGING_ALIGN`` env var): re-grid the
+    ragged inputs onto the tile-aligned logical grid at ingest
+    (:mod:`..ingest`) — the icing products are pointwise, so only the
+    product-grid change applies; outputs are then the aligned shape.
     """
+    import jax.numpy as jnp
+
     from .api import _icing_mincog_auto, _icing_modstall_auto
     from .ops import vessel_icing_mertins, vessel_icing_overland
 
@@ -562,14 +571,32 @@ def run_vessel_icing_np(sal, wave, x_wind, y_wind, airtemp, rh, sst, p,
             raise ValueError(f"run_vessel_icing_np: unknown product "
                              f"{prod!r} (known: {known})")
 
+    if align is None:
+        import os
+        align = os.environ.get("MF_STAGING_ALIGN", "0") != "0"
+
     # one decode pass for all 11 shared inputs (the icing kernels pad
     # internally, so the stager stays at the logical extent)
     arrays = [np.ascontiguousarray(a, np.float32) for a in
               (sal, wave, x_wind, y_wind, airtemp, rh, sst, p, pw,
                aice, depth)]
-    stager = _stager_cache(k=11, undef=undef, pad=False)
-    (salf, wavef, xwf, ywf, atf, rhf, sstf, pf, pwf, aicef,
-     depthf) = stager.stage(*arrays)
+    ny, nx = arrays[0].shape[-2:]
+    resampled = False
+    if align:
+        from .ingest import aligned_target
+        tgt = aligned_target(ny, nx)
+        resampled = tgt != (ny, nx)
+    if resampled:
+        # ONE fused native decode+re-grid pass over all 11 inputs
+        v, m, _ = native.decode_resample_batch(arrays, tgt[0], tgt[1],
+                                               undef)
+        (salf, wavef, xwf, ywf, atf, rhf, sstf, pf, pwf, aicef,
+         depthf) = [Field(jnp.asarray(v[i]), jnp.asarray(m[i]))
+                    for i in range(len(arrays))]
+    else:
+        stager = _stager_cache(k=11, undef=undef, pad=False)
+        (salf, wavef, xwf, ywf, atf, rhf, sstf, pf, pwf, aicef,
+         depthf) = stager.stage(*arrays)
 
     result = {}
     for prod in products:

@@ -346,3 +346,44 @@ def test_run_hlevel_suite_np_align():
     assert sorted(got) == sorted(man)
     for name in got:
         np.testing.assert_array_equal(got[name], man[name])
+
+
+def test_run_vessel_icing_np_align():
+    """align=True: the icing products run on the tile-aligned logical
+    grid re-gridded at ingest — equals manually pre-resampling every
+    input (pointwise suite, no map rescale), same contract as the
+    hlevel align test above."""
+    from mi_fieldcalc_tpu import native
+    from mi_fieldcalc_tpu.ingest import aligned_target
+    from mi_fieldcalc_tpu.staging import run_vessel_icing_np
+
+    rng = np.random.default_rng(7)
+    ny, nx = 13, 21
+    f = lambda lo, hi: rng.uniform(lo, hi, (ny, nx)).astype(np.float32)
+    sal, wave = f(30, 36), f(0.5, 6)
+    xw, yw = f(-25, 25), f(-25, 25)
+    at, rh = f(-25, -3), f(40, 95)
+    sst, p = f(-1, 8), f(960, 1040)
+    pw, aice, depth = f(6, 14), f(0, 0.3), f(25, 350)
+    at[2, 2] = UNDEF
+    scal = (5.0, 0.52, 2.0, 5.0)
+    tgt = aligned_target(ny, nx)
+    ins = (sal, wave, xw, yw, at, rh, sst, p, pw, aice, depth)
+
+    got = run_vessel_icing_np(*ins, *scal, alt=1,
+                              products=("overland", "modstall"),
+                              align=True)
+    for arr in got.values():
+        assert arr.shape == tgt
+
+    def nat_sent(a):
+        v_, m_, _ = native.decode_resample_batch(
+            [np.ascontiguousarray(a, np.float32)], *tgt, UNDEF)
+        return np.where(m_[0], v_[0], np.float32(UNDEF))
+
+    man = run_vessel_icing_np(*[nat_sent(a) for a in ins], *scal,
+                              alt=1, products=("overland", "modstall"),
+                              align=False)
+    assert sorted(got) == sorted(man)
+    for name in got:
+        np.testing.assert_array_equal(got[name], man[name])
