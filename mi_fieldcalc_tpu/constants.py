@@ -257,14 +257,20 @@ def pidcp_from_p(p):
 
     Edge semantics: a DEFINED lane can still carry p <= 0 (e.g. a
     hybrid level with alevel = blevel = 0), where the reference's powf
-    gives 0**kappa = 0 (theta -> inf) or NaN for negative p.  This op
-    surface keeps those libm edges via a backend-pow fallback select;
-    the fused kernel intentionally runs the pure positive-domain
-    pow_posc_f32 (its pipeline's defined lanes always have
-    a + b*ps > 0; masked-lane garbage differs harmlessly)."""
+    gives 0**kappa = +0 (theta -> inf) or NaN for negative p.  Because
+    kappa is a fixed positive constant those edges are CONSTANTS, so
+    the select needs no backend pow (a ``jnp.power`` fallback branch
+    measurably perturbed XLA:CPU fusion of the shared pow chain at the
+    last ulp on vector-remainder lanes, breaking the kernel-vs-jnp
+    bitwise contract on ordinary lanes — round-5 regression).  NaN
+    propagates through the same select (x > 0 and x == 0 both false).
+    The flagship fused kernel (ops/fused.py) keeps the pure
+    positive-domain pow_posc_f32: its pipeline's defined lanes always
+    have a + b*ps > 0; masked-lane garbage differs harmlessly."""
     from ._libm import pow_posc_f32
     x = jnp.asarray(p, jnp.float32) * p0inv
-    return jnp.where(x > 0, pow_posc_f32(x, kappa), jnp.power(x, kappa))
+    edge = jnp.where(x == 0, jnp.float32(0.0), jnp.float32(jnp.nan))
+    return jnp.where(x > 0, pow_posc_f32(x, kappa), edge)
 
 
 def pi_from_p(p):
