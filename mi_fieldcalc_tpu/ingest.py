@@ -74,9 +74,12 @@ def _resample_separable(a, y0, y1, wy, x0, x1, wx) -> np.ndarray:
     (~1 ulp) while doing ~an order of magnitude less work: two 2-point
     gathers and no per-corner mask temps."""
     one = np.float32(1.0)
-    ax = a[..., :, x0]                   # fancy-index: a fresh buffer,
-    ax *= (one - wx)                     # safe to update in place
-    ax += a[..., :, x1] * wx
+    # np.take is ~3.6x a fancy lane gather here; y gathers move whole
+    # contiguous rows and are cheap either way.  Both return fresh
+    # buffers, safe to update in place.
+    ax = np.take(a, x0, axis=-1)
+    ax *= (one - wx)
+    ax += np.take(a, x1, axis=-1) * wx
     wyc = wy[:, None]
     out = ax[..., y0, :]
     out *= (one - wyc)
