@@ -116,9 +116,10 @@ def resample_align(a, undef: float = UNDEF,
     # den = sum_i w_i d_i = sep(d) (the bilinear weight w_i = wy_i*wx_i
     # is itself a product per axis).  So mask-aware resample is two
     # separable passes + an elementwise renormalize — same algebra as
-    # the corner gather (FP order differs ~1 ulp), ~5x less work
-    # (NEXT round-6 candidate 3).  Fully-defined input needs only one
-    # pass (den == 1 exactly: the per-axis weights sum to 1).
+    # the corner gather (FP order differs ~1 ulp), measured ~2x on
+    # undef-bearing stacks and ~15x on fully-defined ones (PERF.md
+    # "Aligned ingest").  Fully-defined input needs only one pass
+    # (den == 1 exactly: the per-axis weights sum to 1).
     src_def = ~np.isnan(a) & (a != undef32)
     if src_def.all():
         return _resample_separable(a, y0, y1, wy, x0, x1, wx)
