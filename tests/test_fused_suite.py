@@ -490,3 +490,46 @@ def test_suite_random_request_sets():
                                       np.asarray(g.values)[rm],
                                       equal_nan=True), \
                     (trial, allm, k, kw)
+
+
+def test_suite_kernel_pidcp_edge_lanes_bitwise():
+    """The round-5 pidcp p <= 0 edge contract, locked at the suite
+    kernel level: DEFINED lanes carrying p == 0 (theta -> inf via
+    0**kappa = +0) and p < 0 (NaN) produce the SAME bits through the
+    fused suite kernel and the jnp ops — the edge select is constants
+    only, so it cannot perturb XLA fusion of the shared pow chain on
+    ordinary lanes (the regression this test would have caught)."""
+    tk, q, rh, p = _inputs(seed=11)
+    edges = [(0, 0, 0), (0, 0, 1), (1, 3, 130)]
+    pv = np.asarray(p.values).copy()
+    pv[edges[0]] = 0.0             # 0**kappa = +0 -> theta inf
+    pv[edges[1]] = -250.0          # negative p -> NaN theta
+    pv[edges[2]] = 0.0             # remainder-lane chunk too
+    # the planted lanes must be DEFINED in every input or the edge
+    # never reaches a defined output
+    def force(f):
+        m = np.asarray(f.mask).copy()
+        for e in edges:
+            m[e] = True
+        return Field(f.values, jnp.asarray(m))
+    tk, q, rh = force(tk), force(q), force(rh)
+    p = force(Field(jnp.asarray(pv), p.mask))
+
+    got = alevel_suite_fused(tk, q, rh, p, temps=(3, 4), thes=(1,),
+                             interpret=True)
+    from mi_fieldcalc_tpu.ops import alevelthe
+    ref = [jax.jit(lambda tk, p, c=c: aleveltemp(tk, p, compute=c))(tk, p)
+           for c in (3, 4)]
+    ref.append(jax.jit(lambda tk, q, p: alevelthe(tk, q, p,
+                                                  compute=1))(tk, q, p))
+    saw_inf = saw_nan = False
+    for k, (r, g) in enumerate(zip(ref, got)):
+        rm = np.asarray(r.mask)
+        assert np.array_equal(rm, np.asarray(g.mask)), (k, "mask")
+        rv, gv = np.asarray(r.values)[rm], np.asarray(g.values)[rm]
+        assert np.array_equal(rv, gv, equal_nan=True), (k, "values")
+        saw_inf |= bool(np.isinf(rv).any())
+        saw_nan |= bool(np.isnan(rv).any())
+    # the edge lanes must actually be defined in at least one output,
+    # or this test proves nothing
+    assert saw_inf and saw_nan
