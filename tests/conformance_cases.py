@@ -347,9 +347,9 @@ def build_cases() -> List[Case]:
 
 
 def build_large_cases() -> List[Case]:
-    """Production-size (719x929) goldens for 4 representative ops — one
-    stencil with fillEdges, one 12-mode-family humidity, one ensemble,
-    one icing solver (VERDICT r4 item 5; the reference's own canary grid,
+    """Production-size (719x929) goldens for 5 representative ops — one
+    stencil with fillEdges, one 12-mode-family humidity, one per-point
+    Exner pow conversion, one ensemble, one icing solver (VERDICT r4 item 5; the reference's own canary grid,
     test/FieldCalculationsTest.cc:145-170).  Kept out of the main CASES
     list: they live in goldens_large.npz (~11 MB) and run via
     tests/test_conformance_large.py + tools/tpu_golden.py --large."""
@@ -363,6 +363,12 @@ def build_large_cases() -> List[Case]:
     add(Case("large_probability_c3", "probability", ["unit"],
              {"compute": 3, "limits": [0.25, 0.75]}, n_members=8,
              shape=L))
+    # per-point Exner pow at production scale: compute=3 (T -> theta)
+    # divides by pidcp_from_p(pfield) lane-by-lane — validates the
+    # round-5 deterministic pow + constant-edge select against the
+    # compiled reference powf on the full 719x929 grid
+    add(Case("large_aleveltemp_c3", "aleveltemp", ["tk", "pfield"],
+             {"unit": "", "compute": 3}, shape=L))
     icing11_phys = ["sal", "wave", "wind", "wind", "atemp_c", "rh%",
                     "sst_c", "mslp", "pw_s", "aice", "depth"]
     add(Case("large_vesselIcingModStall", "vesselIcingModStall",

@@ -2,9 +2,9 @@
 
 The reference's own perf/correctness canary runs on the operational MET
 Norway AROME grid (test/FieldCalculationsTest.cc:145-170); the main
-golden suite (test_conformance.py) runs 12x10 grids.  These 4 cases
-(stencil+fillEdges, 12-mode humidity, ensemble, icing solver — VERDICT
-r4 item 5) close the small-grid/production-grid gap with real oracle
+golden suite (test_conformance.py) runs 12x10 grids.  These 5 cases
+(stencil+fillEdges, 12-mode humidity, per-point Exner pow, ensemble,
+icing solver — VERDICT r4 item 5) close the small-grid/production-grid gap with real oracle
 outputs at scale, scattered undefs included.  Same contract and
 adapters as test_conformance.py; goldens in goldens_large.npz
 (regenerate: `python tools/oracle/gen_goldens.py --large`).
